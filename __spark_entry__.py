@@ -1,38 +1,559 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible query.
+
+Determinism notes for the oracle comparison:
+- money aggregates go through exact DECIMAL arithmetic in BOTH engines, then
+  CAST to DOUBLE (bit-identical regardless of summation order);
+- floating scores are rounded to 6 decimals on both sides;
+- every ordering has a unique tiebreaker column.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_FORMULA = (
+    "CAST(floor(1.0/pow(1.0-pow(1.0-pow(0.99,1.0/{n}),1.0/{n}),1.0/{a})) AS BIGINT)"
+)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: interleaved docs → KG triples (north_rule pipeline)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kgforge.kg.pipeline import build_kg, docs_from_testdata
+
+    docs = docs_from_testdata(spark, "/root/testdata/sf0.001")
+    triples, _metrics = build_kg(docs)
+    return triples
+
+
+# --------------------------------------------------------------------------
+# anonymization operators on the TPC-H-ish tables (SQL-expressible oracles)
+# --------------------------------------------------------------------------
+
+def _mask_names(spark, sf_dir):
+    from kgforge.anonymize.ops import mask
+
+    cust = _read(spark, sf_dir, "customer")
+    col_df = cust.filter(F.col("c_name").isNotNull()).select(
+        F.col("c_custkey").cast("string").alias("subj"),
+        F.col("c_name").alias("obj_value"),
+    )
+    out = mask(col_df, "name")
+    return out.select(
+        F.col("subj").cast("bigint").alias("c_custkey"),
+        F.col("obj_value").alias("name_masked"),
+    )
+
+
+def _acctbal_column(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_acctbal").isNotNull()).select(
+        F.col("c_custkey").cast("string").alias("subj"),
+        F.col("c_acctbal").cast("string").alias("obj_value"),
+        F.col("c_custkey").alias("_tie"),
+    )
+
+
+def _generalize_acctbal(spark, sf_dir):
+    from kgforge.anonymize.buckets import calculate_number_of_buckets
+    from kgforge.anonymize.ops import generalize
+
+    col_df = _acctbal_column(spark, sf_dir)
+    n = col_df.count()
+    g = calculate_number_of_buckets(n, 1)
+    out = generalize(col_df, "acctbal", "double", g, n, F.col("_tie"))
+    return (
+        out.filter(F.col("pred") == "acctbal_generalized")
+        .select(
+            F.col("subj").cast("bigint").alias("c_custkey"),
+            F.substring_index("obj_value", "_", -1).cast("bigint").alias("bucket"),
+        )
+    )
+
+
+def _generalize_acctbal_bounds(spark, sf_dir):
+    from kgforge.anonymize.buckets import calculate_number_of_buckets
+    from kgforge.anonymize.ops import generalize
+    from kgforge.triples import RDF_MAX, RDF_MIN
+
+    col_df = _acctbal_column(spark, sf_dir)
+    n = col_df.count()
+    g = calculate_number_of_buckets(n, 1)
+    out = generalize(col_df, "acctbal", "double", g, n, F.col("_tie"))
+    bounds = (
+        out.filter(F.col("pred").isin([RDF_MIN, RDF_MAX]))
+        .groupBy(F.substring_index("subj", "_", -1).cast("bigint").alias("bucket"))
+        .agg(
+            F.first(F.when(F.col("pred") == RDF_MIN, F.col("obj_value")), True)
+            .cast("double")
+            .alias("bmin"),
+            F.first(F.when(F.col("pred") == RDF_MAX, F.col("obj_value")), True)
+            .cast("double")
+            .alias("bmax"),
+        )
+    )
+    return bounds
+
+
+def _generalize_orderdate(spark, sf_dir):
+    from kgforge.anonymize.buckets import calculate_number_of_buckets
+    from kgforge.anonymize.ops import generalize
+
+    orders = _read(spark, sf_dir, "orders")
+    col_df = orders.filter(F.col("o_orderdate").isNotNull()).select(
+        F.col("o_orderkey").cast("string").alias("subj"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("obj_value"),
+        F.col("o_orderkey").alias("_tie"),
+    )
+    n = col_df.count()
+    g = calculate_number_of_buckets(n, 2)
+    out = generalize(col_df, "odate", "date", g, n, F.col("_tie"))
+    return (
+        out.filter(F.col("pred") == "odate_generalized")
+        .select(
+            F.col("subj").cast("bigint").alias("o_orderkey"),
+            F.substring_index("obj_value", "_", -1).cast("bigint").alias("bucket"),
+        )
+    )
+
+
+def _kanon_min_group(spark, sf_dir):
+    d = _generalize_acctbal(spark, sf_dir)
+    return (
+        d.groupBy("bucket")
+        .count()
+        .agg(F.min("count").cast("bigint").alias("k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# relational engine breadth (TPC-H-style)
+# --------------------------------------------------------------------------
+
+def _q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1).cast("decimal(18,2)") - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1).cast("decimal(18,2)") - disc) * (F.lit(1).cast("decimal(18,2)") + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_topk(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_region_revenue(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def _top3_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = _read(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _sessionize_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators
+# --------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    from kgforge.datapipe.dedup import exact_duplicates
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text").select(
+        "content_hash", "n_dups", "keep_id"
+    )
+
+
+def _token_stats(spark, sf_dir):
+    from kgforge.datapipe.textstats import token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text").select(
+        "id", "n_chars", "n_tokens", "n_unique_tokens"
+    )
+
+
+def _lang_id(spark, sf_dir):
+    from kgforge.datapipe.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text")
+
+
+def _quality(spark, sf_dir):
+    from kgforge.datapipe.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_score(docs, "doc_id", "text").select(
+        "id", "stopword_ratio", "token_diversity"
+    )
+
+
+def _fingerprint(spark, sf_dir):
+    from kgforge.datapipe.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text").select("id", "content_hash")
+
+
+def _sim_topk(spark, sf_dir):
+    from kgforge.datapipe.similarity import with_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    scored = with_cosine(emb, "embedding", list(q))
+    return (
+        scored.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _minhash_clusters(spark, sf_dir):
+    from kgforge.datapipe.dedup import minhash_duplicate_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_duplicate_clusters(docs, "doc_id", "text", threshold=0.8)
+
+
+def _simhash_pairs(spark, sf_dir):
+    from kgforge.datapipe.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _ngram_pairs(spark, sf_dir):
+    from kgforge.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _embed_near_dups(spark, sf_dir):
+    from kgforge.datapipe.similarity import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_duplicates(emb, "vec_id", "embedding", dim, threshold=0.9)
+
+
+def _ann_topk(spark, sf_dir):
+    from kgforge.datapipe.similarity import ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, queries, "vec_id", "embedding", dim, k=5)
+
+
+def _media_features(spark, sf_dir):
+    from kgforge.datapipe.multimodal import extract_features, synth_media_table
+    from kgforge.kg.pipeline import docs_from_testdata, explode_spans
+
+    docs = docs_from_testdata(spark, sf_dir)
+    media = synth_media_table(explode_spans(docs))
+    return extract_features(media).select("media_ref", "kind", F.size("feature").alias("dim"))
+
+
+def _kg_triples(spark, sf_dir):
+    from kgforge.kg.pipeline import build_kg, docs_from_testdata
+
+    docs = docs_from_testdata(spark, sf_dir)
+    triples, _ = build_kg(docs)
+    return triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mask_names": _mask_names,
+        "generalize_acctbal": _generalize_acctbal,
+        "generalize_acctbal_bounds": _generalize_acctbal_bounds,
+        "generalize_orderdate": _generalize_orderdate,
+        "kanon_min_group": _kanon_min_group,
+        "q1_pricing": _q1_pricing,
+        "q3_topk": _q3_topk,
+        "q5_region_revenue": _q5_region_revenue,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "events_hourly": _events_hourly,
+        "sessionize_events": _sessionize_events,
+        "dedup_exact": _dedup_exact,
+        "token_stats": _token_stats,
+        "lang_id": _lang_id,
+        "quality": _quality,
+        "fingerprint": _fingerprint,
+        "sim_topk": _sim_topk,
+        "minhash_clusters": _minhash_clusters,
+        "simhash_pairs": _simhash_pairs,
+        "ngram_pairs": _ngram_pairs,
+        "embed_near_dups": _embed_near_dups,
+        "ann_topk": _ann_topk,
+        "media_features": _media_features,
+        "kg_triples": _kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_GEN_RANKED = """
+    WITH s AS (
+      SELECT c_custkey, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ), p AS (
+      SELECT max(n) AS n, {g} AS g FROM s
+    )
+""".replace("{g}", _BUCKET_FORMULA.format(n="max(n)", a="1"))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mask_names": (
+            "SELECT c_custkey, '*****' AS name_masked FROM customer "
+            "WHERE c_name IS NOT NULL"
+        ),
+        "generalize_acctbal": _GEN_RANKED
+        + "SELECT s.c_custkey, (p.g * s.rk) // p.n AS bucket FROM s, p",
+        "generalize_acctbal_bounds": _GEN_RANKED
+        + """
+        , bk AS (SELECT unnest(generate_series(0, (SELECT g FROM p) - 1)) AS bucket)
+        SELECT bk.bucket,
+               CASE WHEN bk.bucket = 0 THEN NULL
+                    ELSE (lo1.c_acctbal + lo2.c_acctbal) / 2 END AS bmin,
+               CASE WHEN bk.bucket = (SELECT g FROM p) - 1 THEN NULL
+                    ELSE (hi1.c_acctbal + hi2.c_acctbal) / 2 END AS bmax
+        FROM bk
+        LEFT JOIN s lo1 ON lo1.rk = bk.bucket * (SELECT n FROM p) // (SELECT g FROM p) - 1
+        LEFT JOIN s lo2 ON lo2.rk = bk.bucket * (SELECT n FROM p) // (SELECT g FROM p)
+        LEFT JOIN s hi1 ON hi1.rk = (bk.bucket + 1) * (SELECT n FROM p) // (SELECT g FROM p) - 1
+        LEFT JOIN s hi2 ON hi2.rk = (bk.bucket + 1) * (SELECT n FROM p) // (SELECT g FROM p)
+        """,
+        "generalize_orderdate": (
+            """
+        WITH s AS (
+          SELECT o_orderkey,
+                 row_number() OVER (ORDER BY CAST(o_orderdate AS DATE), o_orderkey) - 1 AS rk,
+                 count(*) OVER () AS n
+          FROM orders WHERE o_orderdate IS NOT NULL
+        ), p AS (SELECT max(n) AS n, """
+            + _BUCKET_FORMULA.format(n="max(n)", a="2")
+            + """ AS g FROM s)
+        SELECT s.o_orderkey, (p.g * s.rk) // p.n AS bucket FROM s, p
+        """
+        ),
+        "kanon_min_group": _GEN_RANKED
+        + """
+        SELECT min(cnt) AS k FROM (
+          SELECT (p.g * s.rk) // p.n AS bucket, count(*) AS cnt
+          FROM s, p GROUP BY 1
+        )
+        """,
+        "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_topk": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """,
+        "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+        """,
+        "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM g GROUP BY user_id
+        """,
+        "dedup_exact": """
+        SELECT sha256(text) AS content_hash, count(*) AS n_dups,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_stats": """
+        SELECT doc_id AS id, length(text) AS n_chars,
+               len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique_tokens
+        FROM documents
+        """,
+        "lang_id": """
+        WITH t AS (
+          SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+            round(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by','from','not','but','they','he','she','we','you','i'))) * 1.0 / greatest(len(toks), 1), 6) AS en_ratio,
+            round(len(list_filter(toks, x -> x IN ('der','die','das','und','oder','von','zu','in','ist','sind','war','waren','sein','es','mit','für','auf','als','bei','aus','nicht','aber','sie','er','wir','ich','du','ein','eine'))) * 1.0 / greatest(len(toks), 1), 6) AS de_ratio
+          FROM t
+        )
+        SELECT doc_id AS id, en_ratio, de_ratio,
+               CASE WHEN en_ratio < 0.02 AND de_ratio < 0.02 THEN 'und'
+                    WHEN en_ratio >= de_ratio THEN 'en' ELSE 'de' END AS lang
+        FROM r
+        """,
+        "quality": """
+        WITH t AS (
+          SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+          FROM documents
+        )
+        SELECT doc_id AS id,
+          round(len(list_filter(list_distinct(toks), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by','from','not','but','they','he','she','we','you','i'))) * 1.0 / greatest(len(list_distinct(toks)), 1), 6) AS stopword_ratio,
+          round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6) AS token_diversity
+        FROM t
+        """,
+        "fingerprint": """
+        SELECT doc_id AS id,
+               sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
+        FROM documents
+        """,
+        "sim_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # minhash_clusters / simhash_pairs / ngram_pairs / embed_near_dups /
+        # ann_topk / media_features / kg_triples: not ANSI-SQL-expressible
+        # (hash-based blocking, iterative CC, synthetic derivation) — the
+        # driver records the weaker rows-only check for these.
+    }

@@ -1,0 +1,162 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact: content-hash groupBy (one shuffle, map-side combinable)
+- minhash: shingle → minhash → LSH band join → exact-Jaccard verify →
+  connected components (reuses kgforge.kg.lsh / components)
+- simhash: 64-bit sign-aggregated token-hash fingerprint, built entirely from
+  JVM expressions (no UDF); hamming-close pairs via band join on 4×16-bit keys
+- ngram-jaccard: word n-gram Jaccard near-dup detection
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.kg.components import connected_components
+from kgforge.kg.lsh import jaccard_filter, lsh_candidate_pairs
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, n_dups, keep_id, dup_ids) for groups with >1 member."""
+    h = df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_duplicate_clusters(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
+    num_hashes: int = 24, bands: int = 8,
+) -> DataFrame:
+    """(id, cluster) where cluster is the min id of the near-dup component."""
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    pairs = lsh_candidate_pairs(d, "id", "t", num_hashes=num_hashes, bands=bands)
+    # join back the texts for verification
+    ta = d.select(F.col("id").alias("a"), F.col("t"))
+    verified = jaccard_filter(
+        pairs, d.withColumnRenamed("id", "k"), "k", "t", threshold
+    ) if False else _verify_pairs(pairs, d, threshold)
+    comps = connected_components(verified.select("a", "b"))
+    return (
+        d.select("id")
+        .join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .withColumn("cluster", F.coalesce(F.col("comp"), F.col("id")))
+        .select("id", "cluster")
+    )
+
+
+def _verify_pairs(pairs: DataFrame, d: DataFrame, threshold: float) -> DataFrame:
+    from kgforge.kg.lsh import shingle_df
+
+    sh = shingle_df(d, "id", "t")
+    sizes = sh.groupBy("id").count()
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").count()
+        .withColumnRenamed("count", "inter")
+    )
+    za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
+    zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
+    return (
+        inter.join(za, "a").join(zb, "b")
+        .withColumn("j", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("j") >= threshold)
+        .select("a", "b")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) — token-level 64-bit simhash, pure JVM expressions.
+
+    Each token contributes sign(bit) per bit position; the fingerprint bit is
+    1 where the sum is positive.  Bits are computed with shiftright/&1 over
+    xxhash64(token) and aggregated as 64 sums in one shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit band equality (≤3 differing bits ⇒ at least
+    one of 4 bands equal), verified by exact popcount."""
+    sh = simhash64(df, id_col, text_col)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        for i in range(4)
+    ]
+    banded = sh.select("id", "simhash", F.explode(F.array(*bands)).alias("b")).select(
+        "id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = banded.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    right = banded.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    cand = left.join(right, ["band", "key"]).filter(F.col("a") < F.col("b"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Word-n-gram Jaccard near-dups: all-pairs via shared-ngram join (inverted
+    index) — no LSH, exact, for moderate corpora / high thresholds."""
+    toks = df.select(F.col(id_col).alias("id"), F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks)-{n - 1}, 0)),"
+                f" i -> array_join(slice(toks, i, {n}), ' '))"
+            )
+        ).alias("g"),
+    ).dropDuplicates(["id", "g"])
+    sizes = grams.groupBy("id").count()
+    ga = grams.select(F.col("id").alias("a"), "g")
+    gb = grams.select(F.col("id").alias("b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .count()
+        .withColumnRenamed("count", "inter")
+    )
+    za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
+    zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
+    return (
+        inter.join(za, "a").join(zb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

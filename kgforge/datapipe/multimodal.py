@@ -1,0 +1,111 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, partitioning, Arrow batch shapes, UDF
+signatures) is real and tested; the actual codec work is stubbed — this
+container has no image/audio libraries — behind ``DecoderUnavailable`` with a
+deterministic fake featurizer so downstream operators (dedup on features,
+ANN) can be exercised end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real decode path — codec libs are not in this image."""
+
+
+def synth_media_table(spans: DataFrame) -> DataFrame:
+    """Build the media sidecar table from non-text spans: payload bytes are a
+    deterministic function of media_ref (stand-in for object-store fetch)."""
+    media = spans.filter(F.col("kind") != "text").select("media_ref", "kind").distinct()
+    payload = F.sha2(F.col("media_ref"), 512).cast("binary")
+    return media.select(
+        "media_ref",
+        "kind",
+        payload.alias("payload"),
+        F.when(F.col("kind") == "image", F.lit(640)).alias("width"),
+        F.when(F.col("kind") == "image", F.lit(480)).alias("height"),
+        F.when(F.col("kind") != "image", F.abs(F.xxhash64("media_ref")) % 600000)
+        .cast("int")
+        .alias("duration_ms"),
+        F.lit("fake/v0").alias("codec"),
+    )
+
+
+def decode_image(media: DataFrame, real: bool = False) -> DataFrame:
+    """image payload → pixel tensor. Real path STUBBED (no PIL/cv2 here)."""
+    if real:
+        raise DecoderUnavailable("image codecs not available in this environment")
+    return media.filter(F.col("kind") == "image")
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake feature vector per media item via mapInPandas —
+    the Arrow batch shape (binary in, array<float> out) matches what a real
+    embedding model UDF would use."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def featurize(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                h = hashlib.sha256((payload or b"") + ref.encode()).digest()
+                v = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
+                v = (v / 65535.0) * 2 - 1
+                feats.append(v.tolist())
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    return media.mapInPandas(featurize, schema=schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, real: bool = False) -> DataFrame:
+    """video → frame timestamps (decode stubbed; timing math is real)."""
+    if real:
+        raise DecoderUnavailable("video codecs not available in this environment")
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_ref",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms)
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int, real: bool = False) -> DataFrame:
+    """image resize — metadata transform is real, pixel work stubbed."""
+    if real:
+        raise DecoderUnavailable("image codecs not available in this environment")
+    return media.filter(F.col("kind") == "image").withColumn(
+        "width", F.lit(width)
+    ).withColumn("height", F.lit(height))

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-only (`zip_with` dot product + `aggregate`)
+  against a broadcast query set — the correctness baseline
+- LSH-bucketed ANN: random-hyperplane signatures → bucket equi-join →
+  exact cosine rerank — the scale path (candidates bounded by bucket size)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.kg.synth import _splitmix64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_cosine(df: DataFrame, vec_col: str, query: list[float],
+                out: str = "cosine") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    return df.withColumn(
+        out,
+        _dot(F.col(vec_col).cast("array<double>"), q)
+        / (_norm(F.col(vec_col).cast("array<double>")) * F.lit(qn)),
+    )
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     query: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine — full scan, JVM expressions only."""
+    scored = with_cosine(df, vec_col, query)
+    return (
+        scored.select(F.col(id_col).alias("id"), "cosine")
+        .orderBy(F.desc("cosine"), F.col("id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = _splitmix64(seed * 1_000_003 + p * 131 + d)
+            row.append((h / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
+                  seed: int = 11, out: str = "bucket") -> DataFrame:
+    """Random-hyperplane signature packed into one integer bucket id."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return df.withColumn(out, sig)
+
+
+def ann_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             dim: int, k: int = 10, n_planes: int = 10) -> DataFrame:
+    """ANN: bucket-join queries to corpus on the hyperplane signature, exact
+    cosine rerank inside buckets, top-k per query via window.
+
+    Recall < 1.0 by construction (single probe); raise recall with fewer
+    planes or multi-probe.  Corpus side is one shuffle on the bucket key.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = lsh_signature(df, vec_col, dim, n_planes).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+    qs = lsh_signature(queries, vec_col, dim, n_planes).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    joined = corpus.join(F.broadcast(qs), "bucket")
+    scored = joined.withColumn(
+        "cosine",
+        _dot(F.col("cvec").cast("array<double>"), F.col("qvec").cast("array<double>"))
+        / (_norm(F.col("cvec").cast("array<double>")) * _norm(F.col("qvec").cast("array<double>"))),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("cid").alias("id"), "cosine", "rk")
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                              threshold: float = 0.95, n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact rerank."""
+    sig = lsh_signature(df, vec_col, dim, n_planes)
+    a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+        / (_norm(F.col("va").cast("array<double>")) * _norm(F.col("vb").cast("array<double>"))),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

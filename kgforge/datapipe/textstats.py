@@ -1,0 +1,110 @@
+"""Text analysis operators — all JVM-side expressions (no UDFs).
+
+language-ID (stopword-ratio heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (rolling content hash + min-shingle fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for "
+    "on as at by from not but they he she we you i"
+).split()
+DE_STOPWORDS = (
+    "der die das und oder von zu in ist sind war waren sein es mit für auf "
+    "als bei aus nicht aber sie er wir ich du ein eine"
+).split()
+
+
+def _tokens(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _stop_ratio(toks, words: list[str]):
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, lit)) / F.greatest(
+        F.size(F.array_distinct(toks)), F.lit(1)
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """whitespace tokens + a BPE-ish sub-word proxy (regex word pieces)."""
+    toks = _tokens(F.col(text_col))
+    # BPE-ish: alpha runs, digit runs, and single punctuation marks
+    pieces = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite [0,1] quality: length band, low punctuation, stopword
+    presence, token diversity — the usual pretraining heuristics."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    mean_tok_len = n_chars / F.greatest(F.size(toks), F.lit(1))
+    stop = _stop_ratio(toks, EN_STOPWORDS)
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    length_ok = F.when((n_chars >= 20) & (n_chars <= 100000), 1.0).otherwise(0.0)
+    tok_len_ok = F.when((mean_tok_len >= 2.5) & (mean_tok_len <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.3 * length_ok
+        + 0.2 * tok_len_ok
+        + 0.2 * F.least(stop * 5, F.lit(1.0))
+        + 0.2 * diversity
+        + 0.1 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("token_diversity"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """en/de/unknown via stopword-hit ratios (n-gram-free heuristic)."""
+    toks = _tokens(F.col(text_col))
+    en = _stop_ratio(toks, EN_STOPWORDS)
+    de = _stop_ratio(toks, DE_STOPWORDS)
+    lang = (
+        F.when((en < 0.02) & (de < 0.02), "und")
+        .when(en >= de, "en")
+        .otherwise("de")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(en, 6).alias("en_ratio"),
+        F.round(de, 6).alias("de_ratio"),
+        lang.alias("lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, shingle: int = 8) -> DataFrame:
+    """(id, content_hash, min_shingle_hash): exact content hash + a rolling
+    min-hash over character shingles (stable under small shifts)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    d = df.withColumn("_norm", norm)
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {shingle - 1}, 1)),"
+        f" i -> xxhash64(substring(_norm, i, {shingle})))"
+    )
+    return d.select(
+        F.col(id_col).alias("id"),
+        F.sha2(F.col("_norm"), 256).alias("content_hash"),
+        F.array_min(sh).alias("min_shingle_hash"),
+    )

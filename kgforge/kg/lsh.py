@@ -1,0 +1,104 @@
+"""MinHash-LSH blocking over surface forms — pure JVM implementation.
+
+shingle → minhash → band → bucket-join: character 3-gram shingles built with
+``transform(sequence(...))``, per-shingle 64-bit hashes via ``xxhash64``, K
+min-hash lanes as K aggregate columns (one shuffle), band hashes via
+``hash()``, candidate pairs from a self-join on (band, band_hash).  No Python
+in the path; the self-join key space is the LSH bucket, so skew is bounded by
+bucket size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = (1 << 31) - 1  # Mersenne prime for the affine rehash; 31-bit operands
+# keep every product below 2^63 (Spark 4 runs ANSI mode: overflow throws)
+
+
+def shingle_df(df: DataFrame, key: str, text_col: str, n: int = 3) -> DataFrame:
+    padded = F.concat(F.lit("^"), F.lower(F.col(text_col)), F.lit("$"))
+    d = df.withColumn("_padded", padded)
+    return d.select(
+        key,
+        F.explode_outer(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_padded) - {n - 1}, 1)),"
+                f" i -> substring(_padded, i, {n}))"
+            )
+        ).alias("shingle"),
+    ).dropDuplicates([key, "shingle"])
+
+
+def minhash_signatures(
+    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """One row per key with columns _mh0.._mh{K-1}."""
+    sh = shingle_df(df, key, text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))  # 31-bit reduced shingle hash
+    from kgforge.kg.synth import _splitmix64
+
+    aggs = []
+    for i in range(num_hashes):
+        a = (_splitmix64(seed * 1000003 + i) % (_P - 1)) + 1
+        b = _splitmix64(seed * 7777777 + i) % _P
+        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}"))
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, bands: int = 8,
+    n: int = 3, seed: int = 7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a, b) with a < b."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, key, text_col, num_hashes, n, seed)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.hash(*[F.col(f"_mh{bi * rows + r}") for r in range(rows)]).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        F.col(key), F.explode(F.array(*band_structs)).alias("b")
+    ).select(key, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.select(F.col(key).alias("a"), "band", "bh")
+    right = banded.select(F.col(key).alias("b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_filter(
+    pairs: DataFrame, df: DataFrame, key: str, text_col: str, threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Verify candidates with exact shingle Jaccard — set sizes + intersection
+    via joins on the exploded shingle table (stays distributed)."""
+    sh = shingle_df(df, key, text_col, n)
+    sizes = sh.groupBy(key).count()
+    sa = sh.select(F.col(key).alias("a"), F.col("shingle"))
+    sb = sh.select(F.col(key).alias("b"), F.col("shingle"))
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").count()
+        .withColumnRenamed("count", "inter")
+    )
+    za = sizes.select(F.col(key).alias("a"), F.col("count").alias("na"))
+    zb = sizes.select(F.col(key).alias("b"), F.col("count").alias("nb"))
+    return (
+        inter.join(za, "a")
+        .join(zb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,181 @@
+"""End-to-end KG construction: interleaved docs → (subj, pred, obj) triples.
+
+Stages (north_rule): span explode → batched mention detection → entity-link
+scoring → MinHash-LSH + connected-components surface canonicalization →
+triple materialization with salted aggregation for hot entities → partitioned
+graph write with snapshot lineage (kgforge.kg.io).
+
+Every stage is a DataFrame transform; the only Python workers are the
+Arrow-batched mention/link UDFs.  The mention→entity aggregation is two-phase
+(salt then re-aggregate) so the ~100× hot entities in the corpus never pin a
+single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.kg.components import connected_components
+from kgforge.kg.linking import link_mentions
+from kgforge.kg.lsh import jaccard_filter, lsh_candidate_pairs
+from kgforge.kg.mentions import detect_mentions
+from kgforge.kg.synth import docs_from_testdata, explode_spans, synth_docs  # noqa: F401
+from kgforge.kg.vocab import DOC_NS, ENT_NS, KG
+from kgforge.triples import RDF_TYPE
+
+_SALT_BUCKETS = 16
+
+
+def _lit_triple(df, subj, pred, value, dtype="string"):
+    return df.select(
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        value.cast("string").alias("obj_value"),
+        F.lit(dtype).alias("obj_dtype"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+
+
+def _iri_triple(df, subj, pred, value):
+    return df.select(
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        value.alias("obj_value"),
+        F.lit("iri").alias("obj_dtype"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+
+
+def build_kg(
+    docs: DataFrame,
+    mention_strategy: str = "pandas",
+    near_dup_threshold: float = 0.55,
+) -> tuple[DataFrame, dict]:
+    """Returns (triples, metrics)."""
+    metrics: dict = {}
+    spans = explode_spans(docs).persist()
+    kind_counts = {r["kind"]: r["count"] for r in spans.groupBy("kind").count().collect()}
+    metrics["spans_by_kind"] = kind_counts
+    metrics["n_spans"] = int(sum(kind_counts.values()))
+
+    mentions = detect_mentions(spans, strategy=mention_strategy)
+    linked = link_mentions(mentions).persist()
+    metrics["n_mentions"] = linked.count()
+
+    # --- canonicalization of surface forms: LSH blocking + CC ---------------
+    surfaces = linked.select("surface").distinct().persist()
+    metrics["n_surfaces"] = surfaces.count()
+    pairs = lsh_candidate_pairs(surfaces, "surface", "surface")
+    verified = jaccard_filter(pairs, surfaces, "surface", "surface", near_dup_threshold)
+    comps = connected_components(verified.select("a", "b"))
+    canon = (
+        surfaces.join(
+            comps.withColumnRenamed("node", "surface"), "surface", "left"
+        ).withColumn("canon_surface", F.coalesce(F.col("comp"), F.col("surface")))
+        .select("surface", "canon_surface")
+    ).persist()
+    metrics["n_surface_clusters"] = canon.select("canon_surface").distinct().count()
+
+    doc_iri = F.concat(F.lit(DOC_NS), F.col("doc_id"))
+    ent_iri = F.concat(F.lit(ENT_NS), F.col("eid"))
+
+    # doc —mentions→ entity (distinct), plus per-mention occurrence count on
+    # the doc for lineage-grade accounting
+    doc_ent = linked.select("doc_id", "eid").distinct()
+    t_mentions = _iri_triple(
+        doc_ent, F.concat(F.lit(DOC_NS), F.col("doc_id")), KG + "mentions",
+        F.concat(F.lit(ENT_NS), F.col("eid")),
+    )
+
+    # entity mention totals — two-phase salted aggregation (hot-entity skew)
+    salted = (
+        linked.withColumn("_salt", F.pmod(F.xxhash64("doc_id", "start"), F.lit(_SALT_BUCKETS)))
+        .groupBy("eid", "_salt")
+        .count()
+    )
+    ent_counts = salted.groupBy("eid").agg(F.sum("count").alias("n"))
+    t_counts = _lit_triple(
+        ent_counts, F.concat(F.lit(ENT_NS), F.col("eid")), KG + "mentionCount",
+        F.col("n"), "xsd:long",
+    )
+
+    ent_info = linked.select("eid", "etype", "canonical").distinct()
+    t_type = _iri_triple(
+        ent_info, F.concat(F.lit(ENT_NS), F.col("eid")), RDF_TYPE,
+        F.concat(F.lit(KG), F.col("etype")),
+    )
+    t_name = _lit_triple(
+        ent_info, F.concat(F.lit(ENT_NS), F.col("eid")), KG + "canonicalName",
+        F.col("canonical"),
+    )
+
+    surf = linked.select("eid", "surface").distinct()
+    t_surface = _lit_triple(
+        surf, F.concat(F.lit(ENT_NS), F.col("eid")), KG + "surfaceForm",
+        F.col("surface"),
+    )
+
+    t_neardup = (
+        canon.filter(F.col("surface") != F.col("canon_surface"))
+        .select(
+            F.concat(F.lit(KG), F.lit("surface/"), F.col("surface")).alias("subj"),
+            F.lit(KG + "nearDuplicateOf").alias("pred"),
+            F.concat(F.lit(KG), F.lit("surface/"), F.col("canon_surface")).alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+    )
+
+    media = spans.filter(F.col("kind") != "text")
+    t_media = _iri_triple(
+        media, F.concat(F.lit(DOC_NS), F.col("doc_id")), KG + "hasMedia",
+        F.col("media_ref"),
+    )
+    t_media_kind = _lit_triple(
+        media, F.col("media_ref"), KG + "mediaKind", F.col("kind")
+    )
+
+    span_counts = docs.select(
+        "doc_id", F.size("spans").alias("n")
+    )
+    t_spancount = _lit_triple(
+        span_counts, F.concat(F.lit(DOC_NS), F.col("doc_id")), KG + "spanCount",
+        F.col("n"), "xsd:long",
+    )
+
+    triples = t_mentions
+    for part in (
+        t_counts, t_type, t_name, t_surface, t_neardup, t_media, t_media_kind,
+        t_spancount,
+    ):
+        triples = triples.unionByName(part)
+    metrics["n_triples"] = None  # filled by the caller's action (avoid extra job)
+    return triples, metrics
+
+
+def span_sequence_check(docs: DataFrame) -> int:
+    """Per-row span-sequence invariant: explode + reassemble must reproduce
+    (kind, text, media_ref, order) exactly.  Returns #violations (0 = pass)."""
+    spans = explode_spans(docs)
+    rebuilt = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("span_idx", "kind", "text", "media_ref", "offset")
+                )
+            ).alias("s2")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(s2, x -> struct(x.kind as kind, x.text as text,"
+                " x.media_ref as media_ref, x.offset as offset))"
+            ).alias("spans2"),
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id", "left")
+    return joined.filter(
+        F.col("spans2").isNull() | (F.col("spans") != F.col("spans2"))
+    ).count()

@@ -1,0 +1,119 @@
+"""KG-construction layer: determinism, span-sequence invariant, mention
+strategy equivalence, LSH+CC canonicalization, checkpoint resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.kg.components import connected_components
+from kgforge.kg.mentions import detect_mentions
+from kgforge.kg.pipeline import build_kg, span_sequence_check
+from kgforge.kg.synth import explode_spans, make_spans, synth_docs
+from kgforge.kg.vocab import EID_TO_ENTITY, SURFACE_TO_EID
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth_docs(spark, N_DOCS, seed=42).persist()
+
+
+def test_generator_deterministic_across_parallelism(spark):
+    """Same (seed, doc_id) → same spans regardless of partition count — the
+    property that makes N vs 4N scaling runs comparable."""
+    a = synth_docs(spark, 100, seed=42, num_partitions=2).collect()
+    b = synth_docs(spark, 100, seed=42, num_partitions=8).collect()
+    da = {r["doc_id"]: r["spans"] for r in a}
+    db = {r["doc_id"]: r["spans"] for r in b}
+    assert da == db
+
+
+def test_make_spans_pure_function():
+    assert make_spans(42, 7) == make_spans(42, 7)
+    assert make_spans(42, 7) != make_spans(42, 8)
+
+
+def test_span_sequence_invariant(docs):
+    assert span_sequence_check(docs) == 0
+
+
+def test_offsets_monotone(docs):
+    spans = explode_spans(docs)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("span_idx")
+    bad = spans.withColumn("prev", F.lag("offset").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("offset") <= F.col("prev"))
+    )
+    assert bad.count() == 0
+
+
+def test_mention_strategies_agree(spark, docs):
+    spans = explode_spans(docs)
+    key = ["doc_id", "span_idx", "start", "surface"]
+    a = {tuple(r) for r in detect_mentions(spans, "pandas").select(*key).collect()}
+    b = {tuple(r) for r in detect_mentions(spans, "sql").select(*key).collect()}
+    only_a, only_b = a - b, b - a
+    assert not only_a and not only_b, (
+        f"pandas-only={sorted(only_a)[:5]} sql-only={sorted(only_b)[:5]}"
+    )
+    assert len(a) > 0
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], schema="a string, b string"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_build_kg_links_hot_entities(spark, docs):
+    triples, metrics = build_kg(docs)
+    triples = triples.persist()
+    n = triples.count()
+    assert n > 0 and metrics["n_mentions"] > 0
+
+    # hot entities must dominate mention counts (skew by construction)
+    counts = {
+        r["subj"].rsplit("/", 1)[-1]: int(r["obj_value"])
+        for r in triples.filter(F.col("pred").endswith("mentionCount")).collect()
+    }
+    hot = sum(counts.get(e, 0) for e in ("p001", "l001", "o001"))
+    assert hot > 0.5 * sum(counts.values())
+
+    # every detected surface maps to its vocab entity
+    surf = triples.filter(F.col("pred").endswith("surfaceForm")).collect()
+    for r in surf:
+        eid = r["subj"].rsplit("/", 1)[-1]
+        assert SURFACE_TO_EID[r["obj_value"].lower()] == eid
+
+    # near-duplicate surface clustering found at least umlaut/ascii variants
+    ndup = triples.filter(F.col("pred").endswith("nearDuplicateOf")).count()
+    assert ndup > 0
+
+
+def test_checkpoint_resume(spark, tmp_path, docs):
+    from kgforge.kg.io import last_snapshot, resume_or_run
+
+    path = str(tmp_path / "graph")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        t, _ = build_kg(docs)
+        return t
+
+    df1, resumed1 = resume_or_run(spark, path, "kg", "fp1", build)
+    assert not resumed1 and calls["n"] == 1
+    n1 = df1.count()
+    df2, resumed2 = resume_or_run(spark, path, "kg", "fp1", build)
+    assert resumed2 and calls["n"] == 1  # skipped — same fingerprint
+    assert df2.count() == n1
+    snap = last_snapshot(path)
+    assert snap["rows"] == n1 and snap["stage"] == "kg"
+    df3, resumed3 = resume_or_run(spark, path, "kg", "fp2", build)
+    assert not resumed3 and calls["n"] == 2  # input changed → rebuild
