@@ -222,15 +222,11 @@ def randomize(
     ="partitioned" range-partitions and seeds each partition with seed ⊕ pid —
     a documented semantic extension for corpus scale.
     """
-    rv = n // g
-    if rv == n:
-        rv -= 1
-
     d = col_df.withColumn("_v", parse_col(datatype, F.col("obj_value")))
     tiebreak = order_col if order_col is not None else F.col("subj")
     d = d.withColumn("_ord", tiebreak.cast("string"))
 
-    def run_group(pdf: pd.DataFrame, seed_: int, rv_: int) -> pd.DataFrame:
+    def run_group(pdf: pd.DataFrame, seed_: int) -> pd.DataFrame:
         pdf = pdf.sort_values(["_v", "_ord"], kind="mergesort").reset_index(drop=True)
         vals = pdf["_v"].to_numpy()
         k = len(vals)
@@ -238,7 +234,11 @@ def randomize(
             return pd.DataFrame({"subj": [], "obj_value": []})
         rng = JavaRandom(seed_)
         vmin, vmax = vals[0], vals[-1]
-        rvv = rv_
+        # window size from the group's own size (Randomization.java:29,37);
+        # in exact mode the group IS the whole column, so this equals n/g
+        rvv = k // g
+        if rvv == k:
+            rvv -= 1
         out = []
         lower = 0
         for idx in range(k):
@@ -268,7 +268,7 @@ def randomize(
             pdf = pd.concat(list(it)) if it else pd.DataFrame()
             frames = [pdf] if len(pdf) else []
             for f_ in frames:
-                yield run_group(f_, seed ^ pid, rv)
+                yield run_group(f_, seed ^ pid)
 
         randomized = (
             d.repartitionByRange(npart, "_v", "_ord")
@@ -279,7 +279,7 @@ def randomize(
             d.withColumn("_grp", F.lit(1))
             .groupBy("_grp")
             .applyInPandas(
-                lambda pdf: run_group(pdf, seed, rv),
+                lambda pdf: run_group(pdf, seed),
                 schema="subj string, obj_value string",
             )
         )

@@ -1,0 +1,86 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (one HTTP request = one batch; SURVEY.md §2.8),
+so streaming here serves the engine's pipeline role: incremental document
+ingestion into the triple graph and watermarked event-time aggregation.
+
+- ``stream_docs_to_triples``: readStream over a doc-table directory →
+  per-microbatch KG mention extraction → ``foreachBatch`` append into the
+  pred-partitioned graph (exactly-once per epoch via idempotent overwrite of
+  an epoch subdir would be the production shape; append here).
+- ``stream_event_counts``: watermark + tumbling-window counts, the canonical
+  late-data-safe aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    window: str = "30 minutes",
+    glob: str | None = None,
+):
+    """readStream → watermark → windowed counts; caller attaches the sink."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    events = reader.load(events_dir)
+    # parquet TIMESTAMP_NTZ is not a valid event-time type — watermark needs
+    # an instant-typed column
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_docs_to_triples(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    mention_strategy: str = "sql",
+):
+    """Incremental KG ingestion: each microbatch of docs is exploded, mentions
+    detected and linked, and the resulting triples appended to the graph."""
+    from kgforge.kg.linking import link_mentions
+    from kgforge.kg.mentions import detect_mentions
+    from kgforge.kg.synth import explode_spans
+    from kgforge.kg.vocab import DOC_NS, ENT_NS, KG
+
+    docs = spark.readStream.format("parquet").schema(schema).load(docs_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = explode_spans(batch_df)
+        linked = link_mentions(detect_mentions(spans, strategy=mention_strategy))
+        triples = linked.select(
+            F.concat(F.lit(DOC_NS), F.col("doc_id")).alias("subj"),
+            F.lit(KG + "mentions").alias("pred"),
+            F.concat(F.lit(ENT_NS), F.col("eid")).alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        ).distinct()
+        triples.write.mode("append").partitionBy("pred").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

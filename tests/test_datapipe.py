@@ -1,0 +1,121 @@
+"""Datapipe operators: dedup family, similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark pipelines"),
+        (5, "spark pipelines process completely different content"),
+        (6, "der schnelle braune fuchs springt über den faulen hund"),
+    ]
+    return spark.createDataFrame(rows, schema="id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    from kgforge.datapipe.dedup import exact_duplicates
+
+    groups = exact_duplicates(corpus, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_clusters(corpus):
+    from kgforge.datapipe.dedup import minhash_duplicate_clusters
+
+    cl = {r["id"]: r["cluster"] for r in
+          minhash_duplicate_clusters(corpus, "id", "text", threshold=0.6).collect()}
+    assert cl[1] == cl[2] == cl[3]  # exact + near dup share a cluster
+    assert cl[4] != cl[1] and cl[6] != cl[1]
+
+
+def test_simhash_near_pairs(corpus):
+    from kgforge.datapipe.dedup import simhash64, simhash_near_pairs
+
+    fp = {r["id"]: r["simhash"] for r in simhash64(corpus, "id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    # near-dup is closer in hamming space than unrelated text (short docs have
+    # high simhash variance, so assert ordering rather than a fixed radius)
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_near_pairs(corpus, "id", "text", max_hamming=6).collect()}
+    assert (1, 2) in pairs  # identical docs: hamming 0
+
+
+def test_ngram_jaccard(corpus):
+    from kgforge.datapipe.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(corpus, "id", "text", n=2, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_brute_force_vs_ann_recall(spark):
+    from kgforge.datapipe.similarity import ann_topk, brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    exact = [r["id"] for r in brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    assert exact[0] == 3  # self is the nearest neighbor
+
+    queries = emb.filter(F.col("vec_id") == 3)
+    ann = ann_topk(emb, queries, "vec_id", "embedding", dim, k=10, n_planes=6)
+    got = [r["id"] for r in ann.collect()]
+    assert 3 in got  # identical vector always lands in the same bucket
+
+
+def test_multimodal_plumbing(spark):
+    from kgforge.datapipe.multimodal import (
+        DecoderUnavailable,
+        decode_image,
+        extract_features,
+        sample_frames,
+        synth_media_table,
+    )
+    from kgforge.kg.synth import explode_spans, synth_docs
+
+    spans = explode_spans(synth_docs(spark, 100, seed=42))
+    media = synth_media_table(spans).persist()
+    assert media.count() > 0
+    feats = extract_features(media, dim=16).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic features
+    feats2 = extract_features(media, dim=16).collect()
+    assert {r["media_ref"]: r["feature"] for r in feats} == {
+        r["media_ref"]: r["feature"] for r in feats2
+    }
+    frames = sample_frames(media, every_ms=60000)
+    vids = media.filter(F.col("kind") == "video").count()
+    if vids:
+        assert frames.count() >= vids
+    with pytest.raises(DecoderUnavailable):
+        decode_image(media, real=True)
+
+
+def test_jsonld_roundtrip(spark):
+    from kgforge.ingest import jsonld_to_triple_tuples
+    from kgforge.jsonld_out import triples_to_jsonld
+    from kgforge.triples import triples_df
+
+    tuples = [
+        ("http://x/1", "http://x/p", "v", "string", False),
+        ("http://x/1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://x/T", "iri", True),
+        ("http://x/1", "http://x/q", "3.5", "xsd:double", False),
+        ("http://x/2", "http://x/r", "http://x/1", "iri", True),
+    ]
+    doc = triples_to_jsonld(triples_df(spark, tuples))
+    back = set(jsonld_to_triple_tuples(doc))
+    assert back == set(tuples)

@@ -1,0 +1,122 @@
+"""Structured Streaming surface + spark-submit --py-files packaging."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_event_counts_matches_batch(spark, tmp_path):
+    from kgforge.streaming import stream_event_counts
+
+    src = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{src}/events.parquet").schema
+    agg = stream_event_counts(
+        spark, src, schema, watermark="1 hour", window="30 minutes",
+        glob="events.parquet",
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ev_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM ev_out").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{src}/events.parquet")
+        .groupBy(F.window("ts", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_docs_to_triples(spark, tmp_path):
+    from kgforge.kg.synth import synth_docs
+    from kgforge.streaming import stream_docs_to_triples
+
+    docs_dir = str(tmp_path / "docs")
+    synth_docs(spark, 50, seed=42).write.parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+    out_dir = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    n_stream = got.count()
+    assert n_stream > 0
+
+    # streamed result == batch result over the same docs
+    from kgforge.kg.linking import link_mentions
+    from kgforge.kg.mentions import detect_mentions
+    from kgforge.kg.synth import explode_spans
+
+    docs = spark.read.parquet(docs_dir)
+    linked = link_mentions(detect_mentions(explode_spans(docs), "sql"))
+    n_batch = linked.select("doc_id", "eid").distinct().count()
+    assert n_stream == n_batch
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    """Ship the packaged zip through a real spark-submit run (local[2])."""
+    sys.path.insert(0, "/root/repo/scripts")
+    import package as pkg
+
+    zip_path = pkg.build(str(tmp_path / "kgforge.zip"))
+    out = str(tmp_path / "graph")
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            "/root/repo/scripts/submit_kg.py",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out,
+            "--n-docs", "60",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path),  # NOT the repo root — forces import from the zip
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    payload = json.loads(lines[-1])
+    assert payload["rows"] > 0 and payload["resumed"] is False
+
+    # second run resumes from the committed snapshot
+    r2 = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            "/root/repo/scripts/submit_kg.py",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", out, "--n-docs", "60",
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    payload2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert payload2["resumed"] is True and payload2["rows"] == payload["rows"]
