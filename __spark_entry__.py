@@ -203,6 +203,57 @@ def _q5_region_revenue(spark, sf_dir):
     )
 
 
+def _customers_without_orders(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q4_order_priority(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _promo_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def _region_rollup(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
 def _top3_orders_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -336,6 +387,16 @@ def _embed_near_dups(spark, sf_dir):
     return embedding_near_duplicates(emb, "vec_id", "embedding", dim, threshold=0.9)
 
 
+def _embed_near_dups_exact(spark, sf_dir):
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5-0.6),
+    # so the "near-dup" threshold is set where the data actually has pairs
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates_exact(emb, "vec_id", "embedding", threshold=0.45)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def _ann_topk(spark, sf_dir):
     from kgforge.datapipe.similarity import ann_topk
 
@@ -372,6 +433,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
         "q5_region_revenue": _q5_region_revenue,
+        "customers_without_orders": _customers_without_orders,
+        "q4_order_priority": _q4_order_priority,
+        "promo_revenue": _promo_revenue,
+        "region_rollup": _region_rollup,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
@@ -385,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash_pairs,
         "ngram_pairs": _ngram_pairs,
         "embed_near_dups": _embed_near_dups,
+        "embed_near_dups_exact": _embed_near_dups_exact,
         "ann_topk": _ann_topk,
         "media_features": _media_features,
         "kg_triples": _kg_triples,
@@ -478,6 +544,37 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
         """,
+        "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """,
+        "promo_revenue": """
+        SELECT
+          CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   END) AS DOUBLE) AS promo_revenue,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+        """,
+        "region_rollup": """
+        SELECT r_name, n_name, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        """,
         "top3_orders_per_customer": """
         SELECT o_custkey, o_orderkey, rk FROM (
           SELECT o_custkey, o_orderkey,
@@ -552,8 +649,38 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
         ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-        # minhash_clusters / simhash_pairs / ngram_pairs / embed_near_dups /
-        # ann_topk / media_features / kg_triples: not ANSI-SQL-expressible
-        # (hash-based blocking, iterative CC, synthetic derivation) — the
-        # driver records the weaker rows-only check for these.
+        "ngram_pairs": """
+        WITH t AS (
+          SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+          FROM t
+        ), sizes AS (
+          SELECT id, count(*) AS n FROM g GROUP BY id
+        ), inter AS (
+          SELECT x.id AS a, y.id AS b, count(*) AS inter
+          FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = inter.a
+        JOIN sizes sb ON sb.id = inter.b
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "embed_near_dups_exact": """
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])) >= 0.45
+        """,
+        # minhash_clusters / simhash_pairs / embed_near_dups / ann_topk /
+        # media_features / kg_triples: not ANSI-SQL-expressible (hash-based
+        # blocking, iterative CC, synthetic derivation) — the driver records
+        # the weaker rows-only check for these.
     }

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgforge.kg.components import connected_components
-from kgforge.kg.lsh import jaccard_filter, lsh_candidate_pairs
+from kgforge.kg.lsh import lsh_candidate_pairs
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -33,16 +33,20 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_duplicate_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
-    num_hashes: int = 24, bands: int = 8,
+    num_hashes: int = 80, bands: int | None = None,
 ) -> DataFrame:
-    """(id, cluster) where cluster is the min id of the near-dup component."""
+    """(id, cluster) where cluster is the min id of the near-dup component.
+
+    ``bands`` defaults to the threshold-matched banding (kg.lsh.pick_bands)
+    so the LSH S-curve prunes sub-threshold pairs without losing recall at
+    the requested Jaccard threshold."""
+    from kgforge.kg.lsh import pick_bands
+
+    if bands is None:
+        bands = pick_bands(num_hashes, threshold)
     d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     pairs = lsh_candidate_pairs(d, "id", "t", num_hashes=num_hashes, bands=bands)
-    # join back the texts for verification
-    ta = d.select(F.col("id").alias("a"), F.col("t"))
-    verified = jaccard_filter(
-        pairs, d.withColumnRenamed("id", "k"), "k", "t", threshold
-    ) if False else _verify_pairs(pairs, d, threshold)
+    verified = _verify_pairs(pairs, d, threshold)
     comps = connected_components(verified.select("a", "b"))
     return (
         d.select("id")
@@ -57,16 +61,27 @@ def _verify_pairs(pairs: DataFrame, d: DataFrame, threshold: float) -> DataFrame
 
     sh = shingle_df(d, "id", "t")
     sizes = sh.groupBy("id").count()
+    za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
+    zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
+    # size-ratio prefilter: J(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs whose
+    # sizes differ too much can never reach the threshold — prune them before
+    # the (much more expensive) shingle-intersection join
+    cand = (
+        pairs.join(za, "a").join(zb, "b")
+        .filter(
+            F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+    )
     sa = sh.select(F.col("id").alias("a"), "shingle")
     sb = sh.select(F.col("id").alias("b"), "shingle")
     inter = (
-        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").count()
+        cand.select("a", "b", "na", "nb")
+        .join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b", "na", "nb")
+        .count()
         .withColumnRenamed("count", "inter")
     )
-    za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
-    zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
     return (
-        inter.join(za, "a").join(zb, "b")
+        inter
         .withColumn("j", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("j") >= threshold)
         .select("a", "b")
@@ -133,12 +148,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Word-n-gram Jaccard near-dups: all-pairs via shared-ngram join (inverted
     index) — no LSH, exact, for moderate corpora / high thresholds."""
     toks = df.select(F.col(id_col).alias("id"), F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
+    # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) — docs with < n tokens
+    # must yield an empty gram array, not out-of-range slices
     grams = toks.select(
         "id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks)-{n - 1}, 0)),"
-                f" i -> array_join(slice(toks, i, {n}), ' '))"
+                f"if(size(toks) >= {n},"
+                f" transform(sequence(1, size(toks)-{n - 1}),"
+                f" i -> array_join(slice(toks, i, {n}), ' ')),"
+                f" array())"
             )
         ).alias("g"),
     ).dropDuplicates(["id", "g"])

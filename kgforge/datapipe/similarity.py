@@ -104,6 +104,25 @@ def ann_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def embedding_near_duplicates_exact(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Exact all-pairs cosine near-dups — the correctness baseline for the LSH
+    variant.  Broadcast-nested-loop on (a < b); use only for corpora that fit
+    a broadcast (the LSH path is the scale path)."""
+    a = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    cand = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb"))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int,
                               threshold: float = 0.95, n_planes: int = 8) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact rerank."""

@@ -48,6 +48,22 @@ def minhash_signatures(
     return sh.groupBy(key).agg(*aggs)
 
 
+def pick_bands(num_hashes: int, threshold: float) -> int:
+    """Choose the band count whose S-curve midpoint (1/b)^(1/r) sits just
+    below the verify threshold: maximal pruning of sub-threshold pairs while
+    keeping recall at the threshold high.  Returns bands (r = H/bands)."""
+    best_bands = num_hashes // 2  # r=2 fallback for very low thresholds
+    for r in range(2, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        if (1.0 / b) ** (1.0 / r) <= threshold * 0.95:
+            best_bands = b
+        else:
+            break
+    return best_bands
+
+
 def lsh_candidate_pairs(
     df: DataFrame, key: str, text_col: str, num_hashes: int = 24, bands: int = 8,
     n: int = 3, seed: int = 7,
@@ -84,17 +100,24 @@ def jaccard_filter(
     via joins on the exploded shingle table (stays distributed)."""
     sh = shingle_df(df, key, text_col, n)
     sizes = sh.groupBy(key).count()
+    za = sizes.select(F.col(key).alias("a"), F.col("count").alias("na"))
+    zb = sizes.select(F.col(key).alias("b"), F.col("count").alias("nb"))
+    # size-ratio prune: J <= min/max of the set sizes, so most non-dup pairs
+    # never reach the shingle-intersection join
+    cand = (
+        pairs.join(za, "a").join(zb, "b")
+        .filter(F.least("na", "nb") >= F.lit(threshold) * F.greatest("na", "nb"))
+    )
     sa = sh.select(F.col(key).alias("a"), F.col("shingle"))
     sb = sh.select(F.col(key).alias("b"), F.col("shingle"))
     inter = (
-        pairs.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").count()
+        cand.select("a", "b", "na", "nb")
+        .join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b", "na", "nb")
+        .count()
         .withColumnRenamed("count", "inter")
     )
-    za = sizes.select(F.col(key).alias("a"), F.col("count").alias("na"))
-    zb = sizes.select(F.col(key).alias("b"), F.col("count").alias("nb"))
     return (
-        inter.join(za, "a")
-        .join(zb, "b")
+        inter
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

@@ -47,35 +47,88 @@ def _iri_triple(df, subj, pred, value):
     )
 
 
+def _py_shingles(s: str, n: int = 3) -> set:
+    """Driver-side mirror of kgforge.kg.lsh.shingle_df (same padding, same
+    short-string quirk) so the small-vocabulary fast path and the distributed
+    LSH path agree on Jaccard values."""
+    p = "^" + s.lower() + "$"
+    if len(p) <= n:
+        return {p[:n]}
+    return {p[i : i + n] for i in range(len(p) - n + 1)}
+
+
+def _canonicalize_driver(spark, surface_list, threshold: float):
+    """Exact all-pairs Jaccard + union-find for small surface vocabularies.
+    O(n²) on the driver — only taken below ``small_canon_threshold``; recall
+    is a superset of the LSH-blocked distributed path (blocking exists purely
+    to avoid the quadratic scan at scale)."""
+    from kgforge.kg.components import union_find_components
+
+    sh = {s: _py_shingles(s) for s in surface_list}
+    edges = []
+    for i, a in enumerate(surface_list):
+        for b in surface_list[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= threshold:
+                edges.append((min(a, b), max(a, b)))
+    comp = union_find_components(edges)
+    rows = [(s, comp.get(s, s)) for s in sorted(surface_list)]
+    return spark.createDataFrame(rows, schema="surface string, canon_surface string")
+
+
 def build_kg(
     docs: DataFrame,
     mention_strategy: str = "pandas",
     near_dup_threshold: float = 0.55,
+    collect_metrics: bool = True,
+    small_canon_threshold: int = 20_000,
 ) -> tuple[DataFrame, dict]:
-    """Returns (triples, metrics)."""
+    """Returns (triples, metrics).
+
+    ``collect_metrics=False`` skips the per-stage count actions (each is a
+    full pipeline barrier) — used by throughput benchmarks; the numbers are
+    still available from the graph-write snapshot (kgforge.kg.io).
+    ``small_canon_threshold`` picks the canonicalization strategy: at or
+    below it the distinct surface vocabulary is collected and clustered
+    exactly on the driver (one job); above it the MinHash-LSH + distributed
+    connected-components path runs."""
     metrics: dict = {}
+    spark = docs.sparkSession
     spans = explode_spans(docs).persist()
-    kind_counts = {r["kind"]: r["count"] for r in spans.groupBy("kind").count().collect()}
-    metrics["spans_by_kind"] = kind_counts
-    metrics["n_spans"] = int(sum(kind_counts.values()))
+    if collect_metrics:
+        kind_counts = {
+            r["kind"]: r["count"] for r in spans.groupBy("kind").count().collect()
+        }
+        metrics["spans_by_kind"] = kind_counts
+        metrics["n_spans"] = int(sum(kind_counts.values()))
 
     mentions = detect_mentions(spans, strategy=mention_strategy)
     linked = link_mentions(mentions).persist()
-    metrics["n_mentions"] = linked.count()
+    if collect_metrics:
+        metrics["n_mentions"] = linked.count()
 
-    # --- canonicalization of surface forms: LSH blocking + CC ---------------
+    # --- canonicalization of surface forms ----------------------------------
     surfaces = linked.select("surface").distinct().persist()
-    metrics["n_surfaces"] = surfaces.count()
-    pairs = lsh_candidate_pairs(surfaces, "surface", "surface")
-    verified = jaccard_filter(pairs, surfaces, "surface", "surface", near_dup_threshold)
-    comps = connected_components(verified.select("a", "b"))
-    canon = (
-        surfaces.join(
-            comps.withColumnRenamed("node", "surface"), "surface", "left"
-        ).withColumn("canon_surface", F.coalesce(F.col("comp"), F.col("surface")))
-        .select("surface", "canon_surface")
-    ).persist()
-    metrics["n_surface_clusters"] = canon.select("canon_surface").distinct().count()
+    n_surfaces = surfaces.count()
+    metrics["n_surfaces"] = n_surfaces
+    if n_surfaces <= small_canon_threshold:
+        canon = _canonicalize_driver(
+            spark, [r["surface"] for r in surfaces.collect()], near_dup_threshold
+        ).persist()
+    else:
+        pairs = lsh_candidate_pairs(surfaces, "surface", "surface")
+        verified = jaccard_filter(
+            pairs, surfaces, "surface", "surface", near_dup_threshold
+        )
+        comps = connected_components(verified.select("a", "b"))
+        canon = (
+            surfaces.join(
+                comps.withColumnRenamed("node", "surface"), "surface", "left"
+            ).withColumn("canon_surface", F.coalesce(F.col("comp"), F.col("surface")))
+            .select("surface", "canon_surface")
+        ).persist()
+    if collect_metrics:
+        metrics["n_surface_clusters"] = canon.select("canon_surface").distinct().count()
 
     doc_iri = F.concat(F.lit(DOC_NS), F.col("doc_id"))
     ent_iri = F.concat(F.lit(ENT_NS), F.col("eid"))

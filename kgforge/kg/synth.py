@@ -116,7 +116,13 @@ def synth_docs(spark: SparkSession, n_docs: int, seed: int = 42,
 def docs_from_testdata(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     """Derive the span-structured variant deterministically from the driver's
     documents.parquet (doc_id, text, ...) — FIXTURES.md §1."""
-    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    raw = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        # testdata parquet is a single file → one input partition; spread the
+        # per-doc Python synthesis across the cluster before mapInPandas
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         import pandas as pd
