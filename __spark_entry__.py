@@ -254,6 +254,88 @@ def _region_rollup(spark, sf_dir):
     )
 
 
+def _q6_forecast(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").cast("decimal(18,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def _q12_priority_lines(spark, sf_dir):
+    # TPC-H q12 shape on this slimmed schema: fact→dim join + conditional agg
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def _q18_large_orders(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _cumulative_customer_revenue(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = _read(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+def _supplier_part_coverage(spark, sf_dir):
+    # distinct-agg + broadcast dim join (TPC-H q16 shape)
+    part = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def _top3_orders_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -356,18 +438,33 @@ def _sim_topk(spark, sf_dir):
     )
 
 
+_MINHASH_LANES = 32
+_MINHASH_BANDS = 8
+_MINHASH_THRESHOLD = 0.8
+_SHINGLE_MULT = 1000003
+
+
 def _minhash_clusters(spark, sf_dir):
-    from kgforge.datapipe.dedup import minhash_duplicate_clusters
+    from kgforge.datapipe.dedup import minhash_duplicate_clusters, poly_hash
 
     docs = _read(spark, sf_dir, "documents")
-    return minhash_duplicate_clusters(docs, "doc_id", "text", threshold=0.8)
+    return minhash_duplicate_clusters(
+        docs, "doc_id", "text", threshold=_MINHASH_THRESHOLD,
+        num_hashes=_MINHASH_LANES, bands=_MINHASH_BANDS,
+        shingle_hash=lambda c: poly_hash(c, _SHINGLE_MULT),
+        portable_bands=True,
+    )
 
 
 def _simhash_pairs(spark, sf_dir):
-    from kgforge.datapipe.dedup import simhash_near_pairs
+    from kgforge.datapipe.dedup import portable_token_hash62, simhash_near_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    out = simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3,
+        token_hash=portable_token_hash62, bits=62,
+    )
+    return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def _ngram_pairs(spark, sf_dir):
@@ -384,7 +481,11 @@ def _embed_near_dups(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return embedding_near_duplicates(emb, "vec_id", "embedding", dim, threshold=0.9)
+    out = embedding_near_duplicates(
+        emb, "vec_id", "embedding", dim, threshold=_NEAR_DUP_THRESHOLD,
+        n_planes=_NEAR_DUP_PLANES,
+    )
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 def _embed_near_dups_exact(spark, sf_dir):
@@ -397,13 +498,24 @@ def _embed_near_dups_exact(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+_ANN_PLANES = 10
+_ANN_K = 5
+_NEAR_DUP_THRESHOLD = 0.45
+_NEAR_DUP_PLANES = 8
+
+
 def _ann_topk(spark, sf_dir):
     from kgforge.datapipe.similarity import ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5)
-    return ann_topk(emb, queries, "vec_id", "embedding", dim, k=5)
+    out = ann_topk(emb, queries, "vec_id", "embedding", dim, k=_ANN_K,
+                   n_planes=_ANN_PLANES)
+    return out.select(
+        "qid", "id", F.round("cosine", 6).alias("cosine"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
 
 
 def _media_features(spark, sf_dir):
@@ -437,6 +549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "promo_revenue": _promo_revenue,
         "region_rollup": _region_rollup,
+        "q6_forecast": _q6_forecast,
+        "q12_priority_lines": _q12_priority_lines,
+        "q18_large_orders": _q18_large_orders,
+        "cumulative_customer_revenue": _cumulative_customer_revenue,
+        "supplier_part_coverage": _supplier_part_coverage,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
@@ -455,6 +572,197 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "kg_triples": _kg_triples,
     }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL builders for the hash-based operators (portable-hash mirrors)
+# --------------------------------------------------------------------------
+
+def _poly_sql(col: str, mult: int) -> str:
+    """DuckDB mirror of kgforge.datapipe.dedup.poly_hash (exact same fold)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({col}, ''), "
+        "c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {mult} + x) % 2147483647)"
+    )
+
+
+def _simhash_oracle() -> str:
+    bits = 62
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT id, tok FROM (
+    SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+), h AS (
+  SELECT id, {_poly_sql('tok', 31)} + {_poly_sql('tok', 131)} * 2147483648 AS h
+  FROM toks
+), sums AS (
+  SELECT id,
+    {sums}
+  FROM h GROUP BY id
+), fp AS (
+  SELECT id, CAST({fp} AS BIGINT) AS simhash FROM sums
+), banded AS (
+  SELECT id, simhash, b.band AS band,
+         (simhash >> (b.band * 16)) & 65535 AS key
+  FROM fp, (VALUES (0),(1),(2),(3)) AS b(band)
+)
+SELECT DISTINCT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+def _minhash_oracle() -> str:
+    from kgforge.kg.lsh import lane_constants
+
+    lanes = lane_constants(_MINHASH_LANES)
+    rows = _MINHASH_LANES // _MINHASH_BANDS
+    sig = ",\n    ".join(
+        f"min((h * {a} + {b}) % 2147483647) AS mh{i}"
+        for i, (a, b) in enumerate(lanes)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS key FROM sig"
+        for bi in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id AS id, '^' || lower(text) || '$' AS p FROM documents
+), sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id, substr(p, i, 3) AS shingle FROM (
+      SELECT id, p, unnest(generate_series(1, greatest(length(p) - 2, 1))) AS i
+      FROM d))
+), hs AS (
+  SELECT id, {_poly_sql('shingle', _SHINGLE_MULT)} AS h FROM sh
+), sig AS (
+  SELECT id,
+    {sig}
+  FROM hs GROUP BY id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.id = c.a
+  JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+), edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes za ON za.id = inter.a JOIN sizes zb ON zb.id = inter.b
+  WHERE i * 1.0 / (za.n + zb.n - i) >= {_MINHASH_THRESHOLD}
+), und AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach(s, t) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.s, und.v FROM reach JOIN und ON reach.t = und.u
+), comp AS (
+  SELECT s AS node, min(t) AS comp FROM reach GROUP BY s
+)
+SELECT d.id, coalesce(comp.comp, d.id) AS cluster
+FROM d LEFT JOIN comp ON comp.node = d.id
+"""
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product — bit-identical to kgforge's F.aggregate fold."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _fold_norm_sql(a: str) -> str:
+    return (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (acc, v) -> acc + v))"
+    )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec: str, n_planes: int, dim: int) -> str:
+    from kgforge.datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=11)
+    terms = [
+        f"CASE WHEN {_fold_dot_sql(vec, _plane_literal(p))} >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_oracle(dim: int) -> str:
+    bucket = _bucket_sql("v", _ANN_PLANES, dim)
+    cos = (
+        f"{_fold_dot_sql('c.v', 'q.v')} / ({_fold_norm_sql('c.v')} * {_fold_norm_sql('q.v')})"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sigged AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS qid, v, bucket FROM sigged WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cid, v, bucket FROM sigged
+), scored AS (
+  SELECT q.qid, c.cid, {cos} AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket
+), ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid AS id, round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_ANN_K}
+"""
+
+
+def _near_dup_oracle(dim: int) -> str:
+    bucket = _bucket_sql("v", _NEAR_DUP_PLANES, dim)
+    cos = (
+        f"{_fold_dot_sql('x.v', 'y.v')} / ({_fold_norm_sql('x.v')} * {_fold_norm_sql('y.v')})"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sigged AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+)
+SELECT x.vec_id AS a, y.vec_id AS b, round({cos}, 6) AS cosine
+FROM sigged x JOIN sigged y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {cos} >= {_NEAR_DUP_THRESHOLD}
+"""
+
+
+# embeddings.parquet carries 64-dim vectors at every driver scale; the Spark
+# wrappers read the dim dynamically, the SQL oracle inlines the same planes
+_EMBED_DIM = 64
 
 
 _GEN_RANKED = """
@@ -575,6 +883,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
         """,
+        "q6_forecast": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        "q12_priority_lines": """
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+        """,
+        "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        "cumulative_customer_revenue": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        FROM orders
+        """,
+        "supplier_part_coverage": """
+        SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+        """,
         "top3_orders_per_customer": """
         SELECT o_custkey, o_orderkey, rk FROM (
           SELECT o_custkey, o_orderkey,
@@ -679,8 +1027,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                      CAST(y.embedding AS DOUBLE[])) >= 0.45
         """,
-        # minhash_clusters / simhash_pairs / embed_near_dups / ann_topk /
-        # media_features / kg_triples: not ANSI-SQL-expressible (hash-based
-        # blocking, iterative CC, synthetic derivation) — the driver records
-        # the weaker rows-only check for these.
+        # hash-based operators: the Spark queries use engine-portable hashes
+        # (polynomial char folds / driver-inlined hyperplanes), so the DuckDB
+        # oracle reproduces signatures, buckets, and clusters value-for-value.
+        "simhash_pairs": _simhash_oracle(),
+        "minhash_clusters": _minhash_oracle(),
+        "ann_topk": _ann_oracle(_EMBED_DIM),
+        "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
+        # media_features / kg_triples: not ANSI-SQL-expressible (mapInPandas
+        # featurization over synthesized media, iterative connected
+        # components) — the driver records the weaker rows-only check.
     }

@@ -16,6 +16,28 @@ from pyspark.sql import functions as F
 from kgforge.kg.components import connected_components
 from kgforge.kg.lsh import lsh_candidate_pairs
 
+# --- portable hashing ------------------------------------------------------
+# Polynomial character hashes written only with fold/ascii/% so the exact
+# same value is computable in other engines (DuckDB: list_reduce + ord) —
+# this is what lets the driver's oracle check the hash-based dedup operators
+# value-for-value instead of rows-only.
+
+_POLY_MOD = 2147483647  # 2^31 - 1; keeps every fold step under 2^63 (ANSI)
+
+
+def poly_hash(col, mult: int = 31, mod: int = _POLY_MOD):
+    """(…((0*m + c1) * m + c2)… ) % mod over the characters of ``col``."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def portable_token_hash62(col):
+    """62-bit token hash from two independent polynomial lanes."""
+    return poly_hash(col, 31) + poly_hash(col, 131) * F.lit(1 << 31).cast("long")
+
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(content_hash, n_dups, keep_id, dup_ids) for groups with >1 member."""
@@ -33,7 +55,8 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def minhash_duplicate_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
-    num_hashes: int = 80, bands: int | None = None,
+    num_hashes: int = 80, bands: int | None = None, shingle_hash=None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """(id, cluster) where cluster is the min id of the near-dup component.
 
@@ -45,7 +68,10 @@ def minhash_duplicate_clusters(
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    pairs = lsh_candidate_pairs(d, "id", "t", num_hashes=num_hashes, bands=bands)
+    pairs = lsh_candidate_pairs(
+        d, "id", "t", num_hashes=num_hashes, bands=bands,
+        shingle_hash=shingle_hash, portable_bands=portable_bands,
+    )
     verified = _verify_pairs(pairs, d, threshold)
     comps = connected_components(verified.select("a", "b"))
     return (
@@ -88,26 +114,37 @@ def _verify_pairs(pairs: DataFrame, d: DataFrame, threshold: float) -> DataFrame
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash long) — token-level 64-bit simhash, pure JVM expressions.
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              token_hash=None, bits: int = 64) -> DataFrame:
+    """(id, simhash long) — token-level simhash, pure JVM expressions.
 
     Each token contributes sign(bit) per bit position; the fingerprint bit is
     1 where the sum is positive.  Bits are computed with shiftright/&1 over
-    xxhash64(token) and aggregated as 64 sums in one shuffle.
+    the token hash and aggregated as ``bits`` sums in one shuffle.
+
+    ``token_hash`` (Column → Column) defaults to ``xxhash64``; pass
+    ``portable_token_hash62`` (with ``bits=62``) for an oracle-mirrorable
+    fingerprint.  Empty tokens are dropped on every path.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    if token_hash is None:
+        token_hash = F.xxhash64
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", token_hash(F.col("tok")))
+    )
     aggs = [
         F.sum(
             (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     sums = toks.groupBy("id").agg(*aggs)
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         )
@@ -115,10 +152,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3, token_hash=None,
+                       bits: int = 64) -> DataFrame:
     """Candidate pairs by 16-bit band equality (≤3 differing bits ⇒ at least
     one of 4 bands equal), verified by exact popcount."""
-    sh = simhash64(df, id_col, text_col)
+    sh = simhash64(df, id_col, text_col, token_hash=token_hash, bits=bits)
     bands = [
         F.struct(
             F.lit(i).alias("band"),

@@ -31,20 +31,38 @@ def shingle_df(df: DataFrame, key: str, text_col: str, n: int = 3) -> DataFrame:
     ).dropDuplicates([key, "shingle"])
 
 
-def minhash_signatures(
-    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, n: int = 3,
-    seed: int = 7,
-) -> DataFrame:
-    """One row per key with columns _mh0.._mh{K-1}."""
-    sh = shingle_df(df, key, text_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))  # 31-bit reduced shingle hash
+def lane_constants(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """The (a, b) affine rehash constants per minhash lane — exposed so an
+    external oracle (DuckDB SQL) can reproduce the exact signatures."""
     from kgforge.kg.synth import _splitmix64
 
-    aggs = []
-    for i in range(num_hashes):
-        a = (_splitmix64(seed * 1000003 + i) % (_P - 1)) + 1
-        b = _splitmix64(seed * 7777777 + i) % _P
-        aggs.append(F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}"))
+    return [
+        (
+            (_splitmix64(seed * 1000003 + i) % (_P - 1)) + 1,
+            _splitmix64(seed * 7777777 + i) % _P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, n: int = 3,
+    seed: int = 7, shingle_hash=None,
+) -> DataFrame:
+    """One row per key with columns _mh0.._mh{K-1}.
+
+    ``shingle_hash`` (Column → Column, values in [0, 2^31)) defaults to the
+    xxhash64-reduced hash; pass a portable polynomial hash (see
+    kgforge.datapipe.dedup.poly_hash) to make signatures oracle-mirrorable."""
+    sh = shingle_df(df, key, text_col, n)
+    if shingle_hash is None:
+        h = F.pmod(F.xxhash64("shingle"), F.lit(_P))  # 31-bit reduced hash
+    else:
+        h = shingle_hash(F.col("shingle"))
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(lane_constants(num_hashes, seed))
+    ]
     return sh.groupBy(key).agg(*aggs)
 
 
@@ -66,17 +84,24 @@ def pick_bands(num_hashes: int, threshold: float) -> int:
 
 def lsh_candidate_pairs(
     df: DataFrame, key: str, text_col: str, num_hashes: int = 24, bands: int = 8,
-    n: int = 3, seed: int = 7,
+    n: int = 3, seed: int = 7, shingle_hash=None, portable_bands: bool = False,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a, b) with a < b."""
+    """Candidate near-duplicate pairs (a, b) with a < b.
+
+    ``portable_bands`` keys each band by the concatenated lane values instead
+    of their murmur3 ``hash()`` — identical candidates, engine-portable."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, key, text_col, num_hashes, n, seed)
+    sig = minhash_signatures(df, key, text_col, num_hashes, n, seed, shingle_hash)
+
+    def _band_key(bi):
+        lanes = [F.col(f"_mh{bi * rows + r}") for r in range(rows)]
+        if portable_bands:
+            return F.concat_ws("_", *[l.cast("string") for l in lanes])
+        return F.hash(*lanes).cast("string")
+
     band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.hash(*[F.col(f"_mh{bi * rows + r}") for r in range(rows)]).alias("bh"),
-        )
+        F.struct(F.lit(bi).alias("band"), _band_key(bi).alias("bh"))
         for bi in range(bands)
     ]
     banded = sig.select(
