@@ -641,12 +641,14 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id AS id, '^' || lower(text) || '$' AS p FROM documents
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
 ), sh AS (
   SELECT DISTINCT id, shingle FROM (
-    SELECT id, substr(p, i, 3) AS shingle FROM (
-      SELECT id, p, unnest(generate_series(1, greatest(length(p) - 2, 1))) AS i
-      FROM d))
+    SELECT id, array_to_string(toks[i:i+2], ' ') AS shingle FROM (
+      SELECT id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM d WHERE len(toks) >= 3))
 ), hs AS (
   SELECT id, {_poly_sql('shingle', _SHINGLE_MULT)} AS h FROM sh
 ), sig AS (

@@ -56,24 +56,42 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_duplicate_clusters(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
     num_hashes: int = 80, bands: int | None = None, shingle_hash=None,
-    portable_bands: bool = False,
+    portable_bands: bool = False, shingle_mode: str = "word",
+    cc_driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, cluster) where cluster is the min id of the near-dup component.
 
     ``bands`` defaults to the threshold-matched banding (kg.lsh.pick_bands)
     so the LSH S-curve prunes sub-threshold pairs without losing recall at
-    the requested Jaccard threshold."""
-    from kgforge.kg.lsh import pick_bands
+    the requested Jaccard threshold.  ``shingle_mode="word"`` (3-word grams)
+    is the document default — char-grams of templated prose are nearly
+    identical across documents and flood the band join with candidates.
+    Verified near-dup edges are usually a tiny fraction of the corpus, so
+    components run on the driver below ``cc_driver_threshold`` edges (one
+    job) and fall back to the distributed hash-min loop above it."""
+    from kgforge.kg.lsh import (
+        pairs_from_signatures,
+        pick_bands,
+        shingle_df,
+        signatures_from_shingles,
+    )
+    from kgforge.util import ensure_parallelism
 
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    pairs = lsh_candidate_pairs(
-        d, "id", "t", num_hashes=num_hashes, bands=bands,
-        shingle_hash=shingle_hash, portable_bands=portable_bands,
+    d = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     )
-    verified = _verify_pairs(pairs, d, threshold)
-    comps = connected_components(verified.select("a", "b"))
+    # one persisted shingle table feeds both the signature aggregation and
+    # the exact-Jaccard verification (sizes + intersection) — without it the
+    # explode+dedup map side runs three times
+    sh = shingle_df(d, "id", "t", mode=shingle_mode).persist()
+    sig = signatures_from_shingles(sh, "id", num_hashes, shingle_hash=shingle_hash)
+    pairs = pairs_from_signatures(sig, "id", num_hashes, bands, portable_bands)
+    verified = _verify_pairs(pairs, d, threshold, shingles=sh)
+    comps = connected_components(
+        verified.select("a", "b"), driver_threshold=cc_driver_threshold
+    )
     return (
         d.select("id")
         .join(comps.withColumnRenamed("node", "id"), "id", "left")
@@ -82,10 +100,11 @@ def minhash_duplicate_clusters(
     )
 
 
-def _verify_pairs(pairs: DataFrame, d: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(pairs: DataFrame, d: DataFrame, threshold: float,
+                  mode: str = "char", shingles: DataFrame | None = None) -> DataFrame:
     from kgforge.kg.lsh import shingle_df
 
-    sh = shingle_df(d, "id", "t")
+    sh = shingles if shingles is not None else shingle_df(d, "id", "t", mode=mode)
     sizes = sh.groupBy("id").count()
     za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
     zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
@@ -126,11 +145,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
     ``portable_token_hash62`` (with ``bits=62``) for an oracle-mirrorable
     fingerprint.  Empty tokens are dropped on every path.
     """
+    from kgforge.util import ensure_parallelism
+
     if token_hash is None:
         token_hash = F.xxhash64
     toks = (
-        df.select(
-            F.col(id_col).alias("id"),
+        ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
@@ -185,7 +207,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.6) -> DataFrame:
     """Word-n-gram Jaccard near-dups: all-pairs via shared-ngram join (inverted
     index) — no LSH, exact, for moderate corpora / high thresholds."""
-    toks = df.select(F.col(id_col).alias("id"), F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
+    from kgforge.util import ensure_parallelism
+
+    toks = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.split(F.lower(F.col(text_col)), r"\s+").alias("toks")
+    )
     # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) — docs with < n tokens
     # must yield an empty gram array, not out-of-range slices
     grams = toks.select(

@@ -17,7 +17,28 @@ _P = (1 << 31) - 1  # Mersenne prime for the affine rehash; 31-bit operands
 # keep every product below 2^63 (Spark 4 runs ANSI mode: overflow throws)
 
 
-def shingle_df(df: DataFrame, key: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_df(df: DataFrame, key: str, text_col: str, n: int = 3,
+               mode: str = "char") -> DataFrame:
+    """Distinct shingles per key.
+
+    ``char`` (default): padded character n-grams — right for short surface
+    strings.  ``word``: space-joined word n-grams — right for documents,
+    where char-grams of templated text are near-identical across rows and
+    would flood LSH with candidate pairs."""
+    if mode == "word":
+        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+        d = df.withColumn("_toks", F.filter(toks, lambda t: t != ""))
+        return d.select(
+            key,
+            F.explode(
+                F.expr(
+                    f"if(size(_toks) >= {n},"
+                    f" transform(sequence(1, size(_toks)-{n - 1}),"
+                    f" i -> array_join(slice(_toks, i, {n}), ' ')),"
+                    f" array())"
+                )
+            ).alias("shingle"),
+        ).dropDuplicates([key, "shingle"])
     padded = F.concat(F.lit("^"), F.lower(F.col(text_col)), F.lit("$"))
     d = df.withColumn("_padded", padded)
     return d.select(
@@ -45,16 +66,12 @@ def lane_constants(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(
-    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, n: int = 3,
-    seed: int = 7, shingle_hash=None,
+def signatures_from_shingles(
+    sh: DataFrame, key: str, num_hashes: int = 24, seed: int = 7,
+    shingle_hash=None,
 ) -> DataFrame:
-    """One row per key with columns _mh0.._mh{K-1}.
-
-    ``shingle_hash`` (Column → Column, values in [0, 2^31)) defaults to the
-    xxhash64-reduced hash; pass a portable polynomial hash (see
-    kgforge.datapipe.dedup.poly_hash) to make signatures oracle-mirrorable."""
-    sh = shingle_df(df, key, text_col, n)
+    """(key, _mh0.._mh{K-1}) from an exploded (key, shingle) table — split out
+    so callers can persist the shingle table and reuse it for verification."""
     if shingle_hash is None:
         h = F.pmod(F.xxhash64("shingle"), F.lit(_P))  # 31-bit reduced hash
     else:
@@ -64,6 +81,19 @@ def minhash_signatures(
         for i, (a, b) in enumerate(lane_constants(num_hashes, seed))
     ]
     return sh.groupBy(key).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, n: int = 3,
+    seed: int = 7, shingle_hash=None, mode: str = "char",
+) -> DataFrame:
+    """One row per key with columns _mh0.._mh{K-1}.
+
+    ``shingle_hash`` (Column → Column, values in [0, 2^31)) defaults to the
+    xxhash64-reduced hash; pass a portable polynomial hash (see
+    kgforge.datapipe.dedup.poly_hash) to make signatures oracle-mirrorable."""
+    sh = shingle_df(df, key, text_col, n, mode)
+    return signatures_from_shingles(sh, key, num_hashes, seed, shingle_hash)
 
 
 def pick_bands(num_hashes: int, threshold: float) -> int:
@@ -82,17 +112,13 @@ def pick_bands(num_hashes: int, threshold: float) -> int:
     return best_bands
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, bands: int = 8,
-    n: int = 3, seed: int = 7, shingle_hash=None, portable_bands: bool = False,
+def pairs_from_signatures(
+    sig: DataFrame, key: str, num_hashes: int, bands: int,
+    portable_bands: bool = False,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a, b) with a < b.
-
-    ``portable_bands`` keys each band by the concatenated lane values instead
-    of their murmur3 ``hash()`` — identical candidates, engine-portable."""
+    """Candidate pairs (a, b), a < b, from a signature table via band join."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, key, text_col, num_hashes, n, seed, shingle_hash)
 
     def _band_key(bi):
         lanes = [F.col(f"_mh{bi * rows + r}") for r in range(rows)]
@@ -117,13 +143,26 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame, key: str, text_col: str, num_hashes: int = 24, bands: int = 8,
+    n: int = 3, seed: int = 7, shingle_hash=None, portable_bands: bool = False,
+    mode: str = "char",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a, b) with a < b.
+
+    ``portable_bands`` keys each band by the concatenated lane values instead
+    of their murmur3 ``hash()`` — identical candidates, engine-portable."""
+    sig = minhash_signatures(df, key, text_col, num_hashes, n, seed, shingle_hash, mode)
+    return pairs_from_signatures(sig, key, num_hashes, bands, portable_bands)
+
+
 def jaccard_filter(
     pairs: DataFrame, df: DataFrame, key: str, text_col: str, threshold: float,
-    n: int = 3,
+    n: int = 3, mode: str = "char",
 ) -> DataFrame:
     """Verify candidates with exact shingle Jaccard — set sizes + intersection
     via joins on the exploded shingle table (stays distributed)."""
-    sh = shingle_df(df, key, text_col, n)
+    sh = shingle_df(df, key, text_col, n, mode)
     sizes = sh.groupBy(key).count()
     za = sizes.select(F.col(key).alias("a"), F.col("count").alias("na"))
     zb = sizes.select(F.col(key).alias("b"), F.col("count").alias("nb"))

@@ -30,9 +30,24 @@ def test_exact_duplicates(corpus):
 def test_minhash_clusters(corpus):
     from kgforge.datapipe.dedup import minhash_duplicate_clusters
 
+    # word-3-gram Jaccard (the document default): docs 1 vs 3 differ in one
+    # of nine words → J = 4/10 = 0.4; unrelated docs 4/5 share one gram
+    # (J = 1/7) and cross-language doc 6 shares none
     cl = {r["id"]: r["cluster"] for r in
-          minhash_duplicate_clusters(corpus, "id", "text", threshold=0.6).collect()}
+          minhash_duplicate_clusters(corpus, "id", "text", threshold=0.4).collect()}
     assert cl[1] == cl[2] == cl[3]  # exact + near dup share a cluster
+    assert cl[4] != cl[1] and cl[6] != cl[1]
+
+
+def test_minhash_clusters_char_mode(corpus):
+    from kgforge.datapipe.dedup import minhash_duplicate_clusters
+
+    # char-3-gram shingles (surface-string mode) keep the old semantics:
+    # one-word edits barely move the char-gram Jaccard
+    cl = {r["id"]: r["cluster"] for r in
+          minhash_duplicate_clusters(corpus, "id", "text", threshold=0.6,
+                                     shingle_mode="char").collect()}
+    assert cl[1] == cl[2] == cl[3]
     assert cl[4] != cl[1] and cl[6] != cl[1]
 
 
