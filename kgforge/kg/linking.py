@@ -48,16 +48,48 @@ def candidate_table(spark) -> DataFrame:
     )
 
 
-def link_mentions(mentions: DataFrame) -> DataFrame:
+def trigram_jaccard_col(df: DataFrame, a: str, b: str,
+                        out: str = "score") -> DataFrame:
+    """Whole-stage-codegen trigram Jaccard between two string columns —
+    same values as the pandas UDF (tests assert equality), but pure JVM:
+    no Python workers in the hot path, so it scales with cores instead of
+    contending on 2× process pools."""
+    ta, tb = f"_tri_{a}", f"_tri_{b}"
+    d = df
+    for col, tmp in ((a, ta), (b, tb)):
+        d = d.withColumn(tmp + "_p", F.concat(F.lit("^"), F.lower(F.col(col)), F.lit("$")))
+        d = d.withColumn(
+            tmp,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({tmp}_p) - 2, 1)),"
+                    f" i -> substring({tmp}_p, i, 3))"
+                )
+            ),
+        )
+    inter = F.size(F.array_intersect(F.col(ta), F.col(tb)))
+    union = F.size(ta) + F.size(tb) - inter
+    return d.withColumn(out, inter.cast("double") / union).drop(
+        ta, tb, ta + "_p", tb + "_p"
+    )
+
+
+def link_mentions(mentions: DataFrame, strategy: str = "sql") -> DataFrame:
     """(doc_id, span_idx, offset, surface, start) →
-    (doc_id, span_idx, start, surface, eid, etype, canonical, score)."""
+    (doc_id, span_idx, start, surface, eid, etype, canonical, score).
+
+    ``sql`` (default) scores candidates with JVM trigram-Jaccard expressions;
+    ``pandas`` uses the Arrow-batched UDF — identical scores (tested)."""
     spark = mentions.sparkSession
     cands = candidate_table(spark)
     m = mentions.withColumn("norm", F.lower(F.col("surface")))
-    scored = (
-        m.join(F.broadcast(cands), "norm", "inner")
-        .withColumn("score", trigram_jaccard_udf()(F.col("surface"), F.col("canonical")))
-    )
+    joined = m.join(F.broadcast(cands), "norm", "inner")
+    if strategy == "sql":
+        scored = trigram_jaccard_col(joined, "surface", "canonical")
+    else:
+        scored = joined.withColumn(
+            "score", trigram_jaccard_udf()(F.col("surface"), F.col("canonical"))
+        )
     best = (
         scored.groupBy("doc_id", "span_idx", "start")
         .agg(

@@ -65,6 +65,45 @@ def detect_mentions(spans: DataFrame, strategy: str = "pandas") -> DataFrame:
 
         return text_spans.mapInPandas(scan, schema=_MENTION_SCHEMA)
 
+    if strategy == "regex":
+        # pure-JVM twin of the pandas path: the same alternation evaluated by
+        # java.util.regex inside codegen.  regexp_extract_all gives the match
+        # texts; split on the same pattern gives the in-between segments, and
+        # the start offset of match i is len(seg_0..i) + len(match_0..i-1).
+        # No Python workers at all — this is the scale-mode default.
+        pattern = "(?i)" + _alternation()
+        d = text_spans.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.regexp_extract_all("text", F.lit(pattern), 0).alias("ms"),
+            F.split("text", pattern, -1).alias("segs"),
+        )
+        hits = d.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark — zero-match spans must
+                # yield an empty array, not out-of-range indices
+                F.expr(
+                    "if(size(ms) = 0, array(),"
+                    " transform(sequence(1, size(ms)), i -> struct("
+                    " ms[i-1] as surface,"
+                    " aggregate(slice(segs, 1, i), 0, (a, x) -> a + length(x))"
+                    " + aggregate(slice(ms, 1, i-1), 0, (a, x) -> a + length(x))"
+                    " as start)))"
+                )
+            ).alias("m"),
+        )
+        return hits.select(
+            "doc_id",
+            "span_idx",
+            "offset",
+            F.col("m.surface").alias("surface"),
+            F.col("m.start").cast("int").alias("start"),
+        )
+
     if strategy == "sql":
         vocab = text_spans.sparkSession.createDataFrame(
             [(s,) for s in ALL_SURFACES], schema="norm string"

@@ -79,6 +79,7 @@ def _canonicalize_driver(spark, surface_list, threshold: float):
 def build_kg(
     docs: DataFrame,
     mention_strategy: str = "pandas",
+    link_strategy: str = "sql",
     near_dup_threshold: float = 0.55,
     collect_metrics: bool = True,
     small_canon_threshold: int = 20_000,
@@ -103,7 +104,7 @@ def build_kg(
         metrics["n_spans"] = int(sum(kind_counts.values()))
 
     mentions = detect_mentions(spans, strategy=mention_strategy)
-    linked = link_mentions(mentions).persist()
+    linked = link_mentions(mentions, strategy=link_strategy).persist()
     if collect_metrics:
         metrics["n_mentions"] = linked.count()
 
@@ -189,9 +190,9 @@ def build_kg(
         media, F.col("media_ref"), KG + "mediaKind", F.col("kind")
     )
 
-    span_counts = docs.select(
-        "doc_id", F.size("spans").alias("n")
-    )
+    # derived from the persisted span table — re-deriving from ``docs`` would
+    # re-run the upstream scan/synthesis a second time in the final action
+    span_counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t_spancount = _lit_triple(
         span_counts, F.concat(F.lit(DOC_NS), F.col("doc_id")), KG + "spanCount",
         F.col("n"), "xsd:long",

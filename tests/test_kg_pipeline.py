@@ -50,10 +50,23 @@ def test_offsets_monotone(docs):
     assert bad.count() == 0
 
 
+def test_link_strategies_agree(spark, docs):
+    from kgforge.kg.linking import link_mentions
+
+    spans = explode_spans(docs)
+    mentions = detect_mentions(spans, "pandas").persist()
+    key = ["doc_id", "span_idx", "start", "eid"]
+    a = link_mentions(mentions, "sql").select(*key, F.round("score", 9).alias("s"))
+    b = link_mentions(mentions, "pandas").select(*key, F.round("score", 9).alias("s"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_mention_strategies_agree(spark, docs):
     spans = explode_spans(docs)
     key = ["doc_id", "span_idx", "start", "surface"]
     a = {tuple(r) for r in detect_mentions(spans, "pandas").select(*key).collect()}
+    c = {tuple(r) for r in detect_mentions(spans, "regex").select(*key).collect()}
+    assert a == c, f"pandas-only={sorted(a - c)[:5]} regex-only={sorted(c - a)[:5]}"
     b = {tuple(r) for r in detect_mentions(spans, "sql").select(*key).collect()}
     only_a, only_b = a - b, b - a
     assert not only_a and not only_b, (

@@ -1,0 +1,77 @@
+"""Physical-plan quality gates — the properties that matter at 100 TB.
+
+These assert on `.explain` output, not timings: broadcast joins where a side
+is dimension-sized, parquet filter pushdown for selective scans, and zero
+Python evaluation nodes in the JVM-only paths (a BatchEvalPython/ArrowEval
+node in a hot path is a 10-100x regression waiting for scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(entry.queries()["q3_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(entry.queries()["q5_region_revenue"](spark, SF))
+    # supplier/nation/region are all dimension-sized → at least two
+    # broadcast joins must survive planning
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q1_pushes_shipdate_filter(spark):
+    plan = _plan(entry.queries()["q1_pricing"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q6_prunes_columns(spark):
+    plan = _plan(entry.queries()["q6_forecast"](spark, SF))
+    # ReadSchema must not include uninvolved wide columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_jvm_link_path_has_no_python(spark):
+    from kgforge.kg.linking import link_mentions
+    from kgforge.kg.mentions import detect_mentions
+    from kgforge.kg.synth import explode_spans, synth_docs
+
+    spans = explode_spans(synth_docs(spark, 50))
+    linked = link_mentions(detect_mentions(spans, "regex"), "sql")
+    plan = _plan(linked)
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"{marker} found in JVM-only link path"
+
+
+def test_simhash_is_jvm_only(spark):
+    plan = _plan(entry.queries()["simhash_pairs"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_minhash_band_join_not_cartesian(spark):
+    plan = _plan(entry.queries()["minhash_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_generalize_has_no_global_single_partition_sort(spark):
+    # W1 global rank must be range-partition + offsets, not a 1-partition
+    # window (which would serialize the sort at scale)
+    plan = _plan(entry.queries()["generalize_acctbal"](spark, SF))
+    assert "SinglePartition" not in plan.split("Window")[0] or "Window" not in plan
