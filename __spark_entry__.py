@@ -348,6 +348,66 @@ def _top3_orders_per_customer(spark, sf_dir):
     )
 
 
+def _events_followup_range_join(spark, sf_dir):
+    # equi-key (user) + range predicate: the SMJ-able shape of an as-of/
+    # interval join — per purchase, count same-user events in the next 5 min
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    others = ev.select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ots"),
+        F.col("event_id").alias("oid"),
+    )
+    joined = purchases.join(
+        others,
+        (purchases["u"] == others["u"])
+        & (others["ots"] > purchases["pts"])
+        & (others["ots"] <= purchases["pts"] + F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy("pid")
+        .agg(F.count("oid").alias("n_followups"))
+    )
+
+
+def _order_value_percentiles(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice").cast("double"), F.lit([0.5, 0.9, 0.99]))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p90"),
+            F.round(pct[2], 4).alias("p99"),
+        )
+    )
+
+
+def _customer_balance_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = _read(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+
+
+def _events_pivot(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
 def _events_hourly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return (
@@ -557,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
+        "events_followup_range_join": _events_followup_range_join,
+        "order_value_percentiles": _order_value_percentiles,
+        "customer_balance_deciles": _customer_balance_deciles,
+        "events_pivot": _events_pivot,
         "dedup_exact": _dedup_exact,
         "token_stats": _token_stats,
         "lang_id": _lang_id,
@@ -950,6 +1014,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+        """,
+        "events_followup_range_join": """
+        SELECT p.event_id AS pid, count(o.event_id) AS n_followups
+        FROM events p
+        LEFT JOIN events o
+          ON o.user_id = p.user_id
+         AND o.ts > p.ts
+         AND o.ts <= p.ts + INTERVAL 5 MINUTE
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+        """,
+        "order_value_percentiles": """
+        SELECT o_orderpriority,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 4) AS p50,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 4) AS p90,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
+        """,
+        "customer_balance_deciles": """
+        SELECT c_custkey,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+        FROM customer
+        """,
+        "events_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id
         """,
         "dedup_exact": """
         SELECT sha256(text) AS content_hash, count(*) AS n_dups,
