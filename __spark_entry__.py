@@ -578,13 +578,58 @@ def _ann_topk(spark, sf_dir):
     )
 
 
-def _media_features(spark, sf_dir):
-    from kgforge.datapipe.multimodal import extract_features, synth_media_table
-    from kgforge.kg.pipeline import docs_from_testdata, explode_spans
+_MEDIA_KINDS = ["image", "audio", "video"]
+_MEDIA_DIM = 16
 
-    docs = docs_from_testdata(spark, sf_dir)
-    media = synth_media_table(explode_spans(docs))
-    return extract_features(media).select("media_ref", "kind", F.size("feature").alias("dim"))
+
+def _portable_media_table(spark, sf_dir):
+    """Media sidecar derived from the documents table with JVM expressions
+    only (engine-portable): 40% of docs carry one media item; payload is the
+    utf8 bytes of sha256(media_ref) hex."""
+    docs = _read(spark, sf_dir, "documents")
+    ref = F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
+    return docs.filter(F.col("doc_id") % 5 < 2).select(
+        ref.alias("media_ref"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in _MEDIA_KINDS]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.sha2(ref, 256).cast("binary").alias("payload"),
+    )
+
+
+def _media_features(spark, sf_dir):
+    from kgforge.datapipe.multimodal import extract_features
+
+    media = _portable_media_table(spark, sf_dir)
+    feats = extract_features(media, dim=_MEDIA_DIM, dtype="double")
+    return feats.select(
+        "media_ref", "kind", F.posexplode("feature").alias("i", "v")
+    ).select("media_ref", "kind", F.col("i").cast("bigint").alias("i"), "v")
+
+
+def _media_features_oracle() -> str:
+    # sha256(sha256_hex(ref) || ref) digest → little-endian uint16 pairs →
+    # (u/65535.0)*2-1 in float64: bit-identical to the mapInPandas featurizer
+    u16 = (
+        "CAST(('0x' || substr(outer_hex, 4*i.i + 3, 2)"
+        " || substr(outer_hex, 4*i.i + 1, 2)) AS BIGINT)"
+    )
+    return f"""
+WITH m AS (
+  SELECT 'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         doc_id
+  FROM documents WHERE doc_id % 5 < 2
+), h AS (
+  SELECT media_ref, kind,
+         sha256(sha256(media_ref) || media_ref) AS outer_hex
+  FROM m
+)
+SELECT media_ref, kind, i.i AS i,
+       ({u16} / 65535.0) * 2 - 1 AS v
+FROM h, (SELECT unnest(generate_series(0, {_MEDIA_DIM - 1})) AS i) AS i
+"""
 
 
 def _kg_triples(spark, sf_dir):
@@ -1131,7 +1176,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": _minhash_oracle(),
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
-        # media_features / kg_triples: not ANSI-SQL-expressible (mapInPandas
-        # featurization over synthesized media, iterative connected
-        # components) — the driver records the weaker rows-only check.
+        "media_features": _media_features_oracle(),
+        # kg_triples: not ANSI-SQL-expressible (iterative connected
+        # components over python-synthesized spans) — the driver records the
+        # weaker rows-only check for it.
     }

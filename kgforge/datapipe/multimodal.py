@@ -55,15 +55,25 @@ def decode_image(media: DataFrame, real: bool = False) -> DataFrame:
     return media.filter(F.col("kind") == "image")
 
 
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 16,
+                     dtype: str = "float") -> DataFrame:
     """Deterministic fake feature vector per media item via mapInPandas —
     the Arrow batch shape (binary in, array<float> out) matches what a real
-    embedding model UDF would use."""
+    embedding model UDF would use.
+
+    ``dtype="double"`` computes in float64 with IEEE-reproducible ops
+    (``(u16 / 65535.0) * 2 - 1`` little-endian over the sha256 digest) so an
+    external SQL oracle can reproduce every value bit-exactly."""
+    double = dtype == "double"
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType(), False),
             T.StructField("kind", T.StringType(), False),
-            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+            T.StructField(
+                "feature",
+                T.ArrayType(T.DoubleType() if double else T.FloatType()),
+                False,
+            ),
         ]
     )
 
@@ -73,12 +83,13 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        np_t = np.float64 if double else np.float32
         for pdf in batches:
             feats = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 h = hashlib.sha256((payload or b"") + ref.encode()).digest()
-                v = np.frombuffer(h[: dim * 2], dtype=np.uint16).astype(np.float32)
-                v = (v / 65535.0) * 2 - 1
+                v = np.frombuffer(h[: dim * 2], dtype="<u2").astype(np_t)
+                v = (v / np_t(65535.0)) * np_t(2) - np_t(1)
                 feats.append(v.tolist())
             yield pd.DataFrame(
                 {"media_ref": pdf["media_ref"], "kind": pdf["kind"], "feature": feats}
