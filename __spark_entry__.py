@@ -632,6 +632,17 @@ FROM h, (SELECT unnest(generate_series(0, {_MEDIA_DIM - 1})) AS i) AS i
 """
 
 
+def _doc_sample(spark, sf_dir):
+    from kgforge.datapipe.textstats import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 37)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_id"))
+    )
+
+
 def _kg_triples(spark, sf_dir):
     from kgforge.kg.pipeline import build_kg, docs_from_testdata
 
@@ -679,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups_exact": _embed_near_dups_exact,
         "ann_topk": _ann_topk,
         "media_features": _media_features,
+        "doc_sample": _doc_sample,
         "kg_triples": _kg_triples,
     }
 
@@ -1177,6 +1189,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
+        "doc_sample": f"""
+        SELECT lang, count(*) AS n, min(doc_id) AS first_id
+        FROM documents
+        WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
+        GROUP BY lang
+        """,
         # kg_triples: not ANSI-SQL-expressible (iterative connected
         # components over python-synthesized spans) — the driver records the
         # weaker rows-only check for it.

@@ -108,3 +108,16 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, shingle: int = 8) -> 
         F.sha2(F.col("_norm"), 256).alias("content_hash"),
         F.array_min(sh).alias("min_shingle_hash"),
     )
+
+
+def hash_sample(df: DataFrame, id_col: str, percent: int,
+                mult: int = 1000003) -> DataFrame:
+    """Deterministic hash-based sampling: keep rows whose portable polynomial
+    id-hash lands in [0, percent) of 100 buckets.  Unlike ``df.sample``, the
+    selection is a pure function of the id — reproducible across runs,
+    partitionings, and engines (the DuckDB oracle mirrors it exactly), which
+    is what training-data pipelines need for stable held-out splits."""
+    from kgforge.datapipe.dedup import poly_hash
+
+    h = poly_hash(F.col(id_col).cast("string"), mult)
+    return df.filter(h % 100 < percent)

@@ -84,3 +84,95 @@ def stream_docs_to_triples(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start double, last double, n long"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap_seconds: int = 1800,
+    use_timeout: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session assembly with a gap timeout.  Sessions close when the
+    next event for the user arrives more than ``gap_seconds`` later, or when
+    the processing-time timeout fires with no new data; closed sessions are
+    emitted downstream.  This is the arbitrary-state API shape (Arrow-batched
+    per group, explicit GroupState) the engine uses for operators Structured
+    Streaming lacks natively."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "ts")
+    )
+
+    gap = float(gap_seconds)
+
+    def assemble(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((key[0], start, last, n))
+                state.remove()
+        else:
+            ts_list: list[float] = []
+            for pdf in pdf_iter:
+                ts_list.extend(t.timestamp() for t in pdf["ts"])
+            ts_list.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts_list:
+                if last is not None and t - last > gap:
+                    closed.append((key[0], start, last, n))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            state.update((start, last, n))
+            if use_timeout:
+                state.setTimeoutDuration(int(gap * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="s") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="s") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    # ProcessingTimeTimeout flushes idle sessions in continuous operation;
+    # finite drains (trigger availableNow) must use NoTimeout or the query
+    # loops on "cleaning up state" forever waiting for wall-clock timeouts
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if use_timeout
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            assemble,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            timeout,
+        )
+    )

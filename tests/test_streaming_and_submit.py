@@ -120,3 +120,44 @@ def test_spark_submit_py_files(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     payload2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
     assert payload2["resumed"] is True and payload2["rows"] == payload["rows"]
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions match the batch
+    gap-sessionization for every user whose last session is closed by a
+    later event (open tail sessions stay in state)."""
+    import datetime as dt
+
+    from kgforge.streaming import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user a: two sessions (gap 2h closes the first: 3 events + 2 events)
+    for off in (0, 60, 120, 7800, 7860):
+        rows.append(("a", base + dt.timedelta(seconds=off)))
+    # user b: one session then a far later single event closing it
+    for off in (0, 30, 10000):
+        rows.append(("b", base + dt.timedelta(seconds=off)))
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, "user_id string, ts timestamp").write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    out = stream_sessionize(spark, src, schema, gap_seconds=1800, use_timeout=False)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        ("a", base, base + dt.timedelta(seconds=120)): 3,
+        ("b", base, base + dt.timedelta(seconds=30)): 2,
+    }
+    assert got == want
