@@ -578,6 +578,63 @@ def _ann_topk(spark, sf_dir):
     )
 
 
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 2
+
+
+def _ann_ivf(spark, sf_dir):
+    from kgforge.datapipe.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, "vec_id", "embedding", k=_ANN_K,
+                   n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE)
+    return out.select(
+        "qid", "id", F.round("cosine", 6).alias("cosine"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+def _ivf_oracle() -> str:
+    dot = _fold_dot_sql
+    nrm = _fold_norm_sql
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id < {_IVF_CENTROIDS}
+), corpus_assign AS (
+  SELECT cid, v, cent_id FROM (
+    SELECT e.vec_id AS cid, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {dot('e.v', 'c.cent_vec')} / ({nrm('e.v')} * {nrm('c.cent_vec')}) DESC,
+                      c.cent_id) AS crk
+    FROM e, cents c)
+  WHERE crk <= 1
+), q_assign AS (
+  SELECT qid, v, cent_id FROM (
+    SELECT e.vec_id AS qid, e.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {dot('e.v', 'c.cent_vec')} / ({nrm('e.v')} * {nrm('c.cent_vec')}) DESC,
+                      c.cent_id) AS crk
+    FROM e, cents c WHERE e.vec_id < 5)
+  WHERE crk <= {_IVF_PROBE}
+), scored AS (
+  SELECT q.qid, x.cid,
+         {dot('x.v', 'q.v')} / ({nrm('x.v')} * {nrm('q.v')}) AS cosine
+  FROM corpus_assign x JOIN q_assign q ON x.cent_id = q.cent_id
+), ranked AS (
+  SELECT qid, cid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+  FROM scored
+)
+SELECT qid, cid AS id, round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_ANN_K}
+"""
+
+
 _MEDIA_KINDS = ["image", "audio", "video"]
 _MEDIA_DIM = 16
 
@@ -689,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": _embed_near_dups,
         "embed_near_dups_exact": _embed_near_dups_exact,
         "ann_topk": _ann_topk,
+        "ann_ivf": _ann_ivf,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
         "kg_triples": _kg_triples,
@@ -1189,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
+        "ann_ivf": _ivf_oracle(),
         "doc_sample": f"""
         SELECT lang, count(*) AS n, min(doc_id) AS first_id
         FROM documents

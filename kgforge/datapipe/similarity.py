@@ -136,3 +136,53 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int
         / (_norm(F.col("va").cast("array<double>")) * _norm(F.col("vb").cast("array<double>"))),
     )
     return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe the
+    ``n_probe`` nearest cells per query, exact-cosine rerank inside them.
+
+    Centroids are the vectors with the ``n_centroids`` smallest ids —
+    deterministic seed centroids (production would refine them with k-means;
+    the cell-assignment / multi-probe / rerank plumbing is identical and is
+    what bounds the scan to |corpus|/cells × probes at scale).  Candidate
+    generation is one broadcast of the centroid table + one shuffle on the
+    cell id."""
+    from pyspark.sql import Window as W
+
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("cent_vec"),
+    )
+
+    def _assign(side: DataFrame, out_id: str, probes: int) -> DataFrame:
+        j = side.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).join(F.broadcast(cents))
+        scored = j.withColumn(
+            "_ccos", _dot(F.col("_v"), F.col("cent_vec"))
+            / (_norm(F.col("_v")) * _norm(F.col("cent_vec"))),
+        )
+        w = W.partitionBy(out_id).orderBy(F.desc("_ccos"), F.col("cent_id"))
+        return (
+            scored.withColumn("_crk", F.row_number().over(w))
+            .filter(F.col("_crk") <= probes)
+            .select(out_id, "_v", "cent_id")
+        )
+
+    corpus = _assign(df, "cid", 1)
+    qs = _assign(queries, "qid", n_probe)
+    joined = corpus.join(
+        qs.select("qid", F.col("_v").alias("_qv"), "cent_id"), "cent_id"
+    )
+    scored = joined.withColumn(
+        "cosine", _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("cid").alias("id"), "cosine", "rk")
+    )

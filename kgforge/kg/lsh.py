@@ -76,11 +76,15 @@ def signatures_from_shingles(
         h = F.pmod(F.xxhash64("shingle"), F.lit(_P))  # 31-bit reduced hash
     else:
         h = shingle_hash(F.col("shingle"))
+    # project the shingle hash ONCE — referencing the raw expression inside
+    # every lane aggregate would re-evaluate the (potentially deep) hash
+    # fold num_hashes times per row
+    hashed = sh.select(key, h.alias("_h"))
     aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_mh{i}")
         for i, (a, b) in enumerate(lane_constants(num_hashes, seed))
     ]
-    return sh.groupBy(key).agg(*aggs)
+    return hashed.groupBy(key).agg(*aggs)
 
 
 def minhash_signatures(
