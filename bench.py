@@ -122,16 +122,21 @@ BENCH_QUERIES = [
     "q1_pricing",
     "q3_topk",
     "q5_region_revenue",
+    "q6_forecast",
+    "q18_large_orders",
     "generalize_acctbal",
     "generalize_orderdate",
     "top3_orders_per_customer",
+    "events_followup_range_join",
     "sessionize_events",
     "dedup_exact",
     "token_stats",
     "quality",
     "sim_topk",
+    "ann_ivf",
     "minhash_clusters",
     "simhash_pairs",
+    "media_features",
 ]
 
 

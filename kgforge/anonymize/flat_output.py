@@ -15,6 +15,7 @@ dict for fixture-sized payloads.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,6 +40,9 @@ from kgforge.triples import (
 _BOUND_DATATYPES = ("integer", "float", "date")  # quirk: float, not double
 
 
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def _flat_config(config: AnonymizationConfig) -> dict:
     flat = {}
     for attrs in config.values():
@@ -54,6 +58,12 @@ def flat_json_output(
 ) -> dict:
     flat_type = prefix + FLAT_OBJECT_NAME
     subs = subjects_of_type(triples, flat_type)
+    # reference quirk (fixture 05-invalid-prefix): a prefix that is not an
+    # absolute IRI makes the marker type a RELATIVE IRI; Jena resolves it
+    # against the query base while the model stores it raw, so the row
+    # selection matches nothing — data is empty, KPIs still emitted
+    if not _ABS_IRI_RE.match(prefix):
+        subs = subs.limit(0)
     mine = triples.join(subs, "subj", "left_semi").persist()
 
     # literal attributes per resource (getLiteralData)

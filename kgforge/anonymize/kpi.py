@@ -86,7 +86,15 @@ def k_anonymity(
         row = ent.groupBy(*[F.col(c) for c in gcols] if gcols else [F.lit(1)]).count().agg(
             F.min("count").alias("k")
         ).collect()[0]
-        return int(row["k"]) if row["k"] is not None else 0
+        if row["k"] is None:
+            # reference quirk (QueryBuildingService.java:142-163 +
+            # QueryService.java:215-235): with zero attributes the groups
+            # query has NO GROUP BY, so the aggregate over zero rows still
+            # yields one row whose empty GROUP_CONCAT splits into a single
+            # empty-IRI resource — one group of size 1 ⇒ k = 1.  With
+            # attributes (GROUP BY present) zero rows ⇒ no groups ⇒ k = 0.
+            return 1 if not used_attrs else 0
+        return int(row["k"])
 
     a = ent.select(F.col("subj").alias("_sa"), *[F.col(c).alias(c + "_a") for c in gcols])
     b = ent.select(F.col("subj").alias("_sb"), *[F.col(c).alias(c + "_b") for c in gcols])
