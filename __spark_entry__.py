@@ -689,6 +689,60 @@ FROM h, (SELECT unnest(generate_series(0, {_MEDIA_DIM - 1})) AS i) AS i
 """
 
 
+_MENTION_VOCAB = [
+    "table scan", "hash join", "scan", "join", "sort", "merge",
+    "window", "filter", "group", "query",
+]
+
+
+def _doc_mentions(spark, sf_dir):
+    """The KG mention-detection operator (regex strategy: regexp_extract_all
+    + split-segment offset reconstruction) run over the documents table with
+    a corpus-word vocabulary — text pre-lowered and case folding disabled so
+    the DuckDB oracle matches the exact same occurrences and offsets."""
+    from kgforge.kg.mentions import detect_mentions
+
+    docs = _read(spark, sf_dir, "documents")
+    spans_like = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        F.lit(0).alias("offset"),
+        F.lit("text").alias("kind"),
+        F.lower(F.col("text")).alias("text"),
+        F.lit("").alias("media_ref"),
+    )
+    m = detect_mentions(spans_like, "regex", vocab=_MENTION_VOCAB,
+                        case_insensitive=False)
+    return m.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "surface",
+        F.col("start").cast("bigint").alias("start"),
+    )
+
+
+def _doc_mentions_oracle() -> str:
+    pat = "(" + "|".join(sorted(_MENTION_VOCAB, key=len, reverse=True)) + ")"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         regexp_extract_all(t, '{pat}') AS ms,
+         string_split_regex(t, '{pat}') AS segs
+  FROM d
+)
+SELECT doc_id, r['surface'] AS surface, CAST(r['start'] AS BIGINT) AS start
+FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ms)), i -> {{
+    'surface': ms[i],
+    'start': list_reduce(list_prepend(0, list_transform(segs[1:i], s -> length(s))), (a, b) -> a + b)
+           + list_reduce(list_prepend(0, list_transform(ms[1:i-1], s -> length(s))), (a, b) -> a + b)
+  }})) AS r
+  FROM m WHERE len(ms) > 0
+)
+"""
+
+
 def _doc_sample(spark, sf_dir):
     from kgforge.datapipe.textstats import hash_sample
 
@@ -749,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
+        "doc_mentions": _doc_mentions,
         "kg_triples": _kg_triples,
     }
 
@@ -1248,6 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "ann_ivf": _ivf_oracle(),
+        "doc_mentions": _doc_mentions_oracle(),
         "doc_sample": f"""
         SELECT lang, count(*) AS n, min(doc_id) AS first_id
         FROM documents

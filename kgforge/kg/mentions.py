@@ -25,23 +25,30 @@ from kgforge.kg.vocab import ALL_SURFACES
 _MENTION_SCHEMA = "doc_id string, span_idx int, offset int, surface string, start int"
 
 
-def _alternation() -> str:
+def _alternation(vocab: list[str] | None = None) -> str:
     # longest first so 'Vienna Austria' wins over 'Vienna'
-    parts = sorted(ALL_SURFACES, key=len, reverse=True)
+    parts = sorted(vocab if vocab is not None else ALL_SURFACES, key=len, reverse=True)
     return "(" + "|".join(re.escape(s) for s in parts) + ")"
 
 
-def detect_mentions(spans: DataFrame, strategy: str = "pandas") -> DataFrame:
+def detect_mentions(spans: DataFrame, strategy: str = "pandas",
+                    vocab: list[str] | None = None,
+                    case_insensitive: bool = True) -> DataFrame:
+    """``vocab`` overrides the entity-catalog surface list;
+    ``case_insensitive=False`` drops the (?i)/IGNORECASE flag (callers that
+    pre-lower the text get engine-portable exact matching)."""
     text_spans = spans.filter(F.col("kind") == "text").select(
         "doc_id", "span_idx", "offset", "text"
     )
     if strategy == "pandas":
-        pattern = _alternation()
+        pattern = _alternation(vocab)
+
+        ci = case_insensitive
 
         def scan(batches):
             import pandas as pd
 
-            rx = re.compile(pattern, re.IGNORECASE)
+            rx = re.compile(pattern, re.IGNORECASE if ci else 0)
             for pdf in batches:
                 doc_ids, span_idxs, offsets, surfaces, starts = [], [], [], [], []
                 for doc_id, span_idx, offset, txt in zip(
@@ -71,7 +78,7 @@ def detect_mentions(spans: DataFrame, strategy: str = "pandas") -> DataFrame:
         # texts; split on the same pattern gives the in-between segments, and
         # the start offset of match i is len(seg_0..i) + len(match_0..i-1).
         # No Python workers at all — this is the scale-mode default.
-        pattern = "(?i)" + _alternation()
+        pattern = ("(?i)" if case_insensitive else "") + _alternation(vocab)
         d = text_spans.select(
             "doc_id",
             "span_idx",
@@ -105,11 +112,12 @@ def detect_mentions(spans: DataFrame, strategy: str = "pandas") -> DataFrame:
         )
 
     if strategy == "sql":
-        vocab = text_spans.sparkSession.createDataFrame(
-            [(s,) for s in ALL_SURFACES], schema="norm string"
+        vocab_df = text_spans.sparkSession.createDataFrame(
+            [(s.lower(),) for s in (vocab if vocab is not None else ALL_SURFACES)],
+            schema="norm string",
         )
         toks = text_spans.withColumn("toks", F.split(F.col("text"), " "))
-        max_n = max(len(s.split()) for s in ALL_SURFACES)
+        max_n = max(len(s.split()) for s in (vocab if vocab is not None else ALL_SURFACES))
         grams = [
             F.expr(
                 f"transform(sequence(1, greatest(size(toks)-{n - 1}, 0)),"
@@ -137,7 +145,7 @@ def detect_mentions(spans: DataFrame, strategy: str = "pandas") -> DataFrame:
             + 1
         )
         hits = (
-            cand.join(F.broadcast(vocab), "norm", "inner")
+            cand.join(F.broadcast(vocab_df), "norm", "inner")
             .select(
                 "doc_id",
                 "span_idx",
