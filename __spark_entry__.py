@@ -720,26 +720,108 @@ def _doc_mentions(spark, sf_dir):
     )
 
 
-def _doc_mentions_oracle() -> str:
+def _doc_mentions_cte() -> str:
+    """Shared CTE body: (doc_id, surface, start) mention tuples in DuckDB."""
     pat = "(" + "|".join(sorted(_MENTION_VOCAB, key=len, reverse=True)) + ")"
     return f"""
-WITH d AS (
+d AS (
   SELECT doc_id, lower(text) AS t FROM documents
 ), m AS (
   SELECT doc_id,
          regexp_extract_all(t, '{pat}') AS ms,
          string_split_regex(t, '{pat}') AS segs
   FROM d
+), mentions AS (
+  SELECT doc_id, r['surface'] AS surface, CAST(r['start'] AS BIGINT) AS start
+  FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ms)), i -> {{
+      'surface': ms[i],
+      'start': list_reduce(list_prepend(0, list_transform(segs[1:i], s -> length(s))), (a, b) -> a + b)
+             + list_reduce(list_prepend(0, list_transform(ms[1:i-1], s -> length(s))), (a, b) -> a + b)
+    }})) AS r
+    FROM m WHERE len(ms) > 0
+  )
+)"""
+
+
+def _doc_mentions_oracle() -> str:
+    return f"WITH {_doc_mentions_cte()}\nSELECT doc_id, surface, start FROM mentions"
+
+
+_LINK_CANDS = [
+    ("table scan", "OP_TSCAN", "Table Scan"),
+    ("scan", "OP_SCAN", "Scan Operator"),
+    ("scan", "OP_SCAN2", "Columnar Scanner"),
+    ("hash join", "OP_HJOIN", "Hash Join"),
+    ("join", "OP_JOIN", "Join Operator"),
+    ("join", "OP_JOIN2", "Joiner Node"),
+    ("sort", "OP_SORT", "Sort"),
+    ("merge", "OP_MERGE", "Merge Pass"),
+    ("window", "OP_WINDOW", "Window Exec"),
+    ("filter", "OP_FILTER", "Filter Exec"),
+    ("group", "OP_GROUP", "Group Aggregate"),
+    ("query", "OP_QUERY", "Query"),
+]
+
+
+def _doc_links(spark, sf_dir):
+    """Entity-link scoring (kg/linking.py JVM trigram Jaccard + max-struct
+    best pick) over doc_mentions surfaces against an inline candidate
+    catalog — the DuckDB oracle reproduces every score and winner."""
+    from kgforge.kg.linking import trigram_jaccard_col
+
+    m = _doc_mentions(spark, sf_dir)
+    cands = spark.createDataFrame(
+        _LINK_CANDS, "norm string, eid string, canonical string"
+    )
+    j = m.join(F.broadcast(cands), m["surface"] == cands["norm"]).drop("norm")
+    scored = trigram_jaccard_col(j, "surface", "canonical")
+    best = (
+        scored.groupBy("doc_id", "start")
+        .agg(F.max(F.struct("score", "eid", "surface")).alias("b"))
+        .select(
+            "doc_id",
+            "start",
+            F.col("b.surface").alias("surface"),
+            F.col("b.eid").alias("eid"),
+            F.round("b.score", 6).alias("score"),
+        )
+    )
+    return best
+
+
+def _doc_links_oracle() -> str:
+    tri = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length({p}) - 2, 1)),"
+        " i -> substr({p}, i, 3)))"
+    )
+    ta = tri.format(p="'^' || lower(surface) || '$'")
+    tb = tri.format(p="'^' || lower(canonical) || '$'")
+    values = ", ".join(f"('{n}', '{e}', '{c}')" for n, e, c in _LINK_CANDS)
+    return f"""
+WITH {_doc_mentions_cte()},
+cands(norm, eid, canonical) AS (VALUES {values}),
+joined AS (
+  SELECT m.doc_id, m.start, m.surface, c.eid, c.canonical
+  FROM mentions m JOIN cands c ON c.norm = m.surface
+), tri AS (
+  SELECT doc_id, start, surface, eid,
+         {ta} AS ta, {tb} AS tb
+  FROM joined
+), scored AS (
+  SELECT doc_id, start, surface, eid,
+         len(list_intersect(ta, tb)) * 1.0
+           / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS score
+  FROM tri
+), best AS (
+  SELECT doc_id, start, surface, eid, score,
+         row_number() OVER (PARTITION BY doc_id, start
+                            ORDER BY score DESC, eid DESC) AS rn
+  FROM scored
 )
-SELECT doc_id, r['surface'] AS surface, CAST(r['start'] AS BIGINT) AS start
-FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(ms)), i -> {{
-    'surface': ms[i],
-    'start': list_reduce(list_prepend(0, list_transform(segs[1:i], s -> length(s))), (a, b) -> a + b)
-           + list_reduce(list_prepend(0, list_transform(ms[1:i-1], s -> length(s))), (a, b) -> a + b)
-  }})) AS r
-  FROM m WHERE len(ms) > 0
-)
+SELECT doc_id, start, surface, eid, round(score, 6) AS score
+FROM best WHERE rn = 1
 """
 
 
@@ -804,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "doc_sample": _doc_sample,
         "doc_mentions": _doc_mentions,
+        "doc_links": _doc_links,
         "kg_triples": _kg_triples,
     }
 
@@ -1304,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle(),
         "ann_ivf": _ivf_oracle(),
         "doc_mentions": _doc_mentions_oracle(),
+        "doc_links": _doc_links_oracle(),
         "doc_sample": f"""
         SELECT lang, count(*) AS n, min(doc_id) AS first_id
         FROM documents
