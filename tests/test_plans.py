@@ -75,3 +75,18 @@ def test_generalize_has_no_global_single_partition_sort(spark):
     # window (which would serialize the sort at scale)
     plan = _plan(entry.queries()["generalize_acctbal"](spark, SF))
     assert "SinglePartition" not in plan.split("Window")[0] or "Window" not in plan
+
+
+def test_range_join_is_equi_key_not_nested_loop(spark):
+    plan = _plan(entry.queries()["events_followup_range_join"](spark, SF))
+    # equi-join on user id with the range predicate as residual — never a
+    # nested-loop over the full pair space
+    assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_mentions_and_links_are_jvm_only(spark):
+    for q in ("doc_mentions", "doc_links"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, f"{marker} in {q}"
