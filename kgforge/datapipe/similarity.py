@@ -84,17 +84,21 @@ def ann_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     """
     from pyspark.sql import Window as W
 
+    # norms are computed ONCE per row before the join — recomputing the
+    # fold inside the pair-scoring expression would redo it per candidate
     corpus = lsh_signature(df, vec_col, dim, n_planes).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "bucket"
-    )
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        "bucket",
+    ).withColumn("cn", _norm(F.col("cvec")))
     qs = lsh_signature(queries, vec_col, dim, n_planes).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
-    )
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        "bucket",
+    ).withColumn("qn", _norm(F.col("qvec")))
     joined = corpus.join(F.broadcast(qs), "bucket")
     scored = joined.withColumn(
-        "cosine",
-        _dot(F.col("cvec").cast("array<double>"), F.col("qvec").cast("array<double>"))
-        / (_norm(F.col("cvec").cast("array<double>")) * _norm(F.col("qvec").cast("array<double>"))),
+        "cosine", _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (
@@ -126,14 +130,16 @@ def embedding_near_duplicates_exact(
 def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int,
                               threshold: float = 0.95, n_planes: int = 8) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact rerank."""
-    sig = lsh_signature(df, vec_col, dim, n_planes)
-    a = sig.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = sig.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    sig = lsh_signature(df, vec_col, dim, n_planes).withColumn(
+        "_vd", F.col(vec_col).cast("array<double>")
+    ).withColumn("_nd", _norm(F.col("_vd")))
+    a = sig.select(F.col(id_col).alias("a"), F.col("_vd").alias("va"),
+                   F.col("_nd").alias("na"), "bucket")
+    b = sig.select(F.col(id_col).alias("b"), F.col("_vd").alias("vb"),
+                   F.col("_nd").alias("nb"), "bucket")
     cand = a.join(b, "bucket").filter(F.col("a") < F.col("b"))
     scored = cand.withColumn(
-        "cosine",
-        _dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-        / (_norm(F.col("va").cast("array<double>")) * _norm(F.col("vb").cast("array<double>"))),
+        "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )
     return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
 
@@ -160,25 +166,26 @@ def ivf_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         j = side.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        ).join(F.broadcast(cents))
+        ).withColumn("_nv", _norm(F.col("_v"))).join(F.broadcast(cents))
         scored = j.withColumn(
             "_ccos", _dot(F.col("_v"), F.col("cent_vec"))
-            / (_norm(F.col("_v")) * _norm(F.col("cent_vec"))),
+            / (F.col("_nv") * _norm(F.col("cent_vec"))),
         )
         w = W.partitionBy(out_id).orderBy(F.desc("_ccos"), F.col("cent_id"))
         return (
             scored.withColumn("_crk", F.row_number().over(w))
             .filter(F.col("_crk") <= probes)
-            .select(out_id, "_v", "cent_id")
+            .select(out_id, "_v", "_nv", "cent_id")
         )
 
     corpus = _assign(df, "cid", 1)
     qs = _assign(queries, "qid", n_probe)
     joined = corpus.join(
-        qs.select("qid", F.col("_v").alias("_qv"), "cent_id"), "cent_id"
+        qs.select("qid", F.col("_v").alias("_qv"), F.col("_nv").alias("_qn"), "cent_id"),
+        "cent_id",
     )
     scored = joined.withColumn(
-        "cosine", _dot(F.col("_v"), F.col("_qv")) / (_norm(F.col("_v")) * _norm(F.col("_qv")))
+        "cosine", _dot(F.col("_v"), F.col("_qv")) / (F.col("_nv") * F.col("_qn"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.col("cid"))
     return (

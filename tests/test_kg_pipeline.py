@@ -130,3 +130,56 @@ def test_checkpoint_resume(spark, tmp_path, docs):
     assert snap["rows"] == n1 and snap["stage"] == "kg"
     df3, resumed3 = resume_or_run(spark, path, "kg", "fp2", build)
     assert not resumed3 and calls["n"] == 2  # input changed → rebuild
+
+
+def test_kg_to_anonymization_end_to_end(spark, docs, tmp_path):
+    """The north-star composition: interleaved docs → KG triples → graph
+    write with snapshot → read back → the reference's anonymization
+    semantics applied to the entity table (mask canonical names, generalize
+    mention counts) → k-anonymity KPI."""
+    from kgforge.anonymize.engine import anonymize_triples
+    from kgforge.config import config_from_dict
+    from kgforge.kg.io import last_snapshot, write_graph
+    from kgforge.kg.vocab import KG
+    from kgforge.triples import RDF_TYPE
+
+    triples, _ = build_kg(docs)
+    path = str(tmp_path / "graph")
+    snap = write_graph(triples, path, stage="kg", fingerprint="t")
+    assert snap["rows"] == triples.count() and last_snapshot(path)["stage"] == "kg"
+    stored = spark.read.parquet(path)
+
+    cfg = config_from_dict(
+        {
+            KG + "Person": {
+                KG + "canonicalName": ("string", "masking"),
+                KG + "mentionCount": ("integer", "generalization"),
+            }
+        }
+    )
+    out, report = anonymize_triples(stored, cfg, random_seed=1234)
+
+    persons = {
+        r["subj"]
+        for r in stored.filter(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj_value") == KG + "Person")
+        ).collect()
+    }
+    assert persons
+
+    masked = out.filter(F.col("pred") == KG + "canonicalName_masked")
+    masked_rows = masked.collect()
+    assert {r["subj"] for r in masked_rows} == persons
+    assert all(r["obj_value"] == "*****" for r in masked_rows)
+    # originals removed (use_adjusted_attributes default keeps suffixed preds)
+    assert (
+        out.filter(
+            (F.col("pred") == KG + "canonicalName")
+            & F.col("subj").isin(list(persons))
+        ).count()
+        == 0
+    )
+    gen = out.filter(F.col("pred") == KG + "mentionCount_generalized")
+    assert {r["subj"] for r in gen.collect()} == persons
+    assert report.k_anonymity and all(k >= 1 for k in report.k_anonymity.values())
+    assert KG + "Person" in report.k_anonymity
