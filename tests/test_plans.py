@@ -90,3 +90,16 @@ def test_doc_mentions_and_links_are_jvm_only(spark):
         plan = _plan(entry.queries()[q](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan, f"{marker} in {q}"
+
+
+def test_build_kg_plan_is_clean(spark):
+    from kgforge.kg.pipeline import build_kg
+    from kgforge.kg.synth import synth_docs
+
+    t, _ = build_kg(synth_docs(spark, 100), collect_metrics=False)
+    plan = _plan(t)
+    # only Arrow mapInPandas stages (synthesis + mention detection) may run
+    # Python; no row-wise eval nodes, no cartesian joins
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
