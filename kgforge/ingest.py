@@ -258,3 +258,52 @@ def jsonld_to_triple_tuples(doc: dict) -> list[tuple]:
 
 def jsonld_to_triples(spark: SparkSession, doc: dict) -> DataFrame:
     return spark.createDataFrame(jsonld_to_triple_tuples(doc), schema=TRIPLE_SCHEMA)
+
+
+def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFrame:
+    """Distributed JSON-LD ingest: one JSON-LD document per row (the JSONL
+    layout object stores ship at corpus scale) → triple DataFrame.
+
+    Each document is normalized independently inside an Arrow batch with the
+    same profile as :func:`jsonld_to_triple_tuples`; blank-node labels are
+    made globally unique by suffixing the intra-document label with a hash
+    of the line, so unioned documents never collide.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("subj", T.StringType(), False),
+            T.StructField("pred", T.StringType(), False),
+            T.StructField("obj_value", T.StringType(), True),
+            T.StructField("obj_dtype", T.StringType(), False),
+            T.StructField("obj_is_iri", T.BooleanType(), False),
+        ]
+    )
+
+    def normalize(batches):
+        import hashlib
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"subj": [], "pred": [], "obj_value": [], "obj_dtype": [], "obj_is_iri": []}
+            for line in pdf[json_col]:
+                if not line or not line.strip():
+                    continue
+                doc = _json.loads(line)
+                tag = hashlib.sha256(line.encode()).hexdigest()[:12]
+                for s, p, o, dt, iri in jsonld_to_triple_tuples(doc):
+                    if s.startswith("_:"):
+                        s = f"{s}.{tag}"
+                    if iri and isinstance(o, str) and o.startswith("_:"):
+                        o = f"{o}.{tag}"
+                    rows["subj"].append(s)
+                    rows["pred"].append(p)
+                    rows["obj_value"].append(o)
+                    rows["obj_dtype"].append(dt)
+                    rows["obj_is_iri"].append(iri)
+            yield pd.DataFrame(rows)
+
+    return lines.mapInPandas(normalize, schema=schema)

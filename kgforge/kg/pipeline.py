@@ -117,7 +117,12 @@ def build_kg(
             spark, [r["surface"] for r in surfaces.collect()], near_dup_threshold
         ).persist()
     else:
-        pairs = lsh_candidate_pairs(surfaces, "surface", "surface")
+        # 96 lanes / 32 bands (r=3): ≥0.998 candidate recall at the 0.55
+        # Jaccard threshold (24/8 missed ~23% of near-threshold pairs); the
+        # exact-Jaccard verify prunes the extra sub-threshold candidates
+        pairs = lsh_candidate_pairs(
+            surfaces, "surface", "surface", num_hashes=96, bands=32
+        )
         verified = jaccard_filter(
             pairs, surfaces, "surface", "surface", near_dup_threshold
         )

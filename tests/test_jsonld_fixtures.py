@@ -70,3 +70,30 @@ def test_jsonld_fixture(spark, name):
     assert got_bn == want_bn, (
         f"bnode triples differ: extra={got_bn - want_bn} missing={want_bn - got_bn}"
     )
+
+
+def test_jsonld_lines_distributed_matches_driver(spark):
+    """The distributed JSONL ingest produces the same triples as the
+    driver-side normalizer for every JSON-LD fixture (modulo the per-line
+    blank-node uniquification tag, which we strip for comparison)."""
+    import json as _json
+
+    from kgforge.ingest import jsonld_lines_to_triples, jsonld_to_triples
+
+    for name in ("11-maksing", "12-generalization", "14-randomization"):
+        with open(f"{REF}/01_input_json_ld/{name}.json") as f:
+            req = _json.load(f)
+        doc = req["data"]
+        a = {
+            tuple(r)
+            for r in jsonld_to_triples(spark, doc).collect()
+        }
+        lines = spark.createDataFrame(
+            [( _json.dumps(doc),)], "value string"
+        ).repartition(2)
+        strip = lambda x: x.split(".")[0] if isinstance(x, str) and x.startswith("_:") else x
+        b = {
+            (strip(r["subj"]), r["pred"], strip(r["obj_value"]), r["obj_dtype"], r["obj_is_iri"])
+            for r in jsonld_lines_to_triples(lines).collect()
+        }
+        assert a == b, f"{name}: {sorted(a - b)[:3]} / {sorted(b - a)[:3]}"
