@@ -135,6 +135,46 @@ def _generalize_orderdate(spark, sf_dir):
     )
 
 
+def _kanon_randomized(spark, sf_dir):
+    """Full A6 k-anonymity (KpiService.java:75-154): generalization groups
+    intersected with the per-randomized-attribute range-similarity sets
+    (benchmark = 2·mean|orig−rand|).  The 'randomized' column is a portable
+    deterministic perturbation so the DuckDB oracle reproduces the whole
+    computation, pair predicate and all."""
+    from kgforge.anonymize.kpi import k_anonymity
+    from kgforge.config import AttrConfig
+    from kgforge.datapipe.dedup import poly_hash
+    from kgforge.triples import RDF_TYPE
+
+    cust = _read(spark, sf_dir, "customer")
+    t_iri = "urn:kanon#Customer"
+    subj = F.col("c_custkey").cast("string")
+    orig = F.col("c_acctbal").cast("double")
+    delta = ((poly_hash(subj, 1000003) % 100) - 50) / F.lit(10.0)
+
+    def tr(pred, val, dtype="string", iri=False):
+        return cust.select(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            val.cast("string").alias("obj_value"),
+            F.lit(dtype).alias("obj_dtype"),
+            F.lit(iri).alias("obj_is_iri"),
+        )
+
+    triples = (
+        tr(RDF_TYPE, F.lit(t_iri), "iri", True)
+        .unionByName(tr("bal", orig, "xsd:double"))
+        .unionByName(tr("bal_randomized", orig + delta, "xsd:double"))
+        .unionByName(tr("seg_generalized", F.col("c_mktsegment")))
+    )
+    cfgs = {
+        "seg": AttrConfig("string", "generalization", ()),
+        "bal": AttrConfig("double", "randomization", ()),
+    }
+    k = k_anonymity(triples, t_iri, ["seg", "bal"], cfgs)
+    return spark.createDataFrame([(k,)], "k bigint")
+
+
 def _kanon_min_group(spark, sf_dir):
     d = _generalize_acctbal(spark, sf_dir)
     return (
@@ -851,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generalize_acctbal_bounds": _generalize_acctbal_bounds,
         "generalize_orderdate": _generalize_orderdate,
         "kanon_min_group": _kanon_min_group,
+        "kanon_randomized": _kanon_randomized,
         "q1_pricing": _q1_pricing,
         "q3_topk": _q3_topk,
         "q5_region_revenue": _q5_region_revenue,
@@ -1131,6 +1172,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.o_orderkey, (p.g * s.rk) // p.n AS bucket FROM s, p
         """
         ),
+        "kanon_randomized": f"""
+        WITH r AS (
+          SELECT CAST(c_custkey AS VARCHAR) AS id,
+                 CAST(c_acctbal AS DOUBLE) AS o,
+                 c_mktsegment AS g,
+                 CAST(c_acctbal AS DOUBLE)
+                   + (({_poly_sql("CAST(c_custkey AS VARCHAR)", 1000003)}) % 100 - 50) / 10.0 AS rv
+          FROM customer
+        ), b AS (
+          SELECT 2.0 * sum(abs(o - rv)) / count(*) AS bench FROM r
+        ), pairs AS (
+          SELECT x.id AS a, count(*) AS n
+          FROM r x JOIN r y ON x.g = y.g
+          WHERE abs(y.o - x.rv) <= (SELECT bench FROM b)
+          GROUP BY x.id
+        )
+        SELECT CAST(min(coalesce(pairs.n, 0)) AS BIGINT) AS k
+        FROM r LEFT JOIN pairs ON pairs.a = r.id
+        """,
         "kanon_min_group": _GEN_RANKED
         + """
         SELECT min(cnt) AS k FROM (

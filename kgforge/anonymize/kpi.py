@@ -51,11 +51,16 @@ def kpi_object_rows(type_iri: str, k: int) -> list[tuple]:
 
 def _kpi_parse(datatype: str, c):
     """KPI numeric domain: doubles, or epoch *seconds* for dates
-    (KpiService.java:117-130 via RandomizationDateTime.literalToNumericDate)."""
+    (KpiService.java:117-130 via RandomizationDateTime.literalToNumericDate).
+
+    try_cast, not cast: under ANSI mode Catalyst constant-folds projection
+    expressions of union branches BEFORE the pred filter prunes them, so a
+    strict cast would error on non-numeric literals from other predicates.
+    Values reaching the KPI are validated upstream — null means absent."""
     if datatype in ("date", "dateTime"):
         ts = F.coalesce(F.to_timestamp(F.to_date(c)), F.to_timestamp(c))
         return F.unix_timestamp(ts).cast("double")
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 def k_anonymity(
