@@ -388,6 +388,24 @@ def _top3_orders_per_customer(spark, sf_dir):
     )
 
 
+def _events_session_window(spark, sf_dir):
+    """Native session-window aggregation (F.session_window, batch mode):
+    per-user sessions merging events whose gap is under 30 minutes.  The
+    oracle mirrors it with gaps-and-islands SQL (new session when the gap is
+    >= the timeout; session end = last event + timeout, Spark's contract)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _events_followup_range_join(spark, sf_dir):
     # equi-key (user) + range predicate: the SMJ-able shape of an as-of/
     # interval join — per purchase, count same-user events in the next 5 min
@@ -907,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
+        "events_session_window": _events_session_window,
         "events_followup_range_join": _events_followup_range_join,
         "order_value_percentiles": _order_value_percentiles,
         "customer_balance_deciles": _customer_balance_deciles,
@@ -1327,6 +1346,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM g GROUP BY user_id
+        """,
+        "events_session_window": """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), ids AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM ids GROUP BY user_id, sid
         """,
         "events_followup_range_join": """
         SELECT p.event_id AS pid, count(o.event_id) AS n_followups
