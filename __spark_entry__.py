@@ -376,6 +376,24 @@ def _supplier_part_coverage(spark, sf_dir):
     )
 
 
+def _revenue_grouping_sets(spark, sf_dir):
+    # explicit GROUPING SETS (beyond rollup): (segment, year), (segment), ()
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    joined.createOrReplaceTempView("_rgs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, year(o_orderdate) AS order_year,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM _rgs
+        GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)),
+                                (c_mktsegment), ())
+        """
+    )
+
+
 def _top3_orders_per_customer(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -922,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "cumulative_customer_revenue": _cumulative_customer_revenue,
         "supplier_part_coverage": _supplier_part_coverage,
+        "revenue_grouping_sets": _revenue_grouping_sets,
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
@@ -1320,6 +1339,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
+        """,
+        "revenue_grouping_sets": """
+        SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)),
+                                (c_mktsegment), ())
         """,
         "top3_orders_per_customer": """
         SELECT o_custkey, o_orderkey, rk FROM (
