@@ -1310,8 +1310,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_lines": """
         SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
         """,
@@ -1376,14 +1376,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_session_window": """
         WITH marked AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                       THEN 1 ELSE 0 END AS new_sess
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), ids AS (
           SELECT user_id, ts,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sid
           FROM marked
         )

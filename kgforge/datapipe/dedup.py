@@ -86,12 +86,18 @@ def minhash_duplicate_clusters(
     # the exact-Jaccard verification (sizes + intersection) — without it the
     # explode+dedup map side runs three times
     sh = shingle_df(d, "id", "t", mode=shingle_mode).persist()
-    sig = signatures_from_shingles(sh, "id", num_hashes, shingle_hash=shingle_hash)
-    pairs = pairs_from_signatures(sig, "id", num_hashes, bands, portable_bands)
-    verified = _verify_pairs(pairs, d, threshold, shingles=sh)
-    comps = connected_components(
-        verified.select("a", "b"), driver_threshold=cc_driver_threshold
-    )
+    try:
+        sig = signatures_from_shingles(sh, "id", num_hashes, shingle_hash=shingle_hash)
+        pairs = pairs_from_signatures(sig, "id", num_hashes, bands, portable_bands)
+        verified = _verify_pairs(pairs, d, threshold, shingles=sh)
+        # connected_components materializes the edge set (count action on the
+        # driver path, localCheckpoint on the distributed loop), so the
+        # shingle cache is fully consumed by the time it returns
+        comps = connected_components(
+            verified.select("a", "b"), driver_threshold=cc_driver_threshold
+        )
+    finally:
+        sh.unpersist()
     return (
         d.select("id")
         .join(comps.withColumnRenamed("node", "id"), "id", "left")

@@ -267,7 +267,9 @@ def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFr
     Each document is normalized independently inside an Arrow batch with the
     same profile as :func:`jsonld_to_triple_tuples`; blank-node labels are
     made globally unique by suffixing the intra-document label with a hash
-    of the line, so unioned documents never collide.
+    of the line *plus* the row's position (``monotonically_increasing_id``),
+    so unioned documents never collide — including byte-identical duplicate
+    lines, which are distinct documents and must keep distinct blank nodes.
     """
     from pyspark.sql import types as T
 
@@ -289,11 +291,11 @@ def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFr
 
         for pdf in batches:
             rows = {"subj": [], "pred": [], "obj_value": [], "obj_dtype": [], "obj_is_iri": []}
-            for line in pdf[json_col]:
+            for line, rowid in zip(pdf[json_col], pdf["_kgforge_rowid"]):
                 if not line or not line.strip():
                     continue
                 doc = _json.loads(line)
-                tag = hashlib.sha256(line.encode()).hexdigest()[:12]
+                tag = hashlib.sha256(line.encode()).hexdigest()[:12] + f".{int(rowid)}"
                 for s, p, o, dt, iri in jsonld_to_triple_tuples(doc):
                     if s.startswith("_:"):
                         s = f"{s}.{tag}"
@@ -306,4 +308,7 @@ def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFr
                     rows["obj_is_iri"].append(iri)
             yield pd.DataFrame(rows)
 
-    return lines.mapInPandas(normalize, schema=schema)
+    tagged = lines.withColumn(
+        "_kgforge_rowid", F.monotonically_increasing_id()
+    )
+    return tagged.mapInPandas(normalize, schema=schema)

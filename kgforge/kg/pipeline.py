@@ -196,8 +196,15 @@ def build_kg(
     )
 
     # derived from the persisted span table — re-deriving from ``docs`` would
-    # re-run the upstream scan/synthesis a second time in the final action
-    span_counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # re-run the upstream scan/synthesis a second time in the final action.
+    # Left-join back to the doc-id spine so zero-span docs (possible for
+    # arbitrary caller input) still emit spanCount=0.
+    grouped_counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    span_counts = (
+        docs.select("doc_id")
+        .join(grouped_counts, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"))
+    )
     t_spancount = _lit_triple(
         span_counts, F.concat(F.lit(DOC_NS), F.col("doc_id")), KG + "spanCount",
         F.col("n"), "xsd:long",
