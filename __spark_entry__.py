@@ -83,8 +83,8 @@ def _generalize_acctbal(spark, sf_dir):
     return (
         out.filter(F.col("pred") == "acctbal_generalized")
         .select(
-            F.col("subj").cast("bigint").alias("c_custkey"),
-            F.substring_index("obj_value", "_", -1).cast("bigint").alias("bucket"),
+            F.col("subj").try_cast("bigint").alias("c_custkey"),
+            F.substring_index("obj_value", "_", -1).try_cast("bigint").alias("bucket"),
         )
     )
 
@@ -100,13 +100,13 @@ def _generalize_acctbal_bounds(spark, sf_dir):
     out = generalize(col_df, "acctbal", "double", g, n, F.col("_tie"))
     bounds = (
         out.filter(F.col("pred").isin([RDF_MIN, RDF_MAX]))
-        .groupBy(F.substring_index("subj", "_", -1).cast("bigint").alias("bucket"))
+        .groupBy(F.substring_index("subj", "_", -1).try_cast("bigint").alias("bucket"))
         .agg(
             F.first(F.when(F.col("pred") == RDF_MIN, F.col("obj_value")), True)
-            .cast("double")
+            .try_cast("double")
             .alias("bmin"),
             F.first(F.when(F.col("pred") == RDF_MAX, F.col("obj_value")), True)
-            .cast("double")
+            .try_cast("double")
             .alias("bmax"),
         )
     )
@@ -129,8 +129,8 @@ def _generalize_orderdate(spark, sf_dir):
     return (
         out.filter(F.col("pred") == "odate_generalized")
         .select(
-            F.col("subj").cast("bigint").alias("o_orderkey"),
-            F.substring_index("obj_value", "_", -1).cast("bigint").alias("bucket"),
+            F.col("subj").try_cast("bigint").alias("o_orderkey"),
+            F.substring_index("obj_value", "_", -1).try_cast("bigint").alias("bucket"),
         )
     )
 

@@ -19,9 +19,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgforge.anonymize.values import (
-    format_bound,
+    format_bound_col,
     format_randomized,
-    median_value,
+    median_col,
     parse_col,
 )
 from kgforge.javarandom import JavaRandom, java_math_round
@@ -32,8 +32,6 @@ from kgforge.triples import (
     RDF_TYPE,
     RDFS_COMMENT,
     SOYA_URL,
-    TRIPLE_SCHEMA,
-    triples_df,
 )
 
 MASK = "*****"
@@ -66,45 +64,78 @@ def generalize(
     remainders differently); bucket b bounds are means of the sorted values
     adjacent to indices b*k/g and (b+1)*k/g - 1; edge buckets obfuscate the
     outer bound.  The global rank is computed with range partitioning +
-    partition offsets (kgforge.rank) so the sort scales; only the ≤4g
-    boundary-adjacent values are collected to the driver (g ≈ √k).
+    partition offsets (kgforge.rank) so the sort scales.
+
+    Boundary extraction is fully distributed: the ≤4g boundary indices live
+    in a ``spark.range(g)`` DataFrame that is *broadcast* into a join against
+    the ranked table (no literal IN-list in the plan, no driver loop over g),
+    and the g bucket-bound triples are built as DataFrame transforms via the
+    column twins of median/format (kgforge.anonymize.values).  Plan size is
+    O(1) in g, so g ≈ 10⁶ (k ≈ 10¹²) works.
     """
     spark = col_df.sparkSession
     d = col_df.withColumn("_v", parse_col(datatype, F.col("obj_value")))
     tiebreak = order_col if order_col is not None else F.col("subj")
     ranked = with_global_rank(d, [F.col("_v"), tiebreak], out="_rank").persist()
 
-    # boundary-adjacent sorted indices for all g buckets
-    idx: set[int] = set()
-    for b in range(g):
-        lb = b * n // g
-        ub = (b + 1) * n // g - 1
-        idx.update(x for x in (lb - 1, lb, ub, ub + 1) if 0 <= x < n)
-    vals = {
-        r["_rank"]: r["_v"]
-        for r in ranked.filter(F.col("_rank").isin(list(idx))).select("_rank", "_v").collect()
-    }
-
-    bucket_rows: list[tuple] = []
-    for b in range(g):
-        bucket_iri = f"{attr}_{b}"
-        # reference addProperty(RDF.type, String) stores the type as a *string
-        # literal* (Generalization.java:75)
-        bucket_rows.append((bucket_iri, RDF_TYPE, SOYA_URL + "generalization", "string", False))
-        lb = b * n // g
-        ub = (b + 1) * n // g - 1
-        lower = median_value(datatype, vals.get(lb - 1), vals[lb])
-        upper = median_value(datatype, vals[ub], vals.get(ub + 1))
-        if b != 0:
-            lex, dt = format_bound(datatype, lower)
-            bucket_rows.append((bucket_iri, RDF_MIN, lex, dt, False))
-        else:
-            bucket_rows.append((bucket_iri, RDFS_COMMENT, OBFUSCATED_LOWER, "string", False))
-        if b != g - 1:
-            lex, dt = format_bound(datatype, upper)
-            bucket_rows.append((bucket_iri, RDF_MAX, lex, dt, False))
-        else:
-            bucket_rows.append((bucket_iri, RDFS_COMMENT, OBFUSCATED_UPPER, "string", False))
+    # boundary-adjacent sorted indices for all g buckets, as a DataFrame
+    roles = F.array(
+        F.struct(F.lit("lo_prev").alias("_role"), (F.col("_lb") - 1).alias("_i")),
+        F.struct(F.lit("lo").alias("_role"), F.col("_lb").alias("_i")),
+        F.struct(F.lit("hi").alias("_role"), F.col("_ub").alias("_i")),
+        F.struct(F.lit("hi_next").alias("_role"), (F.col("_ub") + 1).alias("_i")),
+    )
+    bidx = (
+        spark.range(g)
+        .select(
+            F.col("id").alias("_b"),
+            F.expr(f"id * CAST({n} AS BIGINT) div {g}").alias("_lb"),
+            F.expr(f"(id + 1) * CAST({n} AS BIGINT) div {g} - 1").alias("_ub"),
+        )
+        .select("_b", F.explode(roles).alias("_e"))
+        .select("_b", F.col("_e._role").alias("_role"), F.col("_e._i").alias("_i"))
+        .filter((F.col("_i") >= 0) & (F.col("_i") < n))
+    )
+    bvals = (
+        ranked.select(F.col("_rank").alias("_i"), "_v")
+        .join(F.broadcast(bidx), "_i")
+        .groupBy("_b")
+        .agg(
+            F.max(F.when(F.col("_role") == "lo_prev", F.col("_v"))).alias("_vlp"),
+            F.max(F.when(F.col("_role") == "lo", F.col("_v"))).alias("_vlo"),
+            F.max(F.when(F.col("_role") == "hi", F.col("_v"))).alias("_vhi"),
+            F.max(F.when(F.col("_role") == "hi_next", F.col("_v"))).alias("_vhn"),
+        )
+    )
+    lower = median_col(datatype, F.col("_vlp"), F.col("_vlo"))
+    upper = median_col(datatype, F.col("_vhi"), F.col("_vhn"))
+    lower_lex, bound_dt = format_bound_col(datatype, lower)
+    upper_lex, _ = format_bound_col(datatype, upper)
+    bucket_iri = F.concat(F.lit(attr + "_"), F.col("_b").cast("string"))
+    # reference addProperty(RDF.type, String) stores the type as a *string
+    # literal* (Generalization.java:75)
+    t_type = bvals.select(
+        bucket_iri.alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(SOYA_URL + "generalization").alias("obj_value"),
+        F.lit("string").alias("obj_dtype"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    first_b, last_b = F.col("_b") == 0, F.col("_b") == g - 1
+    t_min = bvals.select(
+        bucket_iri.alias("subj"),
+        F.when(first_b, F.lit(RDFS_COMMENT)).otherwise(F.lit(RDF_MIN)).alias("pred"),
+        F.when(first_b, F.lit(OBFUSCATED_LOWER)).otherwise(lower_lex).alias("obj_value"),
+        F.when(first_b, F.lit("string")).otherwise(F.lit(bound_dt)).alias("obj_dtype"),
+        F.lit(False).alias("obj_is_iri"),
+    )
+    t_max = bvals.select(
+        bucket_iri.alias("subj"),
+        F.when(last_b, F.lit(RDFS_COMMENT)).otherwise(F.lit(RDF_MAX)).alias("pred"),
+        F.when(last_b, F.lit(OBFUSCATED_UPPER)).otherwise(upper_lex).alias("obj_value"),
+        F.when(last_b, F.lit("string")).otherwise(F.lit(bound_dt)).alias("obj_dtype"),
+        F.lit(False).alias("obj_is_iri"),
+    )
 
     # bucket(i) = g*i/k in integer arithmetic (Generalization.java:50)
     bucket_id = F.expr(f"CAST({g} AS BIGINT) * _rank DIV {n}")
@@ -115,7 +146,7 @@ def generalize(
         F.lit("iri").alias("obj_dtype"),
         F.lit(True).alias("obj_is_iri"),
     )
-    return assign.unionByName(triples_df(spark, bucket_rows))
+    return assign.unionByName(t_type).unionByName(t_min).unionByName(t_max)
 
 
 def generalize_object(

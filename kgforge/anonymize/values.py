@@ -67,6 +67,38 @@ def format_bound(datatype: str, v: float) -> tuple[str, str]:
     return epoch_sec_to_lexical(int(v)), "xsd:dateTime"
 
 
+def median_col(datatype: str, v1: Column, v2: Column) -> Column:
+    """Column twin of :func:`median_value` (same null-tolerance and Java
+    long-division truncation) so bucket bounds can be built as a DataFrame
+    transform instead of a driver loop."""
+    if datatype in NUMERIC_DATATYPES:
+        mean = (v1 + v2) / F.lit(2.0)
+    else:
+        s = v1.cast("long") + v2.cast("long")
+        # Java long division truncates toward zero; Spark's % keeps the
+        # dividend's sign (like Java), so (s - s % 2) / 2 is exact
+        mean = ((s - (s % F.lit(2))) / F.lit(2)).cast("double")
+    return F.when(v1.isNull(), v2).when(v2.isNull(), v1).otherwise(mean)
+
+
+def format_bound_col(datatype: str, v: Column) -> tuple[Column, str]:
+    """Column twin of :func:`format_bound`.  Spark's double→string cast calls
+    JVM Double.toString, byte-identical to :func:`java_double_str` (verified
+    over the fixture value domain); date/dateTime render in the session
+    timezone, which the engine pins to UTC."""
+    if datatype in NUMERIC_DATATYPES:
+        return v.cast("string"), "xsd:double"
+    if datatype == "date":
+        return (
+            F.date_add(F.to_date(F.lit("1970-01-01")), v.cast("int")).cast("string"),
+            "xsd:date",
+        )
+    return (
+        F.date_format(F.timestamp_seconds(v.cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        "xsd:dateTime",
+    )
+
+
 def format_randomized(datatype: str, v: float) -> tuple[str, str]:
     if datatype in NUMERIC_DATATYPES:
         return java_double_str(float(v)), "xsd:double"

@@ -103,3 +103,52 @@ def test_build_kg_plan_is_clean(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_generalize_plan_flat_at_large_g(spark):
+    """W3 scale gate: boundary extraction must not inline a literal IN-list or
+    run a driver loop over g — plan size stays O(1) as g grows to 10^4."""
+    from kgforge.anonymize.ops import generalize
+
+    n = 20_000
+    col_df = spark.range(n).select(
+        F.concat(F.lit("http://ex.org/r"), F.col("id")).alias("subj"),
+        F.col("id").cast("double").cast("string").alias("obj_value"),
+    )
+    plans = {}
+    for g in (10, 10_000):
+        df = generalize(col_df, "http://ex.org/attr", "double", g, n)
+        plans[g] = df._jdf.queryExecution().optimizedPlan().toString()
+        assert " IN (" not in plans[g]
+    # plan text must not grow with g (allow slack for the differing digits)
+    assert len(plans[10_000]) < len(plans[10]) + 2_000
+    # and the boundary join must be a broadcast (ranked side never shuffles
+    # for the boundary lookup)
+    big = generalize(col_df, "http://ex.org/attr", "double", 10_000, n)
+    phys = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+
+
+def test_generalize_large_g_bounds_match_driver_formula(spark):
+    """Value check at g=1000: DataFrame-built bounds equal the scalar
+    median/format formulas computed in plain Python."""
+    from kgforge.anonymize.ops import generalize
+    from kgforge.anonymize.values import format_bound, median_value
+
+    n, g = 5_000, 1_000
+    vals = [((i * 37) % n) * 0.5 for i in range(n)]
+    col_df = spark.createDataFrame(
+        [(f"http://ex.org/r{i:05d}", str(v)) for i, v in enumerate(vals)],
+        "subj string, obj_value string",
+    )
+    out = generalize(col_df, "http://ex.org/a", "double", g, n)
+    got_min = {
+        r["subj"]: r["obj_value"]
+        for r in out.filter(F.col("pred").endswith("min")).collect()
+    }
+    sv = sorted(vals)
+    for b in (1, 17, 500, g - 1):
+        lb = b * n // g
+        lower = median_value("double", sv[lb - 1] if lb > 0 else None, sv[lb])
+        lex, _ = format_bound("double", lower)
+        assert got_min[f"http://ex.org/a_{b}"] == lex, b
