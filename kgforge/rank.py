@@ -66,6 +66,59 @@ def with_global_rank(df: DataFrame, order_cols: list, out: str = "_rank",
     )
 
 
+def with_global_running_sum(
+    df: DataFrame, order_cols: list, value_col: str, out: str = "_runsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` under ``order_cols``
+    without a single-partition window.
+
+    Same shape as :func:`with_global_rank`: repartitionByRange →
+    sortWithinPartitions → per-partition cumulative sums via mapInPandas →
+    broadcast join of tiny per-partition base offsets.  Rows with equal keys
+    may order arbitrarily among themselves, so the result is deterministic
+    only where ``value_col`` is constant across ties or ties carry value 0 —
+    exactly the contract the k-anonymity range counting needs (queries have
+    weight 0, tied points are interchangeable +1s).
+    """
+    npart = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    d = (
+        df.repartitionByRange(npart, *order_cols)
+        .sortWithinPartitions(*order_cols)
+    )
+    schema = T.StructType(
+        list(d.schema.fields)
+        + [T.StructField("_pid", T.IntegerType()), T.StructField("_pcs", T.LongType())]
+    )
+
+    def cum(it):
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in it:
+            cs = pdf[value_col].cumsum() + acc
+            if len(cs):
+                acc = int(cs.iloc[-1])
+            yield pdf.assign(_pid=pid, _pcs=cs)
+
+    d = d.mapInPandas(cum, schema=schema).persist()
+    totals = {
+        r["_pid"]: r["t"]
+        for r in d.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], schema="_pid int, _off long"
+    )
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_pcs"))
+        .drop("_pid", "_pcs", "_off")
+    )
+
+
 def with_global_index(df: DataFrame, out: str = "_idx") -> DataFrame:
     """0-based index in current partition order (zipWithIndex, Arrow path)."""
     schema = _extended_schema(df)

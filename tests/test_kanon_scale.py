@@ -1,0 +1,157 @@
+"""A6 scale-path equivalence: the pairs / ranges / grouped k-anonymity
+strategies must produce identical k, and the scalable paths must work on the
+skew case that kills the pair join (one generalization group = whole table).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.anonymize.kpi import k_anonymity
+from kgforge.config import AttrConfig
+from kgforge.triples import RDF_TYPE
+
+T = "http://ex.org/Person"
+A0 = "http://ex.org/salary"
+A1 = "http://ex.org/age"
+GEN = "http://ex.org/grp"
+
+
+def _mk_triples(spark, n, *, n_groups, rand_attrs, null_frac=0.1, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    data = {}
+    for i in range(n):
+        s = f"http://ex.org/r{i:06d}"
+        rows.append((s, RDF_TYPE, T, "iri", True))
+        if n_groups > 1:
+            grp = f"g{rng.randrange(n_groups)}"
+            rows.append((s, GEN + "_generalized", grp, "iri", True))
+        else:
+            grp = None
+        rec = {"grp": grp}
+        for attr in rand_attrs:
+            if rng.random() < null_frac:
+                rec[attr] = (None, None)
+            else:
+                o = round(rng.uniform(0, 1000), 3)
+                r = round(o + rng.uniform(-50, 50), 3)
+                rows.append((s, attr, repr(o), "xsd:double", False))
+                rows.append((s, attr + "_randomized", repr(r), "xsd:double", False))
+                rec[attr] = (o, r)
+        data[s] = rec
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean"
+    )
+    return df, data
+
+
+def _expected_k(data, rand_attrs):
+    """Plain-python mirror of KpiService.calculateKAnonymity."""
+    subs = list(data)
+    benches = {}
+    for attr in rand_attrs:
+        ds = [
+            abs(rec[attr][0] - rec[attr][1])
+            for rec in data.values()
+            if rec[attr][0] is not None
+        ]
+        benches[attr] = (2.0 * sum(ds) / len(ds)) if ds else None
+    k = None
+    for s in subs:
+        cnt = 0
+        for s2 in subs:
+            if data[s]["grp"] != data[s2]["grp"]:
+                continue
+            ok = True
+            for attr in rand_attrs:
+                o1, r1 = data[s][attr]
+                o2, _ = data[s2][attr]
+                if o1 is None and o2 is None:
+                    continue
+                b = benches[attr]
+                if o1 is None or o2 is None or b is None:
+                    ok = False
+                    break
+                if not (r1 - b <= o2 <= r1 + b):
+                    ok = False
+                    break
+            if ok:
+                cnt += 1
+        k = cnt if k is None else min(k, cnt)
+    return k or 0
+
+
+CFG = {
+    GEN: AttrConfig("double", "generalization"),
+    A0: AttrConfig("double", "randomization"),
+    A1: AttrConfig("double", "randomization"),
+}
+
+
+def test_ranges_equals_pairs_single_attr(spark):
+    triples, data = _mk_triples(spark, 400, n_groups=5, rand_attrs=[A0])
+    used = [GEN, A0]
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    k_ranges = k_anonymity(triples, T, used, CFG, mode="ranges")
+    assert k_pairs == k_ranges == _expected_k(data, [A0])
+
+
+def test_grouped_equals_pairs_two_attrs(spark):
+    triples, data = _mk_triples(spark, 300, n_groups=4, rand_attrs=[A0, A1])
+    used = [GEN, A0, A1]
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    k_grouped = k_anonymity(triples, T, used, CFG, mode="grouped")
+    assert k_pairs == k_grouped == _expected_k(data, [A0, A1])
+
+
+def test_ranges_survives_single_giant_group(spark):
+    """The skew case: no generalization attr → every resource lands in ONE
+    null group.  The pair join would build n² rows; the ranges path is a
+    sort + prefix sum and must both finish and agree with a numpy oracle."""
+    n = 30_000
+    rng = np.random.default_rng(11)
+    o = np.round(rng.uniform(0, 1000, n), 3)
+    r = np.round(o + rng.uniform(-50, 50, n), 3)
+    rows = []
+    for i in range(n):
+        s = f"http://ex.org/r{i:06d}"
+        rows.append((s, RDF_TYPE, T, "iri", True))
+        rows.append((s, A0, repr(float(o[i])), "xsd:double", False))
+        rows.append((s, A0 + "_randomized", repr(float(r[i])), "xsd:double", False))
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean"
+    )
+    k = k_anonymity(triples, T, [A0], CFG, mode="ranges")
+    bench = 2.0 * np.abs(o - r).mean()
+    so = np.sort(o)
+    lo = np.searchsorted(so, r - bench, side="left")
+    hi = np.searchsorted(so, r + bench, side="right")
+    assert k == int((hi - lo).min())
+
+
+def test_auto_dispatch(spark):
+    triples, data = _mk_triples(spark, 200, n_groups=3, rand_attrs=[A0])
+    used = [GEN, A0]
+    # auto with a tiny threshold must take the scalable path and still agree
+    k_auto_small = k_anonymity(triples, T, used, CFG, mode="auto", pair_threshold=10)
+    k_auto_big = k_anonymity(triples, T, used, CFG, mode="auto")
+    assert k_auto_small == k_auto_big == _expected_k(data, [A0])
+
+
+def test_nulls_and_empty_bench(spark):
+    # all originals null for one attr → bench None → only null-pairs count
+    rows = []
+    for i in range(20):
+        s = f"http://ex.org/r{i:02d}"
+        rows.append((s, RDF_TYPE, T, "iri", True))
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean"
+    )
+    for m in ("pairs", "ranges"):
+        k = k_anonymity(triples, T, [A0], CFG, mode=m)
+        assert k == 20, m
