@@ -912,7 +912,146 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+# (norm, eid, canonical, etype) — the corpus-word link catalog used by the
+# value-checked kg_triples pipeline (same surfaces as _LINK_CANDS)
+_KG_CATALOG = [
+    (n, e, c, "Scan" if "SCAN" in e else ("Join" if "JOIN" in e else "Op"))
+    for (n, e, c) in _LINK_CANDS
+]
+
+
 def _kg_triples(spark, sf_dir):
+    """Flagship build_kg DAG value-checked END TO END: mention detection →
+    link scoring → near-dup canonicalization → triple materialization, over
+    a deterministic one-text-span projection of the documents table with the
+    corpus vocab/catalog, so every stage (and the final triple multiset) is
+    DuckDB-expressible.  The interleaved text+media variant (spans are
+    python-synthesized, not SQL-expressible) runs as kg_triples_interleaved
+    with the driver's rows-only check."""
+    from kgforge.kg.pipeline import build_kg
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.lower(F.col("text")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    catalog = spark.createDataFrame(
+        _KG_CATALOG, "norm string, eid string, canonical string, etype string"
+    )
+    triples, _ = build_kg(
+        docs,
+        mention_strategy="regex",
+        link_strategy="sql",
+        collect_metrics=False,
+        mention_vocab=_MENTION_VOCAB,
+        mention_case_insensitive=False,
+        catalog=catalog,
+    )
+    return triples
+
+
+def _kg_triples_oracle() -> str:
+    """DuckDB mirror of the full build_kg DAG over the flat-span projection:
+    the mention CTE (shared with doc_mentions), trigram-Jaccard link scoring
+    with the max-struct tie order, char-3-shingle all-pairs canonicalization
+    with recursive-CTE connected components, and the union of every triple
+    family build_kg emits (mentions / mentionCount / rdf:type /
+    canonicalName / surfaceForm / nearDuplicateOf / spanCount)."""
+    tri = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length({p}) - 2, 1)),"
+        " i -> substr({p}, i, 3)))"
+    )
+    ta = tri.format(p="'^' || surface || '$'")
+    tb = tri.format(p="'^' || lower(canonical) || '$'")
+    ts = tri.format(p="'^' || surface || '$'")
+    values = ", ".join(
+        f"('{n}', '{e}', '{c}', '{t}')" for n, e, c, t in _KG_CATALOG
+    )
+    kg = "http://kgforge.dev/ns/"
+    ent = "http://kgforge.dev/entity/"
+    doc = "http://kgforge.dev/doc/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+WITH RECURSIVE {_doc_mentions_cte()},
+cands(norm, eid, canonical, etype) AS (VALUES {values}),
+joined AS (
+  SELECT m.doc_id, m.start, m.surface, c.eid, c.canonical, c.etype
+  FROM mentions m JOIN cands c ON c.norm = m.surface
+), tri AS (
+  SELECT doc_id, start, surface, eid, canonical, etype,
+         {ta} AS ta, {tb} AS tb
+  FROM joined
+), scored AS (
+  SELECT doc_id, start, surface, eid, canonical, etype,
+         len(list_intersect(ta, tb)) * 1.0
+           / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS score
+  FROM tri
+), best AS (
+  SELECT * FROM (
+    SELECT doc_id, start, surface, eid, canonical, etype,
+           row_number() OVER (PARTITION BY doc_id, start
+                              ORDER BY score DESC, eid DESC, etype DESC,
+                                       canonical DESC, surface DESC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), surfaces AS (
+  SELECT DISTINCT surface FROM best
+), shing AS (
+  SELECT surface, {ts} AS sh FROM surfaces
+), sedges AS (
+  SELECT a.surface AS a, b.surface AS b
+  FROM shing a JOIN shing b ON a.surface < b.surface
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.55
+), sund AS (
+  SELECT a AS u, b AS v FROM sedges UNION SELECT b, a FROM sedges
+), sreach(s, t) AS (
+  SELECT u, u FROM sund
+  UNION
+  SELECT sreach.s, sund.v FROM sreach JOIN sund ON sreach.t = sund.u
+), scomp AS (
+  SELECT s AS node, min(t) AS comp FROM sreach GROUP BY s
+), canon AS (
+  SELECT surfaces.surface, coalesce(scomp.comp, surfaces.surface) AS canon
+  FROM surfaces LEFT JOIN scomp ON scomp.node = surfaces.surface
+)
+SELECT '{doc}' || CAST(doc_id AS VARCHAR) AS subj,
+       '{kg}mentions' AS pred,
+       '{ent}' || eid AS obj_value, 'iri' AS obj_dtype, TRUE AS obj_is_iri
+FROM (SELECT DISTINCT doc_id, eid FROM best)
+UNION ALL
+SELECT '{ent}' || eid, '{kg}mentionCount', CAST(count(*) AS VARCHAR),
+       'xsd:long', FALSE
+FROM best GROUP BY eid
+UNION ALL
+SELECT '{ent}' || eid, '{rdf_type}', '{kg}' || etype, 'iri', TRUE
+FROM (SELECT DISTINCT eid, etype FROM best)
+UNION ALL
+SELECT '{ent}' || eid, '{kg}canonicalName', canonical, 'string', FALSE
+FROM (SELECT DISTINCT eid, canonical FROM best)
+UNION ALL
+SELECT '{ent}' || eid, '{kg}surfaceForm', surface, 'string', FALSE
+FROM (SELECT DISTINCT eid, surface FROM best)
+UNION ALL
+SELECT '{kg}surface/' || surface, '{kg}nearDuplicateOf',
+       '{kg}surface/' || canon, 'iri', TRUE
+FROM canon WHERE canon <> surface
+UNION ALL
+SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}spanCount', '1',
+       'xsd:long', FALSE
+FROM documents
+"""
+
+
+def _kg_triples_interleaved(spark, sf_dir):
     from kgforge.kg.pipeline import build_kg, docs_from_testdata
 
     docs = docs_from_testdata(spark, sf_dir)
@@ -967,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mentions": _doc_mentions,
         "doc_links": _doc_links,
         "kg_triples": _kg_triples,
+        "kg_triples_interleaved": _kg_triples_interleaved,
     }
 
 
@@ -1519,7 +1659,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
         GROUP BY lang
         """,
-        # kg_triples: not ANSI-SQL-expressible (iterative connected
-        # components over python-synthesized spans) — the driver records the
-        # weaker rows-only check for it.
+        "kg_triples": _kg_triples_oracle(),
+        # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
+        # python-synthesized with splitmix64) — the driver records the weaker
+        # rows-only check for it; kg_triples value-checks the same DAG.
     }

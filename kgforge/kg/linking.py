@@ -74,14 +74,18 @@ def trigram_jaccard_col(df: DataFrame, a: str, b: str,
     )
 
 
-def link_mentions(mentions: DataFrame, strategy: str = "sql") -> DataFrame:
+def link_mentions(mentions: DataFrame, strategy: str = "sql",
+                  cands: DataFrame | None = None) -> DataFrame:
     """(doc_id, span_idx, offset, surface, start) →
     (doc_id, span_idx, start, surface, eid, etype, canonical, score).
 
     ``sql`` (default) scores candidates with JVM trigram-Jaccard expressions;
-    ``pandas`` uses the Arrow-batched UDF — identical scores (tested)."""
+    ``pandas`` uses the Arrow-batched UDF — identical scores (tested).
+    ``cands`` overrides the built-in demo catalog with a caller-supplied
+    (norm, eid, canonical, etype) DataFrame."""
     spark = mentions.sparkSession
-    cands = candidate_table(spark)
+    if cands is None:
+        cands = candidate_table(spark)
     m = mentions.withColumn("norm", F.lower(F.col("surface")))
     joined = m.join(F.broadcast(cands), "norm", "inner")
     if strategy == "sql":

@@ -83,8 +83,16 @@ def build_kg(
     near_dup_threshold: float = 0.55,
     collect_metrics: bool = True,
     small_canon_threshold: int = 20_000,
+    mention_vocab: list | None = None,
+    mention_case_insensitive: bool = True,
+    catalog: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (triples, metrics).
+
+    ``mention_vocab`` / ``mention_case_insensitive`` / ``catalog`` override
+    the built-in demo entity vocabulary and link catalog so the pipeline runs
+    over arbitrary domain corpora (catalog schema:
+    ``norm string, eid string, canonical string, etype string``).
 
     ``collect_metrics=False`` skips the per-stage count actions (each is a
     full pipeline barrier) — used by throughput benchmarks; the numbers are
@@ -103,8 +111,11 @@ def build_kg(
         metrics["spans_by_kind"] = kind_counts
         metrics["n_spans"] = int(sum(kind_counts.values()))
 
-    mentions = detect_mentions(spans, strategy=mention_strategy)
-    linked = link_mentions(mentions, strategy=link_strategy).persist()
+    mentions = detect_mentions(
+        spans, strategy=mention_strategy, vocab=mention_vocab,
+        case_insensitive=mention_case_insensitive,
+    )
+    linked = link_mentions(mentions, strategy=link_strategy, cands=catalog).persist()
     if collect_metrics:
         metrics["n_mentions"] = linked.count()
 
