@@ -1,5 +1,15 @@
 """Library entry points mirroring the reference's two REST endpoints
-(AnonymizationRestController.java:35-70) — no HTTP, config loader injectable.
+(AnonymizationRestController.java:35-70) — no HTTP server; the config
+loader fetches over HTTP with injectable transport (kgforge.config).
+
+Request validation mirrors the DTO constraints
+(dto/AnonymizationJsonLDRequestDto.java:16-44,
+dto/AnonymizationFlatJsonRequestDto.java:15-47): NotBlank
+configurationUrl / prefix, NotNull / NotEmpty data, and the AssertTrue rule
+``useAdjustedAttributes must be true when includeOriginalData is true``.
+Violations raise :class:`RequestValidationError` carrying the same
+field → message map Spring's handler returns as the 400 body
+(GlobalExceptionHandler.java:25-38).
 """
 
 from __future__ import annotations
@@ -8,25 +18,69 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kgforge.anonymize.engine import AnonymizationReport, anonymize_triples
 from kgforge.anonymize.flat_output import flat_json_output
-from kgforge.config import CONFIG_BY_URL, AnonymizationConfig
+from kgforge.config import CONFIG_BY_URL, AnonymizationConfig, fetch_config
 from kgforge.ingest import flat_rows_to_triples, jsonld_to_triples
 
 
-def resolve_config(configuration_url: str | None, config: AnonymizationConfig | None):
+class RequestValidationError(ValueError):
+    """DTO bean-validation failure (400 'Validation failed').  ``fields``
+    maps field name → message like the reference's response body."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = dict(fields)
+        super().__init__("Validation failed: " + "; ".join(
+            f"{k}: {v}" for k, v in sorted(self.fields.items())
+        ))
+
+
+def _validate_request(request: dict, *, flat: bool) -> None:
+    errors: dict[str, str] = {}
+    url = request.get("configurationUrl")
+    if not isinstance(url, str) or not url.strip():
+        errors["configurationUrl"] = "configurationUrl is mandatory"
+    if flat:
+        prefix = request.get("prefix")
+        if not isinstance(prefix, str) or not prefix.strip():
+            errors["prefix"] = "Prefix is mandatory"
+        data = request.get("data")
+        if not data:  # NotEmpty: missing, None, or []
+            errors["data"] = "data is mandatory"
+    else:
+        if request.get("data") is None:  # NotNull only
+            errors["data"] = "data is mandatory"
+    if request.get("includeOriginalData", False) and not request.get(
+        "useAdjustedAttributes", True
+    ):
+        errors["validAttributeConfiguration"] = (
+            "useAdjustedAttributes must be true when includeOriginalData is true"
+        )
+    if errors:
+        raise RequestValidationError(errors)
+
+
+def resolve_config(
+    configuration_url: str | None,
+    config: AnonymizationConfig | None,
+    transport=None,
+):
+    """Explicit config > offline demo catalog > HTTP fetch with the
+    reference's OntologyError semantics."""
     if config is not None:
         return config
     if configuration_url in CONFIG_BY_URL:
         return CONFIG_BY_URL[configuration_url]
-    raise ValueError(f"no configuration available for {configuration_url!r}")
+    return fetch_config(configuration_url, transport=transport)
 
 
 def anonymize_flat_json(
     spark: SparkSession,
     request: dict,
     config: AnonymizationConfig | None = None,
+    transport=None,
 ) -> dict:
     """PUT /api/anonymization/flatjson equivalent: request dict → response dict."""
-    cfg = resolve_config(request.get("configurationUrl"), config)
+    _validate_request(request, flat=True)
+    cfg = resolve_config(request.get("configurationUrl"), config, transport)
     prefix = request["prefix"]
     triples = flat_rows_to_triples(spark, request["data"], prefix)
     calculate_kpi = request.get("calculateKpi", True)
@@ -46,9 +100,11 @@ def anonymize_jsonld(
     spark: SparkSession,
     request: dict,
     config: AnonymizationConfig | None = None,
+    transport=None,
 ) -> tuple[DataFrame, AnonymizationReport]:
     """PUT /api/anonymization equivalent: returns the anonymized triple table."""
-    cfg = resolve_config(request.get("configurationUrl"), config)
+    _validate_request(request, flat=False)
+    cfg = resolve_config(request.get("configurationUrl"), config, transport)
     triples = jsonld_to_triples(spark, request["data"])
     return anonymize_triples(
         triples,

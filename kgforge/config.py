@@ -170,3 +170,71 @@ CONFIG_BY_URL = {
     "https://soya.ownyourdata.eu/AnonymisationDemo": ANONYMISATION_DEMO,
     "https://soya.ownyourdata.eu/AnonymisationDemo2": ANONYMISATION_DEMO2,
 }
+
+
+# --- HTTP config loading (reference: ConfigurationService.java:54-101) -----
+
+
+def _default_transport(url: str, timeout: float = 30.0) -> tuple[int, str | None]:
+    """GET ``url`` → (status, body).  Raises OSError/ValueError on transport
+    failure — exactly the failures :func:`fetch_config` converts to
+    OntologyError like the reference's URISyntaxException/IOException arm."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        body = resp.read()
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.status, body.decode(charset, errors="replace")
+
+
+def fetch_config(url: str, transport=None) -> AnonymizationConfig:
+    """Fetch + parse + extract a SOyA configuration graph from a URL with the
+    reference's exact error semantics (ConfigurationService.fetchStringContent
+    + getModel, ConfigurationService.java:54-101):
+
+    - transport failure (bad URI, DNS, IO) →
+      ``OntologyError("Failed to fetch ontology from URL: <url>")``
+    - non-2xx status →
+      ``OntologyError("Failed to fetch ontology from URL: <url>. HTTP status: <s>")``
+    - 2xx with empty body →
+      ``OntologyError("Successful request but empty response body ...")``
+    - unparseable JSON-LD →
+      ``OntologyError("Exception when parsing the fetched ontology")``
+
+    ``transport`` is injectable: a callable ``url -> (status, body)`` —
+    tests use in-memory fakes; production uses urllib.
+    """
+    import json as _json
+
+    tp = transport or _default_transport
+    try:
+        status, body = tp(url)
+    except (OSError, ValueError) as exc:
+        # urllib raises HTTPError (an OSError) for non-2xx — preserve the
+        # status-specific message in that case, like the Java HttpClient
+        # which returns the response instead of throwing
+        code = getattr(exc, "code", None)
+        if code is not None:
+            raise OntologyError(
+                f"Failed to fetch ontology from URL: {url}. HTTP status: {code}"
+            ) from exc
+        raise OntologyError(f"Failed to fetch ontology from URL: {url}") from exc
+    if not (200 <= status < 300):
+        raise OntologyError(
+            f"Failed to fetch ontology from URL: {url}. HTTP status: {status}"
+        )
+    if not body:
+        raise OntologyError(
+            "Successful request but empty response body for fetching ontology "
+            f"from: {url}"
+        )
+    try:
+        doc = _json.loads(body)
+        from kgforge.ingest import jsonld_to_triple_tuples
+
+        triples = jsonld_to_triple_tuples(doc)
+    except OntologyError:
+        raise
+    except Exception as exc:
+        raise OntologyError("Exception when parsing the fetched ontology") from exc
+    return extract_config(triples)

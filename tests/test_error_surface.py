@@ -48,3 +48,120 @@ def test_invalid_prefix_yields_empty_output(spark):
     )
     got = anonymize_flat_json(spark, req)
     assert got == want
+
+
+# --- HTTP config loader error semantics (ConfigurationService.java:54-101) --
+
+def _fake_transport(status, body):
+    def tp(url):
+        return status, body
+    return tp
+
+
+def test_http_non_2xx_raises_with_status(spark):
+    from kgforge.config import OntologyError, fetch_config
+
+    with pytest.raises(OntologyError, match="HTTP status: 404"):
+        fetch_config("https://example.org/cfg", transport=_fake_transport(404, "x"))
+
+
+def test_http_empty_body_raises(spark):
+    from kgforge.config import OntologyError, fetch_config
+
+    with pytest.raises(OntologyError, match="empty response body"):
+        fetch_config("https://example.org/cfg", transport=_fake_transport(200, ""))
+
+
+def test_http_unparseable_config_raises(spark):
+    # 03: invalid configuration (content of URL no valid rdf)
+    from kgforge.config import OntologyError, fetch_config
+
+    with pytest.raises(OntologyError, match="parsing the fetched ontology"):
+        fetch_config(
+            "https://example.org/cfg",
+            transport=_fake_transport(200, "this is not rdf"),
+        )
+
+
+def test_http_transport_failure_names_url(spark):
+    from kgforge.config import OntologyError, fetch_config
+
+    def boom(url):
+        raise OSError("connection refused")
+
+    with pytest.raises(OntologyError, match="https://example.org/cfg"):
+        fetch_config("https://example.org/cfg", transport=boom)
+
+
+def test_http_valid_jsonld_config_roundtrip(spark):
+    """A minimal SOyA graph served through the fake transport must extract
+    to the same AttrConfig the offline demo catalog declares."""
+    import json
+
+    from kgforge.config import AttrConfig, fetch_config
+
+    ns = "https://w3id.org/soya/ns#"
+    p = "https://soya.example/T/"
+    doc = {
+        "@graph": [
+            {"@id": p + "overlay", "@type": ns + "OverlayClassification",
+             ns + "onBase": {"@id": p + "Obj"}},
+            {"@id": p + "name",
+             "http://www.w3.org/2000/01/rdf-schema#domain": {"@id": p + "Obj"},
+             "http://www.w3.org/2000/01/rdf-schema#range": {"@id": p + "string"},
+             ns + "classification": {"@id": p + "masking"}},
+        ]
+    }
+    cfg = fetch_config(
+        "https://soya.example/T", transport=_fake_transport(200, json.dumps(doc))
+    )
+    assert cfg == {p + "Obj": {p + "name": AttrConfig("string", "masking")}}
+
+
+# --- DTO validation parity (AnonymizationFlatJsonRequestDto.java:15-47) -----
+
+def test_include_original_requires_adjusted_attributes(spark):
+    from kgforge.api import RequestValidationError
+
+    req = _load("11-maksing")
+    req["includeOriginalData"] = True
+    req["useAdjustedAttributes"] = False
+    with pytest.raises(RequestValidationError) as ei:
+        anonymize_flat_json(spark, req)
+    assert ei.value.fields == {
+        "validAttributeConfiguration":
+            "useAdjustedAttributes must be true when includeOriginalData is true"
+    }
+
+
+def test_blank_prefix_and_empty_data_rejected(spark):
+    from kgforge.api import RequestValidationError
+
+    req = _load("11-maksing")
+    req["prefix"] = "   "
+    req["data"] = []
+    with pytest.raises(RequestValidationError) as ei:
+        anonymize_flat_json(spark, req)
+    assert ei.value.fields == {
+        "prefix": "Prefix is mandatory",
+        "data": "data is mandatory",
+    }
+
+
+def test_jsonld_data_null_rejected_empty_ok(spark):
+    from kgforge.api import RequestValidationError, anonymize_jsonld
+    from kgforge.config import ANONYMISATION_DEMO
+
+    with pytest.raises(RequestValidationError) as ei:
+        anonymize_jsonld(
+            spark, {"configurationUrl": "u", "data": None},
+            config=ANONYMISATION_DEMO,
+        )
+    assert ei.value.fields == {"data": "data is mandatory"}
+    # NotNull (not NotEmpty): an empty JSON-LD object must pass validation
+    out, _ = anonymize_jsonld(
+        spark,
+        {"configurationUrl": "https://soya.ownyourdata.eu/AnonymisationDemo",
+         "data": {}},
+    )
+    assert out.count() >= 0
