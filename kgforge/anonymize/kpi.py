@@ -43,9 +43,15 @@ def attribute_info_rows(type_iri: str, attr: str, strategy: str, g: int) -> list
 
 def kpi_object_rows(type_iri: str, k: int) -> list[tuple]:
     kpi_obj = KPI_OBJECT_URI + local_name(type_iri)
+    # Reference quirk (KpiService.java:43-44): `anonymizationObject` is a
+    # Resource of the CONFIG model, so `addProperty(soya:kpis, kpiObject)`
+    # writes the (type, kpis, kpiObject) link into the discarded config
+    # model, never the response model — the goldens contain only the KPI
+    # node itself.  We reproduce that: no kpis link triple.
     return [
-        (type_iri, KPIS_PRED, kpi_obj, "iri", True),
-        (kpi_obj, K_ANONYMITY, str(k), "xsd:integer", False),
+        # Jena Resource.addLiteral has no int overload, so the reference's
+        # int k widens to long → typed xsd:long (KpiService.java:47)
+        (kpi_obj, K_ANONYMITY, str(k), "xsd:long", False),
     ]
 
 

@@ -96,6 +96,24 @@ def anonymize_flat_json(
     return flat_json_output(out, cfg, prefix, calculate_kpi)
 
 
+def anonymize_jsonld_response(
+    spark: SparkSession,
+    request: dict,
+    config: AnonymizationConfig | None = None,
+    transport=None,
+) -> dict:
+    """PUT /api/anonymization equivalent INCLUDING the serialized JSON-LD
+    response body: the anonymized model compacted against the request data's
+    @context (kgforge.jsonld_out.serialize_jsonld — byte-exact twin of the
+    reference's Jena writer output)."""
+    from kgforge.jsonld_out import serialize_jsonld
+
+    out, _report = anonymize_jsonld(spark, request, config, transport)
+    data = request.get("data")
+    context = data.get("@context") if isinstance(data, dict) else None
+    return serialize_jsonld(out, context if isinstance(context, dict) else None)
+
+
 def anonymize_jsonld(
     spark: SparkSession,
     request: dict,

@@ -1,22 +1,31 @@
-"""JSON-LD endpoint parity: triple-set P/R vs the reference goldens.
+"""JSON-LD endpoint parity: EXACT equality vs the reference goldens.
 
-The reference pytest asserts byte-equality of Jena's JSON-LD serialization;
-we compare at the triple level instead (same information, serializer-
-independent): parse the golden output with our own normalizer and require
-P/R ≥ 0.95 on (subj, pred, obj_value) — dtype tags excluded because Jena
-types KPI ints as xsd:long and bucket bounds as java:* classes.
+``anonymize_jsonld_response`` must reproduce the reference's serialized
+JSON-LD byte-for-byte modulo two documented sources of slack, both rooted in
+unspecified Jena behavior:
 
-Tie-order caveat as in test_flat_fixtures (multisets invariant).
+1. Ordering — Jena's @graph node order and in-array value order are
+   hash-iteration-dependent, so nodes compare keyed by @id and arrays as
+   multisets (JSON object key order is irrelevant to parsed equality).
+2. Sort ties — the reference stable-sorts HashMap iteration order
+   (Randomization.java:61-66), so resources with EQUAL values may swap
+   bucket assignments.  ≤5% of nodes may differ, and only by such a
+   permutation: the multiset of differing node bodies must match.
+
+Everything else — @context echo, prefix compaction, @type vs the
+string-literal rdf:type quirk, typed-literal shapes including
+java:java.time.LocalDate bounds and xsd:long KPIs, the absent soya:kpis
+link, bare-node collapse for single-subject models — asserts exactly.
 """
 
 from __future__ import annotations
 
 import json
+from collections import Counter
 
 import pytest
 
-from kgforge.api import anonymize_jsonld
-from kgforge.ingest import jsonld_to_triple_tuples
+from kgforge.api import anonymize_jsonld_response
 
 REF = "/root/reference/pytest"
 
@@ -31,44 +40,57 @@ FIXTURES = [
 ]
 
 
-def _triple_set(tuples):
-    return {(s, p, v) for s, p, v, _dt, _iri in tuples}
+def _norm_node(n: dict) -> tuple:
+    out = {}
+    for k, v in n.items():
+        if isinstance(v, list):
+            out[k] = tuple(sorted(json.dumps(x, sort_keys=True) for x in v))
+        else:
+            out[k] = json.dumps(v, sort_keys=True)
+    return tuple(sorted(out.items()))
+
+
+def _nodes_by_id(doc: dict) -> dict:
+    graph = doc["@graph"] if "@graph" in doc else [doc]
+    nodes = {}
+    for n in graph:
+        body = {k: v for k, v in n.items() if k not in ("@id", "@context")}
+        nodes[n["@id"]] = _norm_node(body)
+    return nodes
 
 
 @pytest.mark.parametrize("name", FIXTURES)
-def test_jsonld_fixture(spark, name):
+def test_jsonld_fixture_exact(spark, name):
     with open(f"{REF}/01_input_json_ld/{name}.json") as f:
         req = json.load(f)
     with open(f"{REF}/01_output_json_ld/{name}.json") as f:
         golden = json.load(f)
 
-    got_df, _report = anonymize_jsonld(spark, req)
-    got = {
-        (r["subj"], r["pred"], r["obj_value"])
-        for r in got_df.select("subj", "pred", "obj_value").collect()
-    }
-    want = _triple_set(jsonld_to_triple_tuples(golden))
+    got = anonymize_jsonld_response(spark, req)
 
-    # blank-node ids are generator-local on both sides: compare bnode triples
-    # by (pred, value) multiset, IRI-subject triples exactly
-    got_iri = {t for t in got if not t[0].startswith("_:")}
-    want_iri = {t for t in want if not t[0].startswith("_:")}
+    assert got.get("@context") == golden.get("@context")
+    assert ("@graph" in got) == ("@graph" in golden)
 
-    inter = got_iri & want_iri
-    precision = len(inter) / len(got_iri) if got_iri else 1.0
-    recall = len(inter) / len(want_iri) if want_iri else 1.0
-    assert precision >= 0.95 and recall >= 0.95, (
-        f"P={precision:.4f} R={recall:.4f}\n"
-        f"sample only-got: {sorted(got_iri - want_iri)[:5]}\n"
-        f"sample only-want: {sorted(want_iri - got_iri)[:5]}"
+    gn, wn = _nodes_by_id(got), _nodes_by_id(golden)
+    assert set(gn) == set(wn), (
+        f"node ids differ: only-got={sorted(set(gn) - set(wn))[:5]} "
+        f"only-want={sorted(set(wn) - set(gn))[:5]}"
     )
 
-    from collections import Counter
-
-    got_bn = Counter((p, v) for s, p, v in got if s.startswith("_:"))
-    want_bn = Counter((p, v) for s, p, v in want if s.startswith("_:"))
-    assert got_bn == want_bn, (
-        f"bnode triples differ: extra={got_bn - want_bn} missing={want_bn - got_bn}"
+    diff = [i for i in gn if gn[i] != wn[i]]
+    limit = max(int(len(wn) * 0.05), 0)
+    assert len(diff) <= limit, (
+        f"{len(diff)} nodes differ (> {limit} allowed); first: "
+        f"{[(i, gn[i], wn[i]) for i in diff[:2]]}"
+    )
+    # the differing nodes must be a per-attribute tie permutation (subjects
+    # with tied values swap ONE attribute's assignment, keeping the rest):
+    # per property key, the value multiset across the diff set must match
+    gkeys = Counter((k, v) for i in diff for k, v in gn[i])
+    wkeys = Counter((k, v) for i in diff for k, v in wn[i])
+    assert gkeys == wkeys, (
+        f"node differences are not a tied-value permutation: "
+        f"extra={gkeys - wkeys} missing={wkeys - gkeys}"
     )
 
 
