@@ -603,13 +603,22 @@ def _simhash_pairs(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+_NGRAM_LANES = 32
+_NGRAM_BANDS = 16
+
+
 def _ngram_pairs(spark, sf_dir):
-    from kgforge.datapipe.dedup import ngram_jaccard_pairs
+    """LSH-banded mode (the scale path) with portable polynomial gram hashes
+    and concat band keys, so the DuckDB oracle reproduces the candidate set
+    exactly — banding misses are identical on both sides by construction."""
+    from kgforge.datapipe.dedup import ngram_jaccard_pairs, poly_hash
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, mode="lsh",
+        num_hashes=_NGRAM_LANES, bands=_NGRAM_BANDS,
+        gram_hash=lambda c: poly_hash(c, _SHINGLE_MULT), portable_bands=True,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _embed_near_dups(spark, sf_dir):
@@ -1222,6 +1231,64 @@ FROM d LEFT JOIN comp ON comp.node = d.id
 """
 
 
+def _ngram_oracle() -> str:
+    """Banded-LSH ngram_pairs mirror: same grams, same polynomial gram hash,
+    same minhash lanes/band keys (portable concat), same exact-Jaccard verify
+    restricted to the band candidates — candidate recall is identical on
+    both sides by construction."""
+    from kgforge.kg.lsh import lane_constants
+
+    lanes = lane_constants(_NGRAM_LANES)
+    rows = _NGRAM_LANES // _NGRAM_BANDS
+    sig = ",\n    ".join(
+        f"min((h * {a} + {b}) % 2147483647) AS mh{i}"
+        for i, (a, b) in enumerate(lanes)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT id, {bi} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{bi * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS key FROM sig"
+        for bi in range(_NGRAM_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM t
+), hs AS (
+  SELECT id, {_poly_sql('gram', _SHINGLE_MULT)} AS h FROM g
+), sig AS (
+  SELECT id,
+    {sig}
+  FROM hs GROUP BY id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.id < y.id
+), sizes AS (
+  SELECT id, count(*) AS n FROM g GROUP BY id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN g x ON x.id = c.a
+  JOIN g y ON y.id = c.b AND y.gram = x.gram
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = inter.a
+JOIN sizes sb ON sb.id = inter.b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
 def _fold_dot_sql(a: str, b: str) -> str:
     """Left-fold dot product — bit-identical to kgforge's F.aggregate fold."""
     return (
@@ -1612,28 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings
         ORDER BY cosine DESC, vec_id LIMIT 10
         """,
-        "ngram_pairs": """
-        WITH t AS (
-          SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS toks
-          FROM documents
-        ), g AS (
-          SELECT id, unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(toks) - 2, 0)),
-                   i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-          FROM t
-        ), sizes AS (
-          SELECT id, count(*) AS n FROM g GROUP BY id
-        ), inter AS (
-          SELECT x.id AS a, y.id AS b, count(*) AS inter
-          FROM g x JOIN g y ON x.gram = y.gram AND x.id < y.id
-          GROUP BY 1, 2
-        )
-        SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.id = inter.a
-        JOIN sizes sb ON sb.id = inter.b
-        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
-        """,
+        "ngram_pairs": _ngram_oracle(),
         "embed_near_dups_exact": """
         SELECT x.vec_id AS a, y.vec_id AS b,
                round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),

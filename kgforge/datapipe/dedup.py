@@ -209,18 +209,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.6) -> DataFrame:
-    """Word-n-gram Jaccard near-dups: all-pairs via shared-ngram join (inverted
-    index) — no LSH, exact, for moderate corpora / high thresholds."""
-    from kgforge.util import ensure_parallelism
-
-    toks = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.split(F.lower(F.col(text_col)), r"\s+").alias("toks")
-    )
+def _word_grams(d: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct word-n-grams per id — single source for both ngram modes so
+    exact and LSH verification agree gram-for-gram."""
+    toks = d.select("id", F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
     # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) — docs with < n tokens
     # must yield an empty gram array, not out-of-range slices
-    grams = toks.select(
+    return toks.select(
         "id",
         F.explode(
             F.expr(
@@ -231,16 +226,32 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("g"),
     ).dropDuplicates(["id", "g"])
+
+
+def _score_pairs(pairs_or_none, grams: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, jaccard ≥ threshold).  With ``pairs_or_none`` None the inverted
+    index joins all id pairs sharing a gram; with a candidate DataFrame the
+    gram join is restricted to those pairs (work = Σ|grams(a)| over
+    candidates, bounded by the LSH band buckets — never all-pairs)."""
     sizes = grams.groupBy("id").count()
     ga = grams.select(F.col("id").alias("a"), "g")
     gb = grams.select(F.col("id").alias("b"), "g")
-    inter = (
-        ga.join(gb, "g")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .count()
-        .withColumnRenamed("count", "inter")
-    )
+    if pairs_or_none is None:
+        inter = (
+            ga.join(gb, "g")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .count()
+            .withColumnRenamed("count", "inter")
+        )
+    else:
+        inter = (
+            pairs_or_none.join(ga, "a")
+            .join(gb, ["b", "g"])
+            .groupBy("a", "b")
+            .count()
+            .withColumnRenamed("count", "inter")
+        )
     za = sizes.select(F.col("id").alias("a"), F.col("count").alias("na"))
     zb = sizes.select(F.col("id").alias("b"), F.col("count").alias("nb"))
     return (
@@ -249,3 +260,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.6, mode: str = "exact",
+                        num_hashes: int = 32, bands: int | None = None,
+                        gram_hash=None, portable_bands: bool = False) -> DataFrame:
+    """Word-n-gram Jaccard near-dups.
+
+    ``mode="exact"``: all-pairs via shared-gram inverted index — exact but a
+    single hot shared gram explodes the join, so it is bounded to moderate
+    corpora.  ``mode="lsh"``: minhash signatures over the same grams, banded
+    candidate join, exact-Jaccard verification restricted to candidates —
+    the scale path; candidate volume is bounded by the band buckets even
+    when every document shares one hot gram.  Banding defaults to
+    kg.lsh.pick_bands(num_hashes, threshold); ``gram_hash`` /
+    ``portable_bands`` make the candidate set engine-portable so a SQL
+    oracle can reproduce it exactly (same trick as minhash_duplicate_clusters).
+    """
+    from kgforge.util import ensure_parallelism
+
+    d = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    grams = _word_grams(d, text_col, n)
+    if mode == "exact":
+        return _score_pairs(None, grams, threshold)
+    if mode != "lsh":
+        raise ValueError(f"unknown ngram_jaccard_pairs mode: {mode!r}")
+    from kgforge.kg.lsh import pairs_from_signatures, pick_bands, signatures_from_shingles
+
+    grams = grams.persist()
+    try:
+        sig = signatures_from_shingles(
+            grams.withColumnRenamed("g", "shingle"), "id", num_hashes,
+            shingle_hash=gram_hash,
+        )
+        cand = pairs_from_signatures(
+            sig, "id", num_hashes,
+            bands if bands is not None else pick_bands(num_hashes, threshold),
+            portable_bands,
+        )
+        out = _score_pairs(cand, grams, threshold)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()
+    return out

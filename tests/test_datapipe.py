@@ -134,3 +134,49 @@ def test_jsonld_roundtrip(spark):
     doc = triples_to_jsonld(triples_df(spark, tuples))
     back = set(jsonld_to_triple_tuples(doc))
     assert back == set(tuples)
+
+
+def test_ngram_lsh_mode_matches_exact(spark):
+    """Banded mode must find the same ≥-threshold pairs as the inverted-index
+    exact mode on the real corpus (recall at these thresholds is ~1; any
+    banding miss would also show up here)."""
+    from kgforge.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a"], r["b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, mode="lsh"
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_ngram_lsh_bounds_hot_gram_candidates(spark):
+    """One gram shared by EVERY document: the exact inverted index would
+    produce n(n-1)/2 candidate pairs from that gram alone; the banded path
+    must stay orders of magnitude below that."""
+    import random
+
+    from kgforge.datapipe.dedup import _word_grams
+    from kgforge.kg.lsh import pairs_from_signatures, pick_bands, signatures_from_shingles
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    n = 2000
+    rows = [
+        (str(i), "common shared gram " + " ".join(
+            rng.choice("abcdefghij") for _ in range(12)))
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    d = docs.select(F.col("doc_id").alias("id"), "text")
+    grams = _word_grams(d, "text", 3)
+    sig = signatures_from_shingles(grams.withColumnRenamed("g", "shingle"), "id", 32)
+    cand = pairs_from_signatures(sig, "id", 32, pick_bands(32, 0.5))
+    n_cand = cand.count()
+    assert n_cand < n * (n - 1) // 20, n_cand  # exact path would be n(n-1)/2
