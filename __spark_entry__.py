@@ -665,6 +665,29 @@ def _ann_topk(spark, sf_dir):
 
 _IVF_CENTROIDS = 16
 _IVF_PROBE = 2
+_IVF_SAMPLE_MOD = 4
+_IVF_KMEANS_ITERS = 8
+
+
+def _ivf_trained_centroids(sf_dir: str):
+    """k-means centroids from the deterministic vec_id%MOD==0 sample, read
+    OUTSIDE Spark (duckdb) so the query and the SQL oracle inline the exact
+    same float64 literals.  Training on a bounded deterministic sample is
+    the standard IVF recipe; assignment/probe/rerank stay distributed."""
+    import duckdb
+
+    from kgforge.datapipe.similarity import train_centroids_numpy
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') "
+        f"WHERE vec_id % {_IVF_SAMPLE_MOD} = 0 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return train_centroids_numpy(
+        [r[0] for r in rows], _IVF_CENTROIDS, iters=_IVF_KMEANS_ITERS
+    )
 
 
 def _ann_ivf(spark, sf_dir):
@@ -673,7 +696,8 @@ def _ann_ivf(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = ivf_topk(emb, queries, "vec_id", "embedding", k=_ANN_K,
-                   n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE)
+                   n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+                   centroids=_ivf_trained_centroids(sf_dir))
     return out.select(
         "qid", "id", F.round("cosine", 6).alias("cosine"),
         F.col("rk").cast("bigint").alias("rk"),
@@ -681,13 +705,20 @@ def _ann_ivf(spark, sf_dir):
 
 
 def _ivf_oracle() -> str:
+    """Mirror of _ann_ivf with the SAME trained centroids inlined as DOUBLE[]
+    literals (computed by the identical duckdb-sample + numpy k-means path,
+    at the driver comparison scale sf0.01)."""
     dot = _fold_dot_sql
     nrm = _fold_norm_sql
+    cents = _ivf_trained_centroids("/root/testdata/sf0.01")
+    cent_values = ",\n    ".join(
+        f"({i}, {_plane_literal(c)})" for i, c in enumerate(cents)
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), cents AS (
-  SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id < {_IVF_CENTROIDS}
+), cents(cent_id, cent_vec) AS (
+  VALUES {cent_values}
 ), corpus_assign AS (
   SELECT cid, v, cent_id FROM (
     SELECT e.vec_id AS cid, e.v, c.cent_id,

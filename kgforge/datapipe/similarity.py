@@ -144,23 +144,61 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int
     return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
 
 
+def train_centroids_numpy(vectors, n_centroids: int, iters: int = 8):
+    """Deterministic spherical k-means on a (driver-sized) training sample.
+
+    Pure numpy over the vectors in the given order: init = first
+    ``n_centroids`` vectors, assignment by cosine (ties → lowest centroid
+    index), update = member mean (an empty cell keeps its centroid).  Bit
+    deterministic — same sample order in, same float64 centroids out — so a
+    SQL oracle fed the same literals agrees with Spark by construction.
+    Training on a bounded deterministic sample is the standard IVF recipe
+    (the full corpus never fits on the driver; assignment, multi-probe and
+    rerank stay distributed)."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    n = len(X)
+    k = min(n_centroids, n)
+    if k == 0:
+        return []
+    C = X[:k].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        # argmax cosine; np.argmax takes the FIRST max → lowest centroid idx
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             k: int = 10, n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+             k: int = 10, n_centroids: int = 16, n_probe: int = 2,
+             centroids=None) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe the
     ``n_probe`` nearest cells per query, exact-cosine rerank inside them.
 
-    Centroids are the vectors with the ``n_centroids`` smallest ids —
-    deterministic seed centroids (production would refine them with k-means;
-    the cell-assignment / multi-probe / rerank plumbing is identical and is
-    what bounds the scan to |corpus|/cells × probes at scale).  Candidate
-    generation is one broadcast of the centroid table + one shuffle on the
-    cell id."""
+    ``centroids`` (list of vectors, e.g. from :func:`train_centroids_numpy`
+    over a deterministic sample) supplies trained cells; without it the
+    vectors with the ``n_centroids`` smallest ids act as deterministic seed
+    centroids.  Either way candidate generation is one broadcast of the
+    centroid table + one shuffle on the cell id, bounding the scan to
+    |corpus|/cells × probes at scale."""
     from pyspark.sql import Window as W
 
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("cent_vec"),
-    )
+    if centroids is not None:
+        cents = df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="cent_id long, cent_vec array<double>",
+        )
+    else:
+        cents = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cent_vec"),
+        )
 
     def _assign(side: DataFrame, out_id: str, probes: int) -> DataFrame:
         j = side.select(
