@@ -708,9 +708,15 @@ def _ivf_oracle() -> str:
     """Mirror of _ann_ivf with the SAME trained centroids inlined as DOUBLE[]
     literals (computed by the identical duckdb-sample + numpy k-means path,
     at the driver comparison scale sf0.01)."""
+    import os
+
     dot = _fold_dot_sql
     nrm = _fold_norm_sql
-    cents = _ivf_trained_centroids("/root/testdata/sf0.01")
+    # centroid literals must come from the SAME tables the comparison runs
+    # on; the driver compares at sf0.01, tests override via env
+    cents = _ivf_trained_centroids(
+        os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     cent_values = ",\n    ".join(
         f"({i}, {_plane_literal(c)})" for i, c in enumerate(cents)
     )

@@ -14,6 +14,8 @@ import __spark_entry__ as entrymod
 import os
 
 SF_DIR = os.environ.get("KGFORGE_TEST_SF_DIR", "/root/testdata/sf0.001")
+# data-derived oracle literals (IVF centroids) must train on the same tables
+os.environ["KGFORGE_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
