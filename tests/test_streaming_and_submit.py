@@ -47,31 +47,48 @@ def test_stream_event_counts_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_stream_docs_to_triples(spark, tmp_path):
+def test_stream_docs_to_triples_equals_batch_build_kg(spark, tmp_path):
+    """End-to-end streaming ≡ batch: the streamed graph (drained
+    incrementally over two document chunks, resuming from the checkpoint)
+    must equal build_kg's kg:mentions triple set over the same corpus —
+    value equality, not just counts."""
+    from pyspark.sql import functions as F
+
+    from kgforge.kg.pipeline import build_kg
     from kgforge.kg.synth import synth_docs
+    from kgforge.kg.vocab import KG
     from kgforge.streaming import stream_docs_to_triples
 
     docs_dir = str(tmp_path / "docs")
-    synth_docs(spark, 50, seed=42).write.parquet(docs_dir)
+    synth_docs(spark, 30, seed=42).write.parquet(docs_dir)
     schema = spark.read.parquet(docs_dir).schema
     out_dir = str(tmp_path / "graph")
     ckpt = str(tmp_path / "ckpt")
 
+    # chunk 1 drains, then chunk 2 lands and a second availableNow run picks
+    # up ONLY the new file via the checkpoint (incremental ingestion)
     q = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
     q.awaitTermination(120)
-    got = spark.read.parquet(out_dir)
-    n_stream = got.count()
-    assert n_stream > 0
+    synth_docs(spark, 60, seed=42).filter(
+        F.col("doc_id") >= "doc_000000000030"
+    ).write.mode("append").parquet(docs_dir)
+    q2 = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
+    q2.awaitTermination(120)
 
-    # streamed result == batch result over the same docs
-    from kgforge.kg.linking import link_mentions
-    from kgforge.kg.mentions import detect_mentions
-    from kgforge.kg.synth import explode_spans
+    got = {
+        (r["subj"], r["pred"], r["obj_value"], r["obj_dtype"], r["obj_is_iri"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
 
-    docs = spark.read.parquet(docs_dir)
-    linked = link_mentions(detect_mentions(explode_spans(docs), "sql"))
-    n_batch = linked.select("doc_id", "eid").distinct().count()
-    assert n_stream == n_batch
+    triples, _ = build_kg(
+        spark.read.parquet(docs_dir), mention_strategy="sql",
+        link_strategy="sql", collect_metrics=False,
+    )
+    want = {
+        tuple(r)
+        for r in triples.filter(F.col("pred") == KG + "mentions").collect()
+    }
+    assert got == want and len(got) > 0
 
 
 @pytest.mark.slow
