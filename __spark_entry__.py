@@ -656,7 +656,7 @@ def _ann_topk(spark, sf_dir):
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5)
     out = ann_topk(emb, queries, "vec_id", "embedding", dim, k=_ANN_K,
-                   n_planes=_ANN_PLANES)
+                   n_planes=_ANN_PLANES, multi_probe=True)
     return out.select(
         "qid", "id", F.round("cosine", 6).alias("cosine"),
         F.col("rk").cast("bigint").alias("rk"),
@@ -1368,8 +1368,14 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), sigged AS (
   SELECT vec_id, v, {bucket} AS bucket FROM e
-), q AS (
+), qbase AS (
   SELECT vec_id AS qid, v, bucket FROM sigged WHERE vec_id < 5
+), q AS (
+  -- multi-probe: the query's own bucket plus every Hamming-distance-1 flip
+  SELECT qid, v, bucket FROM qbase
+  UNION ALL
+  SELECT qid, v, xor(bucket, CAST(fl AS BIGINT)) AS bucket
+  FROM qbase, (SELECT unnest([{', '.join(str(1 << i) for i in range(_ANN_PLANES))}]) AS fl)
 ), c AS (
   SELECT vec_id AS cid, v, bucket FROM sigged
 ), scored AS (

@@ -75,12 +75,18 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 12,
 
 
 def ann_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
-             dim: int, k: int = 10, n_planes: int = 10) -> DataFrame:
+             dim: int, k: int = 10, n_planes: int = 10,
+             multi_probe: bool = False) -> DataFrame:
     """ANN: bucket-join queries to corpus on the hyperplane signature, exact
     cosine rerank inside buckets, top-k per query via window.
 
-    Recall < 1.0 by construction (single probe); raise recall with fewer
-    planes or multi-probe.  Corpus side is one shuffle on the bucket key.
+    ``multi_probe=True`` also probes every bucket at Hamming distance 1 from
+    the query's signature (n_planes extra probes per query): near-boundary
+    neighbors that one flipped hyperplane bit would miss are recovered,
+    lifting recall at a ×(n_planes+1) candidate cost on the (broadcast
+    query-side) join only — the corpus is still hashed once and shuffled
+    once on the bucket key.  A corpus vector lives in exactly one bucket, so
+    probes never produce duplicate candidates.
     """
     from pyspark.sql import Window as W
 
@@ -96,6 +102,15 @@ def ann_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         F.col(vec_col).cast("array<double>").alias("qvec"),
         "bucket",
     ).withColumn("qn", _norm(F.col("qvec")))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qs = qs.withColumn("bucket", F.explode(probes))
     joined = corpus.join(F.broadcast(qs), "bucket")
     scored = joined.withColumn(
         "cosine", _dot(F.col("cvec"), F.col("qvec")) / (F.col("cn") * F.col("qn"))

@@ -239,3 +239,45 @@ def test_ivf_trained_centroids_beat_seed_on_clustered_data(spark):
                                 n_probe=1, centroids=trained))
     assert r_trained > r_seed, (r_trained, r_seed)
     assert r_trained >= 0.9, r_trained
+
+
+def test_ann_multi_probe_lifts_recall_on_clustered_data(spark):
+    """Hamming-distance-1 multi-probe gate: near-boundary neighbors missed by
+    the single-probe bucket must be recovered (0.2 → ≥0.6 recall@5 on the
+    clustered synthetic; isotropic random vectors can't show the effect)."""
+    import random
+
+    from kgforge.datapipe.similarity import ann_topk, brute_force_topk
+
+    rng = random.Random(5)
+    dim = 32
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((i, [x + rng.gauss(0, 0.15) for x in c]))
+            i += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [(1000 + j, [x + rng.gauss(0, 0.15) for x in centers[3 + 4 * j]])
+             for j in range(5)]
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+
+    def recall(mp):
+        out = ann_topk(corpus, queries, "vec_id", "embedding", dim, k=5,
+                       n_planes=10, multi_probe=mp)
+        got: dict = {}
+        for r in out.collect():
+            got.setdefault(r["qid"], set()).add(r["id"])
+        hit = tot = 0
+        for qid, qv in qrows:
+            truth = {
+                r["id"]
+                for r in brute_force_topk(corpus, "vec_id", "embedding", qv, 5).collect()
+            }
+            hit += len(truth & got.get(qid, set()))
+            tot += len(truth)
+        return hit / tot
+
+    r1, rp = recall(False), recall(True)
+    assert rp > r1 and rp >= 0.6, (r1, rp)
