@@ -538,6 +538,13 @@ def _token_stats(spark, sf_dir):
     )
 
 
+def _lang_profiles(spark, sf_dir):
+    from kgforge.datapipe.textstats import language_id_profiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id_profiles(docs, "doc_id", "text")
+
+
 def _lang_id(spark, sf_dir):
     from kgforge.datapipe.textstats import language_id
 
@@ -1137,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "token_stats": _token_stats,
         "lang_id": _lang_id,
+        "lang_profiles": _lang_profiles,
         "quality": _quality,
         "fingerprint": _fingerprint,
         "sim_topk": _sim_topk,
@@ -1159,6 +1167,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL builders for the hash-based operators (portable-hash mirrors)
 # --------------------------------------------------------------------------
+
+def _lang_profiles_oracle() -> str:
+    from kgforge.datapipe.textstats import LANG_PROFILES
+
+    tris = ("list_distinct(list_transform("
+            "generate_series(1, greatest(length(lower(text)) - 2, 1)),"
+            " i -> substr(lower(text), i, 3)))")
+    score_cols = []
+    for lang, (stops, profile) in LANG_PROFILES.items():
+        stop_list = ", ".join(f"'{w}'" for w in stops)
+        prof_list = ", ".join("'" + t.replace("'", "''") + "'" for t in profile)
+        score_cols.append(
+            f"len(list_filter(dtoks, x -> x IN ({stop_list})))"
+            f" / greatest(len(dtoks), 1)"
+            f" + 0.5 * (len(list_intersect(tris, [{prof_list}]))"
+            f" / CAST({float(len(profile))} AS DOUBLE)) AS {lang}_score"
+        )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"{l}_score" for l in langs) + ")"
+    case = "CASE WHEN " + best + " < 0.02 THEN 'und' " + " ".join(
+        f"WHEN {l}_score = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    sel = ",\n  ".join(f"round({l}_score, 6) AS {l}_score" for l in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS dtoks,
+         {tris} AS tris
+  FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM t
+)
+SELECT doc_id AS id,
+  {sel},
+  {case} AS lang
+FROM s
+"""
+
 
 def _poly_sql(col: str, mult: int) -> str:
     """DuckDB mirror of kgforge.datapipe.dedup.poly_hash (exact same fold)."""
@@ -1685,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
                len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_unique_tokens
         FROM documents
         """,
+        "lang_profiles": _lang_profiles_oracle(),
         "lang_id": """
         WITH t AS (
           SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks

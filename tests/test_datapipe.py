@@ -281,3 +281,22 @@ def test_ann_multi_probe_lifts_recall_on_clustered_data(spark):
 
     r1, rp = recall(False), recall(True)
     assert rp > r1 and rp >= 0.6, (r1, rp)
+
+
+def test_language_id_profiles_multilingual(spark):
+    """5-language + und classification on real-language snippets (the en/de
+    stopword heuristic alone cannot separate fr/es/it)."""
+    from kgforge.datapipe.textstats import language_id_profiles
+
+    samples = [
+        ("en", "the cat sat on the mat and it was not alone in the house"),
+        ("de", "der hund lief schnell durch die stadt und nicht über die brücke"),
+        ("fr", "les enfants jouent dans le jardin avec une balle rouge et ne sont pas fatigués"),
+        ("es", "los niños juegan en el jardín con una pelota roja y no están cansados"),
+        ("it", "il gatto dorme sulla sedia e non vuole che qualcuno lo svegli per il pranzo"),
+        ("und", "xqz kpw vbn mlr tts"),
+    ]
+    df = spark.createDataFrame(samples, "want string, text string")
+    got = {r["id"]: r["lang"]
+           for r in language_id_profiles(df, "want", "text").collect()}
+    assert got == {w: w for w, _ in samples}
