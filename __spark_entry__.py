@@ -538,6 +538,50 @@ def _token_stats(spark, sf_dir):
     )
 
 
+def _pii_scrub(spark, sf_dir):
+    """PII scrubbing over the corpus with deterministically injected PII
+    (the synthetic text contains none): every 7th doc gets an email +
+    phone suffix, every 11th an IPv4 — injection is a portable concat, so
+    the oracle reproduces inputs, replacements, and counts exactly."""
+    from kgforge.datapipe.scrub import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +43 660 1234567 now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 up"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(injected, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        "scrubbed", "n_email", "n_phone", "n_ipv4", "n_iban",
+    )
+
+
+def _doc_chunks(spark, sf_dir):
+    from kgforge.datapipe.scrub import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=4).select(
+        F.col("id").cast("bigint").alias("id"), "chunk_idx", "chunk", "n_tokens"
+    )
+
+
 def _lang_profiles(spark, sf_dir):
     from kgforge.datapipe.textstats import language_id_profiles
 
@@ -1145,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "lang_id": _lang_id,
         "lang_profiles": _lang_profiles,
+        "pii_scrub": _pii_scrub,
+        "doc_chunks": _doc_chunks,
         "quality": _quality,
         "fingerprint": _fingerprint,
         "sim_topk": _sim_topk,
@@ -1167,6 +1213,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL builders for the hash-based operators (portable-hash mirrors)
 # --------------------------------------------------------------------------
+
+def _pii_scrub_oracle() -> str:
+    from kgforge.datapipe.scrub import PII_PATTERNS
+
+    inject = (
+        "text || CASE WHEN doc_id % 7 = 0 THEN "
+        "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +43 660 1234567 now' "
+        "ELSE '' END || CASE WHEN doc_id % 11 = 0 THEN "
+        "' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up' ELSE '' END"
+    )
+    # DuckDB single-quoted strings are NOT escape-processed: the regex text
+    # passes through verbatim, so only quotes need doubling
+    ctes = [f"t AS (SELECT doc_id AS id, {inject} AS t0 FROM documents)"]
+    cur = "t0"
+    for j, (name, pat, repl) in enumerate(PII_PATTERNS):
+        pq = pat.replace("'", "''")
+        src = "t" if j == 0 else f"s{j - 1}"
+        ctes.append(
+            f"s{j} AS (SELECT *, "
+            f"len(regexp_extract_all({cur}, '{pq}')) AS n_{name}, "
+            f"regexp_replace({cur}, '{pq}', '{repl}', 'g') AS t{j + 1} "
+            f"FROM {src})"
+        )
+        cur = f"t{j + 1}"
+    n_cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH {', '.join(ctes)}
+SELECT id, {cur} AS scrubbed, {n_cols}
+FROM s{len(PII_PATTERNS) - 1}
+"""
+
 
 def _lang_profiles_oracle() -> str:
     from kgforge.datapipe.textstats import LANG_PROFILES
@@ -1731,6 +1808,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "lang_profiles": _lang_profiles_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "doc_chunks": """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), starts AS (
+          SELECT id, toks,
+                 unnest(generate_series(1,
+                   CAST(ceil(greatest(len(toks) - 4, 1) / CAST(28 AS DOUBLE)) AS INT))) AS i
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[(i-1)*28 + 1 : (i-1)*28 + 32], ' ') AS chunk,
+               CAST(least(len(toks) - ((i-1)*28 + 1) + 1, 32) AS BIGINT) AS n_tokens
+        FROM starts
+        """,
         "lang_id": """
         WITH t AS (
           SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS toks

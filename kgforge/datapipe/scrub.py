@@ -1,0 +1,87 @@
+"""PII scrubbing and document chunking — corpus-preparation operators.
+
+Both are pure JVM expression pipelines (regexp / sequence+slice), so they
+run inside whole-stage codegen and are engine-portable: the driver's DuckDB
+oracles reproduce every replacement and every chunk boundary exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ordered: applied first-to-last; patterns are RE2/Java-regex-safe AND
+# DuckDB-regex-safe (no lookaround), so oracles can mirror them verbatim.
+# The greedy phone pattern runs LAST — it would otherwise swallow the digit
+# runs inside IBANs (and order is part of the operator contract: each
+# pattern's count sees the previous patterns' placeholders).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("iban", r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b", "<IBAN>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, scrubbed, n_email, n_phone, n_ipv4, n_iban): redact PII spans
+    with typed placeholders and count replacements per category.
+
+    Counts are computed on the ORIGINAL text per category-in-sequence (the
+    count for a later pattern sees earlier placeholders, mirroring the
+    sequential replacement semantics exactly)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        counts.append(n.cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        F.col(id_col).alias("id"),
+        cur.alias("scrubbed"),
+        *counts,
+    )
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64, overlap: int = 8) -> DataFrame:
+    """(id, chunk_idx, chunk, n_tokens): split each document into
+    whitespace-token windows of ``chunk_tokens`` with ``overlap`` tokens of
+    context carried between consecutive chunks (the standard LLM-training
+    chunking shape).  Chunk starts are 0, S, 2S, … with stride
+    S = chunk_tokens − overlap; the final chunk may be short; an empty or
+    whitespace-only document yields no chunks.
+
+    Pure sequence/slice expressions — one explode, no Python workers; a
+    100 TB corpus chunks in a single map stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(toks, lambda t: t != "").alias("_toks"),
+    )
+    # chunk starts: 1, 1+S, 1+2S, ... (1-based for slice); n_chunks =
+    # ceil(max(n - overlap, 1) / stride) for n > 0
+    starts = F.expr(
+        f"if(size(_toks) = 0, array(),"
+        f" transform(sequence(1, cast(ceil(greatest(size(_toks) - {overlap}, 1)"
+        f" / CAST({stride} AS DOUBLE)) AS INT)),"
+        f" i -> (i - 1) * {stride} + 1))"
+    )
+    chunks = d.select(
+        "id",
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start"), F.lit(chunk_tokens)), " "
+        ).alias("chunk"),
+        F.least(
+            F.size("_toks") - F.col("_start") + 1, F.lit(chunk_tokens)
+        ).cast("long").alias("n_tokens"),
+    )
+    return chunks

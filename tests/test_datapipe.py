@@ -300,3 +300,45 @@ def test_language_id_profiles_multilingual(spark):
     got = {r["id"]: r["lang"]
            for r in language_id_profiles(df, "want", "text").collect()}
     assert got == {w: w for w, _ in samples}
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from kgforge.datapipe.scrub import scrub_pii
+
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.org or call +43 (0)660 123 4567 ok"),
+        ("b", "server 192.168.1.77 and iban AT611904300234573201 leaked"),
+        ("c", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r.asDict() for r in scrub_pii(df, "id", "text").collect()}
+    assert got["a"]["n_email"] == 1 and got["a"]["n_phone"] == 1
+    assert "<EMAIL>" in got["a"]["scrubbed"] and "<PHONE>" in got["a"]["scrubbed"]
+    assert "jo.doe" not in got["a"]["scrubbed"] and "660" not in got["a"]["scrubbed"]
+    assert got["b"]["n_ipv4"] == 1 and got["b"]["n_iban"] == 1
+    assert "<IP>" in got["b"]["scrubbed"] and "<IBAN>" in got["b"]["scrubbed"]
+    assert got["c"]["scrubbed"] == "nothing sensitive here"
+    assert got["c"]["n_email"] == got["c"]["n_phone"] == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    from kgforge.datapipe.scrub import chunk_documents
+
+    toks = [f"w{i}" for i in range(65)]
+    rows = [
+        ("full", " ".join(toks)),          # 65 tokens → 2 chunks at 64/8
+        ("tiny", "one two"),               # < overlap → 1 chunk
+        ("empty", "   "),                  # whitespace-only → 0 chunks
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = chunk_documents(df, "id", "text", chunk_tokens=64, overlap=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(r)
+    full = sorted(got["full"], key=lambda r: r["chunk_idx"])
+    assert len(full) == 2
+    assert full[0]["chunk"].split() == toks[:64] and full[0]["n_tokens"] == 64
+    # second chunk starts at stride 56 (8 tokens of overlap with chunk 0)
+    assert full[1]["chunk"].split() == toks[56:65] and full[1]["n_tokens"] == 9
+    assert len(got["tiny"]) == 1 and got["tiny"][0]["chunk"] == "one two"
+    assert "empty" not in got
