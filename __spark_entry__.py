@@ -643,6 +643,18 @@ def _minhash_clusters(spark, sf_dir):
     )
 
 
+def _dedup_keep(spark, sf_dir):
+    from kgforge.datapipe.dedup import dedup_keep_best, poly_hash
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_keep_best(
+        docs, "doc_id", "text", threshold=_MINHASH_THRESHOLD,
+        num_hashes=_MINHASH_LANES, bands=_MINHASH_BANDS,
+        shingle_hash=lambda c: poly_hash(c, _SHINGLE_MULT),
+        portable_bands=True,
+    )
+
+
 def _simhash_pairs(spark, sf_dir):
     from kgforge.datapipe.dedup import portable_token_hash62, simhash_near_pairs
 
@@ -1195,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _fingerprint,
         "sim_topk": _sim_topk,
         "minhash_clusters": _minhash_clusters,
+        "dedup_keep": _dedup_keep,
         "simhash_pairs": _simhash_pairs,
         "ngram_pairs": _ngram_pairs,
         "embed_near_dups": _embed_near_dups,
@@ -1326,7 +1339,10 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_cluster_cte() -> str:
+    """Shared WITH-body (word shingles → portable signatures → band join →
+    exact-Jaccard verify → recursive-CTE components) ending at ``comp`` —
+    composed by both the minhash_clusters and dedup_keep oracles."""
     from kgforge.kg.lsh import lane_constants
 
     lanes = lane_constants(_MINHASH_LANES)
@@ -1343,8 +1359,7 @@ def _minhash_oracle() -> str:
         + " AS key FROM sig"
         for bi in range(_MINHASH_BANDS)
     )
-    return f"""
-WITH RECURSIVE d AS (
+    return f"""d AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
   FROM documents
@@ -1384,9 +1399,36 @@ WITH RECURSIVE d AS (
   SELECT reach.s, und.v FROM reach JOIN und ON reach.t = und.u
 ), comp AS (
   SELECT s AS node, min(t) AS comp FROM reach GROUP BY s
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cluster_cte()}
 SELECT d.id, coalesce(comp.comp, d.id) AS cluster
 FROM d LEFT JOIN comp ON comp.node = d.id
+"""
+
+
+def _dedup_keep_oracle() -> str:
+    """dedup_keep mirror: same clusters as minhash_clusters, retention =
+    argmax(length(text), id) per cluster (row_number tie order matches the
+    Spark max-struct pick)."""
+    return f"""
+WITH RECURSIVE {_minhash_cluster_cte()},
+clusters AS (
+  SELECT d.id, coalesce(comp.comp, d.id) AS cluster
+  FROM d LEFT JOIN comp ON comp.node = d.id
+), scored AS (
+  SELECT c.id, c.cluster, CAST(length(doc.text) AS BIGINT) AS score
+  FROM clusters c JOIN documents doc ON doc.doc_id = c.id
+), ranked AS (
+  SELECT id, cluster, score,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, id DESC) AS rn
+  FROM scored
+)
+SELECT id, cluster, score, rn = 1 AS keep FROM ranked
 """
 
 
@@ -1876,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle reproduces signatures, buckets, and clusters value-for-value.
         "simhash_pairs": _simhash_oracle(),
         "minhash_clusters": _minhash_oracle(),
+        "dedup_keep": _dedup_keep_oracle(),
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),

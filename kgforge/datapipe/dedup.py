@@ -209,6 +209,36 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col=None,
+    threshold: float = 0.7, **minhash_kwargs,
+) -> DataFrame:
+    """(id, cluster, score, keep): near-dup clusters via
+    :func:`minhash_duplicate_clusters`, then a retention policy — keep the
+    member with the max (score, id) per cluster (ties → larger id).
+
+    ``score_col`` defaults to ``length(text)`` (keep the longest variant,
+    the common corpus-dedup policy); pass any Column (e.g. the quality
+    score) to change the policy.  One groupBy on the cluster id after the
+    clustering — no extra pair work."""
+    clusters = minhash_duplicate_clusters(
+        df, id_col, text_col, threshold=threshold, **minhash_kwargs
+    )
+    score = score_col if score_col is not None else F.length(F.col(text_col))
+    scored = df.select(
+        F.col(id_col).alias("id"), score.cast("long").alias("score")
+    )
+    j = clusters.join(scored, "id")
+    best = j.groupBy("cluster").agg(F.max(F.struct("score", "id")).alias("b"))
+    return (
+        j.join(best, "cluster")
+        .select(
+            "id", "cluster", "score",
+            ((F.col("b.score") == F.col("score")) & (F.col("b.id") == F.col("id"))).alias("keep"),
+        )
+    )
+
+
 def _word_grams(d: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct word-n-grams per id — single source for both ngram modes so
     exact and LSH verification agree gram-for-gram."""

@@ -342,3 +342,30 @@ def test_chunk_documents_boundaries(spark):
     assert full[1]["chunk"].split() == toks[56:65] and full[1]["n_tokens"] == 9
     assert len(got["tiny"]) == 1 and got["tiny"][0]["chunk"] == "one two"
     assert "empty" not in got
+
+
+def test_dedup_keep_best_retention(spark):
+    """Near-dup cluster retention: exactly one keeper per cluster, singleton
+    docs always kept, keeper = longest member (ties → larger id)."""
+    from kgforge.datapipe.dedup import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        ("d1", base),
+        ("d2", base + " again"),                      # near-dup of d1, longer
+        ("d3", base.replace("quick", "quack")),       # near-dup, same length
+        ("d4", "completely different text about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup_keep_best(df, "doc_id", "text", threshold=0.6).collect()
+    by_id = {r["id"]: r for r in out}
+    clusters: dict = {}
+    for r in out:
+        clusters.setdefault(r["cluster"], []).append(r)
+    for members in clusters.values():
+        assert sum(r["keep"] for r in members) == 1
+    dup_cluster = by_id["d1"]["cluster"]
+    assert by_id["d2"]["cluster"] == dup_cluster  # clustered together
+    assert by_id["d2"]["keep"]                    # longest member wins
+    assert not by_id["d1"]["keep"]
+    assert by_id["d4"]["keep"]                    # singleton kept
