@@ -152,3 +152,12 @@ def test_generalize_large_g_bounds_match_driver_formula(spark):
         lower = median_value("double", sv[lb - 1] if lb > 0 else None, sv[lb])
         lex, _ = format_bound("double", lower)
         assert got_min[f"http://ex.org/a_{b}"] == lex, b
+
+
+def test_scrub_chunk_lang_paths_are_jvm_only(spark):
+    """The new corpus-prep operators must stay inside codegen: no Python
+    eval nodes in pii_scrub / doc_chunks / lang_profiles / dedup_keep."""
+    for q in ("pii_scrub", "doc_chunks", "lang_profiles"):
+        plan = _plan(entry.queries()[q](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, f"{marker} in {q}"
