@@ -159,18 +159,25 @@ def k_anonymity(
         attr_data.append((attr, orig, rand, bench))
 
     if mode == "auto":
-        mode = (
-            "pairs"
-            if subjects.count() <= pair_threshold
-            else ("ranges" if len(rand_attrs) == 1 else "grouped")
-        )
+        if subjects.count() <= pair_threshold:
+            mode = "pairs"
+        elif len(rand_attrs) == 1:
+            mode = "ranges"
+        elif len(rand_attrs) == 2:
+            mode = "grid"
+        else:
+            mode = "grouped"
     if mode == "ranges" and len(rand_attrs) != 1:
-        mode = "grouped"
+        mode = "grid" if len(rand_attrs) == 2 else "grouped"
+    if mode == "grid" and len(rand_attrs) != 2:
+        mode = "ranges" if len(rand_attrs) == 1 else "grouped"
 
     if mode == "pairs":
         return _k_pairs(subjects, ent, gcols, attr_data)
     if mode == "ranges":
         return _k_ranges(subjects, ent, gcols, attr_data[0])
+    if mode == "grid":
+        return _k_grid(subjects, ent, gcols, attr_data)
     if mode == "grouped":
         return _k_grouped(subjects, ent, gcols, attr_data)
     raise ValueError(f"unknown k-anonymity mode: {mode!r}")
@@ -217,8 +224,9 @@ def _with_group_struct(ent, gcols):
     return ent.withColumn("_gs", key)
 
 
-def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
-    """Distributed subMap counting for ONE randomized attribute.
+def _counts_1d(stratum, bench) -> "DataFrame":
+    """(subj, _cnt) interval counts within a (_gs, subj, _o, _r) stratum —
+    the distributed subMap event/prefix-sum core.
 
     Event stream per group: points (orig value, +1) and per-resource query
     bounds rand±benchmark (weight 0).  Sorted by (group, value, typ) with
@@ -230,49 +238,258 @@ def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
     """
     from kgforge.rank import with_global_running_sum
 
+    if bench is None:
+        return stratum.select("subj", F.lit(0).cast("long").alias("_cnt"))
+    pts = stratum.select(
+        "_gs", F.col("_o").alias("_val"), F.lit(1).alias("_typ"),
+        F.lit(1).cast("long").alias("_delta"),
+        F.lit(None).cast("string").alias("_q"),
+    )
+    qlo = stratum.select(
+        "_gs", (F.col("_r") - F.lit(bench)).alias("_val"), F.lit(0).alias("_typ"),
+        F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+    )
+    qhi = stratum.select(
+        "_gs", (F.col("_r") + F.lit(bench)).alias("_val"), F.lit(2).alias("_typ"),
+        F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+    )
+    ev = pts.unionByName(qlo).unionByName(qhi)
+    rs = with_global_running_sum(
+        ev, [F.col("_gs"), F.col("_val"), F.col("_typ")], "_delta", out="_rs"
+    )
+    return (
+        rs.filter(F.col("_q").isNotNull())
+        .groupBy("_q")
+        .agg(
+            (
+                F.max(F.when(F.col("_typ") == 2, F.col("_rs")))
+                - F.max(F.when(F.col("_typ") == 0, F.col("_rs")))
+            ).alias("_cnt")
+        )
+        .select(F.col("_q").alias("subj"), "_cnt")
+    )
+
+
+def _stratum_size_counts(stratum) -> "DataFrame":
+    """(subj, _cnt) = size of the row's own (group, stratum) — the all-null
+    pattern where every co-member matches."""
+    ncnt = stratum.groupBy("_gs").agg(F.count(F.lit(1)).alias("_cnt"))
+    return stratum.join(ncnt, "_gs").select("subj", "_cnt")
+
+
+def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
+    """Distributed subMap counting for ONE randomized attribute (see
+    :func:`_counts_1d` for the event/prefix-sum core)."""
     _, orig, rand, bench = attr_datum
     base = _with_group_struct(
         ent.join(orig, "subj", "left").join(rand, "subj", "left"), gcols
     ).persist()
 
-    nullrows = base.filter(F.col("_o").isNull()).select("subj", "_gs")
-    ncnt = nullrows.groupBy("_gs").agg(F.count(F.lit(1)).alias("_cnt"))
-    cnt_null = nullrows.join(ncnt, "_gs").select("subj", "_cnt")
-
-    nonnull = base.filter(F.col("_o").isNotNull())
-    if bench is None:
-        cnt_nonnull = nonnull.select("subj", F.lit(0).cast("long").alias("_cnt"))
-    else:
-        pts = nonnull.select(
-            "_gs", F.col("_o").alias("_val"), F.lit(1).alias("_typ"),
-            F.lit(1).cast("long").alias("_delta"),
-            F.lit(None).cast("string").alias("_q"),
-        )
-        qlo = nonnull.select(
-            "_gs", (F.col("_r") - F.lit(bench)).alias("_val"), F.lit(0).alias("_typ"),
-            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
-        )
-        qhi = nonnull.select(
-            "_gs", (F.col("_r") + F.lit(bench)).alias("_val"), F.lit(2).alias("_typ"),
-            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
-        )
-        ev = pts.unionByName(qlo).unionByName(qhi)
-        rs = with_global_running_sum(
-            ev, [F.col("_gs"), F.col("_val"), F.col("_typ")], "_delta", out="_rs"
-        )
-        cnt_nonnull = (
-            rs.filter(F.col("_q").isNotNull())
-            .groupBy("_q")
-            .agg(
-                (
-                    F.max(F.when(F.col("_typ") == 2, F.col("_rs")))
-                    - F.max(F.when(F.col("_typ") == 0, F.col("_rs")))
-                ).alias("_cnt")
-            )
-            .select(F.col("_q").alias("subj"), "_cnt")
-        )
+    cnt_null = _stratum_size_counts(
+        base.filter(F.col("_o").isNull()).select("subj", "_gs")
+    )
+    cnt_nonnull = _counts_1d(base.filter(F.col("_o").isNotNull()), bench)
 
     cnts = cnt_nonnull.unionByName(cnt_null)
+    row = (
+        subjects.join(cnts, "subj", "left")
+        .select(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("k"))
+        .collect()[0]
+    )
+    base.unpersist()
+    return int(row["k"]) if row["k"] is not None else 0
+
+
+def _grid_counts_2d(stratum, b0, b1, grid: int = 256) -> "DataFrame":
+    """(subj, _cnt) rectangle counts within a
+    (_gid, subj, _x, _y, _rx, _ry) stratum — distributed 2-D range counting
+    without pair materialization.
+
+    Uniform G×G grid over the global value range; per-(group, cell) counts
+    collapse to a per-group 2-D prefix-sum matrix on the driver (bounded:
+    the caller gates on few groups — the skew case this path exists for).
+    Each query rectangle [rx±b0]×[ry±b1] then splits into
+
+    - fully-covered interior cells → O(1) prefix-matrix lookup,
+      vectorized per Arrow batch inside mapInPandas;
+    - O(perimeter) partial boundary cells → exploded to (query, cell) rows,
+      shuffle-joined against the points of just those cells, and verified
+      with the exact inclusive bounds.
+
+    Cell assignment and query spans use the SAME floor expression, so a
+    boundary-cell membership decision is never split between paths; edge
+    cells are always exact-verified, making grid placement a pure
+    performance choice.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if b0 is None or b1 is None:
+        return stratum.select("subj", F.lit(0).cast("long").alias("_cnt"))
+    spark = stratum.sparkSession
+    mm = stratum.agg(
+        F.min("_x").alias("x0"), F.max("_x").alias("x1"),
+        F.min("_y").alias("y0"), F.max("_y").alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not mm["n"]:
+        return spark.createDataFrame([], "subj string, _cnt long")
+    wx = (mm["x1"] - mm["x0"]) / grid or 1.0
+    wy = (mm["y1"] - mm["y0"]) / grid or 1.0
+
+    def cell(c, origin, w):
+        return F.least(
+            F.greatest(F.floor((c - F.lit(origin)) / F.lit(w)), F.lit(0)),
+            F.lit(grid - 1),
+        ).cast("int")
+
+    pts = stratum.select(
+        "_gid", "subj", "_x", "_y", "_rx", "_ry",
+        cell(F.col("_x"), mm["x0"], wx).alias("_ci"),
+        cell(F.col("_y"), mm["y0"], wy).alias("_cj"),
+        cell(F.col("_rx") - F.lit(b0), mm["x0"], wx).alias("_qa"),
+        cell(F.col("_rx") + F.lit(b0), mm["x0"], wx).alias("_qb"),
+        cell(F.col("_ry") - F.lit(b1), mm["y0"], wy).alias("_qc"),
+        cell(F.col("_ry") + F.lit(b1), mm["y0"], wy).alias("_qd"),
+    ).persist()
+
+    # per-group prefix-sum matrices (driver-side, gated small)
+    prefix: dict = {}
+    for r in pts.groupBy("_gid", "_ci", "_cj").count().collect():
+        g = prefix.setdefault(r["_gid"], np.zeros((grid, grid), dtype=np.int64))
+        g[r["_ci"], r["_cj"]] = r["count"]
+    for g in prefix:
+        m = np.zeros((grid + 1, grid + 1), dtype=np.int64)
+        m[1:, 1:] = prefix[g].cumsum(axis=0).cumsum(axis=1)
+        prefix[g] = m
+
+    def interior(batches):
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            gids = pdf["_gid"].to_numpy()
+            qa = pdf["_qa"].to_numpy(); qb = pdf["_qb"].to_numpy()
+            qc = pdf["_qc"].to_numpy(); qd = pdf["_qd"].to_numpy()
+            for g in np.unique(gids):
+                m = prefix.get(int(g))
+                if m is None:
+                    continue
+                sel = gids == g
+                a, b = qa[sel] + 1, qb[sel]
+                c, d = qc[sel] + 1, qd[sel]
+                v = m[b, d] - m[a, d] - m[b, c] + m[a, c]
+                has = (b - a >= 1) & (d - c >= 1)
+                out[sel] = np.where(has, v, 0)
+            yield pd.DataFrame({"subj": pdf["subj"], "_int": out})
+
+    cnt_interior = pts.mapInPandas(
+        interior, T.StructType([
+            T.StructField("subj", T.StringType()),
+            T.StructField("_int", T.LongType()),
+        ]),
+    )
+
+    # boundary cells: rows _qa and _qb across [_qc.._qd], columns _qc and
+    # _qd across (_qa.._qb) exclusive; array_distinct handles _qa == _qb
+    row_cells = F.expr(
+        "transform(sequence(_qc, _qd), j -> struct(_qa as i, j as j))"
+    )
+    row_cells2 = F.expr(
+        "transform(sequence(_qc, _qd), j -> struct(_qb as i, j as j))"
+    )
+    col_cells = F.expr(
+        "if(_qb - _qa >= 2,"
+        " flatten(transform(sequence(_qa + 1, _qb - 1),"
+        "  i -> array(struct(i as i, _qc as j), struct(i as i, _qd as j)))),"
+        " array())"
+    )
+    qcells = pts.select(
+        F.col("subj").alias("_q"), "_gid", "_rx", "_ry",
+        F.explode(
+            F.array_distinct(F.concat(row_cells, row_cells2, col_cells))
+        ).alias("_c"),
+    ).select(
+        "_q", "_gid", "_rx", "_ry",
+        F.col("_c.i").alias("_ci"), F.col("_c.j").alias("_cj"),
+    )
+    in_rect = (
+        (F.col("_x") >= F.col("_rx") - F.lit(b0))
+        & (F.col("_x") <= F.col("_rx") + F.lit(b0))
+        & (F.col("_y") >= F.col("_ry") - F.lit(b1))
+        & (F.col("_y") <= F.col("_ry") + F.lit(b1))
+    )
+    cnt_boundary = (
+        qcells.join(pts.select("_gid", "_ci", "_cj", "_x", "_y"),
+                    ["_gid", "_ci", "_cj"])
+        .filter(in_rect)
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).alias("_bnd"))
+        .select(F.col("_q").alias("subj"), "_bnd")
+    )
+    out = (
+        cnt_interior.join(cnt_boundary, "subj", "left")
+        .select(
+            "subj",
+            (F.col("_int") + F.coalesce(F.col("_bnd"), F.lit(0))).alias("_cnt"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out
+
+
+def _k_grid(subjects, ent, gcols, attr_data, grid: int = 256) -> int:
+    """Scalable k-anonymity for EXACTLY TWO randomized attributes.
+
+    Rows partition by (group, null-pattern) — the pair predicate forces a
+    candidate to share the resource's null pattern — and each stratum takes
+    the cheapest exact path: both-null → stratum sizes, one-null → the 1-D
+    event/prefix-sum counter on the non-null attribute, both-non-null → the
+    2-D grid counter (:func:`_grid_counts_2d`).  No pair set anywhere.
+    """
+    (a0, orig0, rand0, b0), (a1, orig1, rand1, b1) = attr_data
+    base = _with_group_struct(
+        ent.join(orig0.select("subj", F.col("_o").alias("_o0")), "subj", "left")
+        .join(rand0.select("subj", F.col("_r").alias("_r0")), "subj", "left")
+        .join(orig1.select("subj", F.col("_o").alias("_o1")), "subj", "left")
+        .join(rand1.select("subj", F.col("_r").alias("_r1")), "subj", "left"),
+        gcols,
+    )
+    # dense integer group ids (broadcast-joined) so the grid path can key
+    # its driver-side prefix matrices
+    gid_map = (
+        base.select("_gs").distinct()
+        .withColumn("_gid", F.monotonically_increasing_id().cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    base = base.join(F.broadcast(gid_map), "_gs").persist()
+
+    n0, n1 = F.col("_o0").isNotNull(), F.col("_o1").isNotNull()
+    parts = [
+        _stratum_size_counts(base.filter(~n0 & ~n1).select("subj", "_gs")),
+        _counts_1d(
+            base.filter(n0 & ~n1).select(
+                "_gs", "subj", F.col("_o0").alias("_o"), F.col("_r0").alias("_r")
+            ),
+            b0,
+        ),
+        _counts_1d(
+            base.filter(~n0 & n1).select(
+                "_gs", "subj", F.col("_o1").alias("_o"), F.col("_r1").alias("_r")
+            ),
+            b1,
+        ),
+        _grid_counts_2d(
+            base.filter(n0 & n1).select(
+                "_gid", "subj", F.col("_o0").alias("_x"), F.col("_o1").alias("_y"),
+                F.col("_r0").alias("_rx"), F.col("_r1").alias("_ry"),
+            ),
+            b0, b1, grid,
+        ),
+    ]
+    cnts = parts[0]
+    for p in parts[1:]:
+        cnts = cnts.unionByName(p)
     row = (
         subjects.join(cnts, "subj", "left")
         .select(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("k"))

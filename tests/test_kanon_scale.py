@@ -155,3 +155,49 @@ def test_nulls_and_empty_bench(spark):
     for m in ("pairs", "ranges"):
         k = k_anonymity(triples, T, [A0], CFG, mode=m)
         assert k == 20, m
+
+
+def test_grid_equals_pairs_two_attrs(spark):
+    triples, data = _mk_triples(spark, 350, n_groups=4, rand_attrs=[A0, A1],
+                                null_frac=0.15)
+    used = [GEN, A0, A1]
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    k_grid = k_anonymity(triples, T, used, CFG, mode="grid")
+    assert k_pairs == k_grid == _expected_k(data, [A0, A1])
+
+
+def test_grid_survives_single_giant_group_two_attrs(spark):
+    """The 2-attr skew case: one group, 20k rows — the pair join would build
+    4·10⁸ pairs; the grid path (prefix-matrix interior + perimeter-verified
+    boundary) must finish and match a numpy rectangle-count oracle."""
+    n = 20_000
+    rng = np.random.default_rng(13)
+    o0 = np.round(rng.uniform(0, 1000, n), 3)
+    r0 = np.round(o0 + rng.uniform(-40, 40, n), 3)
+    o1 = np.round(rng.uniform(-500, 500, n), 3)
+    r1 = np.round(o1 + rng.uniform(-25, 25, n), 3)
+    rows = []
+    for i in range(n):
+        s = f"http://ex.org/r{i:06d}"
+        rows.append((s, RDF_TYPE, T, "iri", True))
+        rows.append((s, A0, repr(float(o0[i])), "xsd:double", False))
+        rows.append((s, A0 + "_randomized", repr(float(r0[i])), "xsd:double", False))
+        rows.append((s, A1, repr(float(o1[i])), "xsd:double", False))
+        rows.append((s, A1 + "_randomized", repr(float(r1[i])), "xsd:double", False))
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean"
+    )
+    k = k_anonymity(triples, T, [A0, A1], CFG, mode="grid")
+    b0 = 2.0 * np.abs(o0 - r0).mean()
+    b1 = 2.0 * np.abs(o1 - r1).mean()
+    # numpy oracle: sort by o0, window via searchsorted, verify o1
+    order = np.argsort(o0, kind="stable")
+    so0, so1 = o0[order], o1[order]
+    kmin = None
+    for i in range(n):
+        lo = np.searchsorted(so0, r0[i] - b0, side="left")
+        hi = np.searchsorted(so0, r0[i] + b0, side="right")
+        seg = so1[lo:hi]
+        c = int(((seg >= r1[i] - b1) & (seg <= r1[i] + b1)).sum())
+        kmin = c if kmin is None else min(kmin, c)
+    assert k == kmin
