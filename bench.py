@@ -118,6 +118,18 @@ def _cpu_capacity_probe() -> dict:
     return out
 
 
+# round-2 operators, timed separately so the headline total stays
+# comparable with BENCH_r01
+EXTRA_QUERIES = [
+    "ngram_pairs",
+    "ann_topk",
+    "lang_profiles",
+    "pii_scrub",
+    "doc_chunks",
+    "dedup_keep",
+    "kg_triples_flat",  # alias: the value-checked flat kg_triples query
+]
+
 BENCH_QUERIES = [
     "q1_pricing",
     "q3_topk",
@@ -165,6 +177,13 @@ def main() -> None:
     # flagship KG construction (parity corpus) at N cores
     kg_sec_n, n_triples = _kg_run(spark, sf_dir)
     timings["kg_triples"] = round(kg_sec_n, 3)
+
+    extras: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        qname = "kg_triples" if name == "kg_triples_flat" else name
+        t0 = time.time()
+        qmap[qname](spark, sf_dir).count()
+        extras[name] = round(time.time() - t0, 3)
     spark.stop()
 
     # throughput + N→4N scaling over the materialized synthetic corpus.
@@ -205,6 +224,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extras,
         "sf": sf,
         "kg_triples": n_triples,
         "kg_synth_docs": kg_docs,

@@ -96,13 +96,21 @@ def k_anonymity(
       runsum(hi) − runsum(lo).  O(n log n) shuffle-sort, never materializes
       a pair, immune to group skew (the sort spreads a giant group across
       all partitions).
-    - ``"grouped"`` (≥2 randomized attributes) — per-group applyInPandas:
+    - ``"grid"`` (two randomized attributes) — distributed 2-D rectangle
+      counting: rows partition by (group, null-pattern), the both-non-null
+      stratum goes through a G×G grid whose per-group cell counts collapse
+      to driver prefix-sum matrices (O(1) interior lookups) plus
+      perimeter boundary cells exact-verified by a shuffle join against
+      only those cells' points.  No pair set, immune to a single giant
+      group.
+    - ``"grouped"`` (≥3 randomized attributes) — per-group applyInPandas:
       sort by the first attribute, numpy ``searchsorted`` window per
       resource, vectorized verification of the remaining attributes over the
       window.  Work is Σ|window| (the pairs passing attribute 1) but stays
       in-memory per group — no shuffled pair set.
     - ``"auto"`` — ``pairs`` at or below ``pair_threshold`` subjects
-      (cheapest for fixture-sized inputs), else ``ranges``/``grouped``.
+      (cheapest for fixture-sized inputs), else ``ranges``/``grid``/
+      ``grouped`` by randomized-attribute count.
 
     All paths produce identical k (property-tested against each other).
     """
