@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kgforge.kg.components import connected_components
-from kgforge.kg.lsh import lsh_candidate_pairs
 
 # --- portable hashing ------------------------------------------------------
 # Polynomial character hashes written only with fold/ascii/% so the exact

@@ -9,7 +9,6 @@ the only driver traffic is one count per partition.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
