@@ -68,12 +68,12 @@ def test_stream_docs_to_triples_equals_batch_build_kg(spark, tmp_path):
     # chunk 1 drains, then chunk 2 lands and a second availableNow run picks
     # up ONLY the new file via the checkpoint (incremental ingestion)
     q = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "drain 1 timed out (host throttled)"
     synth_docs(spark, 60, seed=42).filter(
         F.col("doc_id") >= "doc_000000000030"
     ).write.mode("append").parquet(docs_dir)
     q2 = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "drain 2 timed out (host throttled)"
 
     got = {
         (r["subj"], r["pred"], r["obj_value"], r["obj_dtype"], r["obj_is_iri"])
