@@ -5,9 +5,11 @@ so streaming here serves the engine's pipeline role: incremental document
 ingestion into the triple graph and watermarked event-time aggregation.
 
 - ``stream_docs_to_triples``: readStream over a doc-table directory →
-  per-microbatch KG mention extraction → ``foreachBatch`` append into the
-  pred-partitioned graph (exactly-once per epoch via idempotent overwrite of
-  an epoch subdir would be the production shape; append here).
+  per-microbatch KG mention extraction → ``foreachBatch`` into the
+  (epoch, pred)-partitioned graph with DYNAMIC partition overwrite: a
+  retried epoch replaces exactly its own partition subtree, so the sink is
+  idempotent per epoch (exactly-once under foreachBatch's at-least-once
+  contract).
 - ``stream_event_counts``: watermark + tumbling-window counts, the canonical
   late-data-safe aggregation.
 """
@@ -77,7 +79,16 @@ def stream_docs_to_triples(
             F.lit("iri").alias("obj_dtype"),
             F.lit(True).alias("obj_is_iri"),
         ).distinct()
-        triples.write.mode("append").partitionBy("pred").parquet(out_dir)
+        # dynamic partition overwrite: only the (epoch=this, pred=*) subtree
+        # is replaced, so a retried epoch lands idempotently — exactly-once
+        # output under foreachBatch's at-least-once execution
+        (
+            triples.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "pred")
+            .parquet(out_dir)
+        )
 
     return (
         docs.writeStream.foreachBatch(process)

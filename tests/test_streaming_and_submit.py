@@ -72,13 +72,27 @@ def test_stream_docs_to_triples_equals_batch_build_kg(spark, tmp_path):
     synth_docs(spark, 60, seed=42).filter(
         F.col("doc_id") >= "doc_000000000030"
     ).write.mode("append").parquet(docs_dir)
+    # simulate a FAILED first attempt of the next epoch: a partial epoch=1
+    # subtree must be REPLACED by the retry (idempotent dynamic overwrite)
+    spark.createDataFrame(
+        [("http://bogus/doc", "http://kgforge.dev/ns/mentions",
+          "http://bogus/ent", "iri", True)],
+        "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean",
+    ).withColumn("epoch", F.lit(1)).write.mode("append").partitionBy(
+        "epoch", "pred"
+    ).parquet(out_dir)
     q2 = stream_docs_to_triples(spark, docs_dir, out_dir, ckpt, schema).start()
     assert q2.awaitTermination(600), "drain 2 timed out (host throttled)"
 
+    rows = spark.read.parquet(out_dir).collect()
     got = {
         (r["subj"], r["pred"], r["obj_value"], r["obj_dtype"], r["obj_is_iri"])
-        for r in spark.read.parquet(out_dir).collect()
+        for r in rows
     }
+    assert len(rows) == len(got), "duplicate triples across epochs"
+    assert not any(r["subj"].startswith("http://bogus/") for r in rows), (
+        "partial failed-epoch output survived the idempotent retry"
+    )
 
     triples, _ = build_kg(
         spark.read.parquet(docs_dir), mention_strategy="sql",
