@@ -467,7 +467,7 @@ def _k_grid(subjects, ent, gcols, attr_data, grid: int = 256) -> int:
     # its driver-side prefix matrices
     gid_map = (
         base.select("_gs").distinct()
-        .withColumn("_gid", F.monotonically_increasing_id().cast("int"))
+        .withColumn("_gid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
     base = base.join(F.broadcast(gid_map), "_gs").persist()
