@@ -573,6 +573,27 @@ def _pii_scrub(spark, sf_dir):
     )
 
 
+def _dedup_lines(spark, sf_dir):
+    """Intra-doc repetition removal over a corpus with deterministically
+    injected boilerplate: every doc gets a repeated header/footer line
+    (portable concat, so the oracle reproduces inputs and removals)."""
+    from kgforge.datapipe.scrub import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("header boilerplate\n"), F.col("text"),
+            F.lit("\nheader boilerplate\nfooter v"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nfooter v"), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(injected, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"), "cleaned", "n_lines", "n_removed"
+    )
+
+
 def _doc_chunks(spark, sf_dir):
     from kgforge.datapipe.scrub import chunk_documents
 
@@ -1202,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "lang_profiles": _lang_profiles,
         "pii_scrub": _pii_scrub,
+        "dedup_lines": _dedup_lines,
         "doc_chunks": _doc_chunks,
         "quality": _quality,
         "fingerprint": _fingerprint,
@@ -1851,6 +1873,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_profiles": _lang_profiles_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
+        "dedup_lines": """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 'header boilerplate' || chr(10) || text || chr(10) ||
+                 'header boilerplate' || chr(10) || 'footer v' ||
+                 CAST(doc_id % 3 AS VARCHAR) || chr(10) || 'footer v' ||
+                 CAST(doc_id % 3 AS VARCHAR) AS text
+          FROM documents
+        ), lines AS (
+          SELECT id, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+          FROM t
+        ), firsts AS (
+          SELECT id, line, min(pos) AS pos FROM lines GROUP BY id, line
+        ), total AS (
+          SELECT id, count(*) AS n_lines FROM lines GROUP BY id
+        ), rebuilt AS (
+          SELECT id,
+                 string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+                 count(*) AS n_kept
+          FROM firsts GROUP BY id
+        )
+        SELECT r.id, r.cleaned, CAST(t.n_lines AS BIGINT) AS n_lines,
+               CAST(t.n_lines - r.n_kept AS BIGINT) AS n_removed
+        FROM rebuilt r JOIN total t ON t.id = r.id
+        """,
         "doc_chunks": """
         WITH t AS (
           SELECT doc_id AS id,

@@ -43,6 +43,45 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_lines(df: DataFrame, id_col: str, text_col: str,
+                sep: str = "\n") -> DataFrame:
+    """(id, cleaned, n_lines, n_removed): drop repeated lines WITHIN each
+    document, keeping first occurrences in order (the Gopher/RefinedWeb-style
+    intra-document repetition filter).
+
+    Pure JVM: split → positional explode → min(pos) per distinct line →
+    re-assemble sorted by first position.  One shuffle keyed by (id, line) —
+    boilerplate-heavy corpora (headers, nav bars, templated footers) shrink
+    before any cross-document dedup runs."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("id", "line").agg(F.min("pos").alias("pos"))
+    total = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = (
+        firsts.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("cleaned"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        rebuilt.join(total, "id")
+        .select(
+            "id", "cleaned",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = 64, overlap: int = 8) -> DataFrame:
     """(id, chunk_idx, chunk, n_tokens): split each document into

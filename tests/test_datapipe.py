@@ -369,3 +369,17 @@ def test_dedup_keep_best_retention(spark):
     assert by_id["d2"]["keep"]                    # longest member wins
     assert not by_id["d1"]["keep"]
     assert by_id["d4"]["keep"]                    # singleton kept
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from kgforge.datapipe.scrub import dedup_lines
+
+    rows = [
+        ("a", "nav\nintro text\nnav\nbody text\nfooter\nfooter"),
+        ("b", "only one line"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r.asDict() for r in dedup_lines(df, "id", "text").collect()}
+    assert got["a"]["cleaned"] == "nav\nintro text\nbody text\nfooter"
+    assert got["a"]["n_lines"] == 6 and got["a"]["n_removed"] == 2
+    assert got["b"]["cleaned"] == "only one line" and got["b"]["n_removed"] == 0
