@@ -664,6 +664,24 @@ def _minhash_clusters(spark, sf_dir):
     )
 
 
+def _contamination(spark, sf_dir):
+    """Benchmark-contamination scan with the corpus split train/eval by
+    doc_id parity (portable predicate, mirrored in the oracle)."""
+    from kgforge.datapipe.dedup import contamination_check
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    out = contamination_check(ev, train, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round("overlap", 6).alias("overlap"),
+        "contaminated",
+    )
+
+
 def _dedup_keep(spark, sf_dir):
     from kgforge.datapipe.dedup import dedup_keep_best, poly_hash
 
@@ -1230,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "minhash_clusters": _minhash_clusters,
         "dedup_keep": _dedup_keep,
+        "contamination": _contamination,
         "simhash_pairs": _simhash_pairs,
         "ngram_pairs": _ngram_pairs,
         "embed_near_dups": _embed_near_dups,
@@ -1967,6 +1986,28 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "minhash_clusters": _minhash_oracle(),
         "dedup_keep": _dedup_keep_oracle(),
+        "contamination": """
+        WITH g AS (
+          SELECT doc_id AS id, doc_id % 2 = 0 AS is_train,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                FROM documents)
+        ), gt AS (
+          SELECT DISTINCT gram FROM g WHERE is_train
+        ), ge AS (
+          SELECT id, gram FROM g WHERE NOT is_train
+        ), sizes AS (
+          SELECT id, count(*) AS n_grams FROM ge GROUP BY id
+        ), hits AS (
+          SELECT id, count(*) AS n_hits FROM ge SEMI JOIN gt USING (gram) GROUP BY id
+        )
+        SELECT s.id, s.n_grams, coalesce(h.n_hits, 0) AS n_hits,
+               round(coalesce(h.n_hits, 0) / s.n_grams, 6) AS overlap,
+               coalesce(h.n_hits, 0) / s.n_grams >= 0.5 AS contaminated
+        FROM sizes s LEFT JOIN hits h ON h.id = s.id
+        """,
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),

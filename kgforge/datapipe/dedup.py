@@ -291,6 +291,42 @@ def _score_pairs(pairs_or_none, grams: DataFrame, threshold: float) -> DataFrame
     )
 
 
+def contamination_check(eval_df: DataFrame, train_df: DataFrame,
+                        id_col: str, text_col: str, n: int = 8,
+                        threshold: float = 0.5) -> DataFrame:
+    """(id, n_grams, n_hits, overlap, contaminated): per eval document, the
+    fraction of its distinct word-n-grams that appear ANYWHERE in the train
+    corpus — the standard benchmark-contamination scan.
+
+    Corpus-level gram containment, not per-document pairing: one distinct on
+    the train grams and one left-semi join.  No pair set, no hot-gram
+    blow-up — scales as two shuffles regardless of how many train docs share
+    a gram.  (Per-document attribution, when needed, is the ngram/LSH pair
+    path.)"""
+    ge = _word_grams(
+        eval_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, n
+    )
+    gt = _word_grams(
+        train_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col, n
+    ).select("g").distinct()
+    sizes = ge.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        ge.join(gt, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams")).alias("overlap"),
+        )
+        .withColumn("contaminated", F.col("overlap") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.6, mode: str = "exact",
                         num_hashes: int = 32, bands: int | None = None,

@@ -383,3 +383,26 @@ def test_dedup_lines_keeps_first_occurrence_order(spark):
     assert got["a"]["cleaned"] == "nav\nintro text\nbody text\nfooter"
     assert got["a"]["n_lines"] == 6 and got["a"]["n_removed"] == 2
     assert got["b"]["cleaned"] == "only one line" and got["b"]["n_removed"] == 0
+
+
+def test_contamination_check(spark):
+    from kgforge.datapipe.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [("t1", "the quick brown fox jumps over the lazy dog today")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            ("e1", "the quick brown fox jumps over the lazy dog today"),  # full copy
+            ("e2", "completely novel words nowhere in training data at all"),
+            ("e3", "prefix words then the quick brown fox jumps away"),   # partial
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["id"]: r.asDict()
+           for r in contamination_check(ev, train, "doc_id", "text",
+                                        n=3, threshold=0.5).collect()}
+    assert got["e1"]["overlap"] == 1.0 and got["e1"]["contaminated"]
+    assert got["e2"]["n_hits"] == 0 and not got["e2"]["contaminated"]
+    assert 0 < got["e3"]["overlap"] < 1.0
