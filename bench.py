@@ -152,6 +152,50 @@ BENCH_QUERIES = [
 ]
 
 
+def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
+    from pyspark.sql import functions as F
+
+    from kgforge.anonymize.buckets import calculate_number_of_buckets
+    from kgforge.anonymize.kpi import k_anonymity
+    from kgforge.anonymize.ops import generalize
+    from kgforge.config import AttrConfig
+    from kgforge.triples import RDF_TYPE
+
+    T = "http://bench/T"
+    A = "http://bench/val"
+    base = spark.range(n)
+    subj = F.concat(F.lit("http://bench/r"), F.col("id").cast("string"))
+    o = (F.pmod(F.xxhash64(F.col("id")), F.lit(10_000_000)) / 1e4).cast("double")
+    r = o + (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(2_000_001)) - 1_000_000) / 1e4
+    def t(df, subj_c, pred, val, dtype, iri):
+        return df.select(
+            subj_c.alias("subj"), F.lit(pred).alias("pred"),
+            val.cast("string").alias("obj_value"),
+            F.lit(dtype).alias("obj_dtype"), F.lit(iri).alias("obj_is_iri"),
+        )
+    triples = (
+        t(base, subj, RDF_TYPE, F.lit(T), "iri", True)
+        .unionByName(t(base, subj, A, o, "xsd:double", False))
+        .unionByName(t(base, subj, A + "_randomized", r, "xsd:double", False))
+        .persist()
+    )
+    triples.count()
+    cfg = {A: AttrConfig("double", "randomization")}
+    out = {}
+    t0 = time.time()
+    k = k_anonymity(triples, T, [A], cfg, mode="ranges")
+    out["kanon_ranges_1m_single_group"] = round(time.time() - t0, 3)
+    out["kanon_ranges_1m_k"] = int(k)
+    col_df = base.select(subj.alias("subj"), o.cast("string").alias("obj_value"))
+    g = calculate_number_of_buckets(n, 1)
+    t0 = time.time()
+    generalize(col_df, A, "double", g, n).count()
+    out["generalize_1m"] = round(time.time() - t0, 3)
+    out["generalize_1m_buckets"] = int(g)
+    triples.unpersist()
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,6 +235,11 @@ def main() -> None:
         t0 = time.time()
         qmap[qname](spark, sf_dir).count()
         extras[name] = round(time.time() - t0, 3)
+
+    # anonymization-layer scale evidence: the two round-1 scale-killers
+    # (k-anonymity pair join, generalization boundary extraction) on 1M
+    # synthetic subjects in ONE generalization group — the worst skew case
+    extras.update(_anon_scale_run(spark))
     spark.stop()
 
     # throughput + N→4N scaling over the materialized synthetic corpus.

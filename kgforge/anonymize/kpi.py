@@ -107,10 +107,19 @@ def k_anonymity(
       sort by the first attribute, numpy ``searchsorted`` window per
       resource, vectorized verification of the remaining attributes over the
       window.  Work is Σ|window| (the pairs passing attribute 1) but stays
-      in-memory per group — no shuffled pair set.
+      in-memory per group — one giant group pins one partition.
+    - ``"sliced"`` (≥2 randomized attributes, the ≥3-attr scale path) —
+      stratify by (group, null-pattern); within a stratum, slice the first
+      non-null attribute into slabs of width 2·benchmark so every query
+      window overlaps at most two slabs (sequence-guarded against fp edge
+      cases).  Points land in their own slab, queries are duplicated to the
+      overlapping slabs, and a cogrouped applyInPandas counts matches per
+      (group, slab) with ``searchsorted`` plus vectorized verification of
+      the remaining attributes.  A giant group spreads across its slabs —
+      no pair set, no single-partition group.
     - ``"auto"`` — ``pairs`` at or below ``pair_threshold`` subjects
       (cheapest for fixture-sized inputs), else ``ranges``/``grid``/
-      ``grouped`` by randomized-attribute count.
+      ``sliced`` by randomized-attribute count.
 
     All paths produce identical k (property-tested against each other).
     """
@@ -174,11 +183,13 @@ def k_anonymity(
         elif len(rand_attrs) == 2:
             mode = "grid"
         else:
-            mode = "grouped"
+            mode = "sliced"
     if mode == "ranges" and len(rand_attrs) != 1:
-        mode = "grid" if len(rand_attrs) == 2 else "grouped"
+        mode = "grid" if len(rand_attrs) == 2 else "sliced"
     if mode == "grid" and len(rand_attrs) != 2:
-        mode = "ranges" if len(rand_attrs) == 1 else "grouped"
+        mode = "ranges" if len(rand_attrs) == 1 else "sliced"
+    if mode in ("grouped", "sliced") and len(rand_attrs) == 1:
+        mode = "ranges"
 
     if mode == "pairs":
         return _k_pairs(subjects, ent, gcols, attr_data)
@@ -188,6 +199,8 @@ def k_anonymity(
         return _k_grid(subjects, ent, gcols, attr_data)
     if mode == "grouped":
         return _k_grouped(subjects, ent, gcols, attr_data)
+    if mode == "sliced":
+        return _k_sliced(subjects, ent, gcols, attr_data)
     raise ValueError(f"unknown k-anonymity mode: {mode!r}")
 
 
@@ -568,4 +581,130 @@ def _k_grouped(subjects, ent, gcols, attr_data) -> int:
         .select(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("k"))
         .collect()[0]
     )
+    return int(row["k"]) if row["k"] is not None else 0
+
+
+def _k_sliced(subjects, ent, gcols, attr_data) -> int:
+    """Skew-immune counting for ≥2 randomized attributes (the ≥3-attr scale
+    path; see :func:`k_anonymity` ``mode="sliced"``).
+
+    The pair predicate forces a candidate to share the resource's exact
+    null pattern across all randomized attributes, so rows stratify by
+    (group, null-pattern) — at most 2^d strata, iterated on the driver.
+    Within a stratum, the first non-null attribute ``a`` is sliced into
+    slabs of width ``2·benchmark_a``: a point belongs to exactly one slab,
+    a query window ``rand_a ± benchmark_a`` (width = slab width) overlaps
+    at most two adjacent slabs (``sequence(lo, hi)`` also covers the
+    fp-rounding case where the endpoint slabs differ by 2).  Counting then
+    runs as a cogrouped applyInPandas on (group, slab): ``searchsorted``
+    window on ``a`` plus vectorized range checks of the remaining
+    attributes.  No pair set is materialized and a single giant group
+    spreads across all its slabs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    full = ent
+    for j, (_, orig, rand, _) in enumerate(attr_data):
+        full = (
+            full.join(orig.select("subj", F.col("_o").alias(f"_o{j}")), "subj", "left")
+            .join(rand.select("subj", F.col("_r").alias(f"_r{j}")), "subj", "left")
+        )
+    full = _with_group_struct(full, gcols).persist()
+    benches = [b for (_, _, _, b) in attr_data]
+    d = len(attr_data)
+
+    patterns = [
+        tuple(r[f"_p{j}"] for j in range(d))
+        for r in full.select(
+            *[F.col(f"_o{j}").isNotNull().alias(f"_p{j}") for j in range(d)]
+        ).distinct().collect()
+    ]
+
+    parts: list[DataFrame] = []
+    for pat in patterns:
+        cond = F.lit(True)
+        for j in range(d):
+            c = F.col(f"_o{j}")
+            cond = cond & (c.isNotNull() if pat[j] else c.isNull())
+        stratum = full.filter(cond)
+        nn = [j for j in range(d) if pat[j]]
+        if not nn:
+            # all-null pattern: every co-member of the group matches
+            parts.append(_stratum_size_counts(stratum.select("subj", "_gs")))
+            continue
+        if any(benches[j] is None for j in nn):
+            # a non-null attribute with an empty benchmark matches nothing
+            parts.append(stratum.select("subj", F.lit(0).cast("long").alias("_cnt")))
+            continue
+        a = nn[0]
+        ba = benches[a]
+        w = 2.0 * ba if ba > 0 else 1.0
+        pts = stratum.select(
+            "_gs",
+            F.floor(F.col(f"_o{a}") / F.lit(w)).cast("long").alias("_slab"),
+            *[F.col(f"_o{j}").alias(f"_po{j}") for j in nn],
+        )
+        qry = (
+            stratum.filter(F.col(f"_r{a}").isNotNull())
+            .select(
+                "subj",
+                # fresh exprId: both cogroup sides derive from `full`, and a
+                # shared `_gs` attribute trips Spark's ambiguous-self-join check
+                F.col("_gs").alias("_gs"),
+                *[F.col(f"_r{j}").alias(f"_qr{j}") for j in nn],
+                F.explode(
+                    F.sequence(
+                        F.floor((F.col(f"_r{a}") - F.lit(ba)) / F.lit(w)).cast("long"),
+                        F.floor((F.col(f"_r{a}") + F.lit(ba)) / F.lit(w)).cast("long"),
+                    )
+                ).alias("_slab"),
+            )
+        )
+        def make_count_fn(nn, a, ba, benches):
+            def count_fn(pts_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+                if not len(q_pdf) or not len(pts_pdf):
+                    return pd.DataFrame({"subj": pd.Series([], dtype=object),
+                                         "_cnt": pd.Series([], dtype="int64")})
+                order = np.argsort(pts_pdf[f"_po{a}"].to_numpy(dtype=float), kind="stable")
+                P = {j: pts_pdf[f"_po{j}"].to_numpy(dtype=float)[order] for j in nn}
+                sorted_a = P[a]
+                R = {j: q_pdf[f"_qr{j}"].to_numpy(dtype=float) for j in nn}
+                lo = np.searchsorted(sorted_a, R[a] - ba, side="left")
+                hi = np.searchsorted(sorted_a, R[a] + ba, side="right")
+                counts = np.zeros(len(q_pdf), dtype=np.int64)
+                for i in range(len(q_pdf)):
+                    if hi[i] <= lo[i]:
+                        continue
+                    ok = np.ones(hi[i] - lo[i], dtype=bool)
+                    for j in nn[1:]:
+                        seg = P[j][lo[i]:hi[i]]
+                        bj = benches[j]
+                        ok &= (seg >= R[j][i] - bj) & (seg <= R[j][i] + bj)
+                    counts[i] = int(ok.sum())
+                return pd.DataFrame({"subj": q_pdf["subj"], "_cnt": counts})
+
+            return count_fn
+
+        # a point lives in exactly one slab and a query only probes the
+        # slabs its window overlaps, so summing per-slab counts is exact —
+        # never a double count.
+        cnt = (
+            pts.groupBy("_gs", "_slab")
+            .cogroup(qry.groupBy("_gs", "_slab"))
+            .applyInPandas(make_count_fn(nn, a, ba, benches), "subj string, _cnt long")
+            .groupBy("subj")
+            .agg(F.sum("_cnt").alias("_cnt"))
+        )
+        parts.append(cnt)
+
+    cnts = parts[0]
+    for p in parts[1:]:
+        cnts = cnts.unionByName(p)
+    row = (
+        subjects.join(cnts, "subj", "left")
+        .select(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("k"))
+        .collect()[0]
+    )
+    full.unpersist()
     return int(row["k"]) if row["k"] is not None else 0

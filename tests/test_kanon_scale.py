@@ -18,6 +18,7 @@ from kgforge.triples import RDF_TYPE
 T = "http://ex.org/Person"
 A0 = "http://ex.org/salary"
 A1 = "http://ex.org/age"
+A2 = "http://ex.org/height"
 GEN = "http://ex.org/grp"
 
 
@@ -90,6 +91,7 @@ CFG = {
     GEN: AttrConfig("double", "generalization"),
     A0: AttrConfig("double", "randomization"),
     A1: AttrConfig("double", "randomization"),
+    A2: AttrConfig("double", "randomization"),
 }
 
 
@@ -164,6 +166,72 @@ def test_grid_equals_pairs_two_attrs(spark):
     k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
     k_grid = k_anonymity(triples, T, used, CFG, mode="grid")
     assert k_pairs == k_grid == _expected_k(data, [A0, A1])
+
+
+def test_sliced_equals_pairs_two_attrs(spark):
+    triples, data = _mk_triples(spark, 300, n_groups=4, rand_attrs=[A0, A1],
+                                null_frac=0.2)
+    used = [GEN, A0, A1]
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    k_sliced = k_anonymity(triples, T, used, CFG, mode="sliced")
+    assert k_pairs == k_sliced == _expected_k(data, [A0, A1])
+
+
+def test_sliced_equals_pairs_three_attrs(spark):
+    triples, data = _mk_triples(spark, 250, n_groups=3,
+                                rand_attrs=[A0, A1, A2], null_frac=0.15)
+    used = [GEN, A0, A1, A2]
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    k_grouped = k_anonymity(triples, T, used, CFG, mode="grouped")
+    k_sliced = k_anonymity(triples, T, used, CFG, mode="sliced")
+    assert k_pairs == k_grouped == k_sliced == _expected_k(data, [A0, A1, A2])
+
+
+def test_sliced_survives_single_giant_group_three_attrs(spark):
+    """The ≥3-attr skew case: one group, 20k rows — `grouped` would pin the
+    whole group into one pandas partition, `pairs` would build 4·10⁸ rows;
+    the sliced path (attr-0 slabs + cogrouped searchsorted) must finish
+    distributed and match a numpy oracle."""
+    n = 20_000
+    rng = np.random.default_rng(17)
+    o = [
+        np.round(rng.uniform(0, 1000, n), 3),
+        np.round(rng.uniform(-500, 500, n), 3),
+        np.round(rng.uniform(100, 300, n), 3),
+    ]
+    r = [
+        np.round(o[0] + rng.uniform(-40, 40, n), 3),
+        np.round(o[1] + rng.uniform(-25, 25, n), 3),
+        np.round(o[2] + rng.uniform(-10, 10, n), 3),
+    ]
+    attrs = [A0, A1, A2]
+    rows = []
+    for i in range(n):
+        s = f"http://ex.org/r{i:06d}"
+        rows.append((s, RDF_TYPE, T, "iri", True))
+        for j, attr in enumerate(attrs):
+            rows.append((s, attr, repr(float(o[j][i])), "xsd:double", False))
+            rows.append(
+                (s, attr + "_randomized", repr(float(r[j][i])), "xsd:double", False)
+            )
+    triples = spark.createDataFrame(
+        rows, "subj string, pred string, obj_value string, obj_dtype string, obj_is_iri boolean"
+    )
+    k = k_anonymity(triples, T, attrs, CFG, mode="sliced")
+    b = [2.0 * np.abs(o[j] - r[j]).mean() for j in range(3)]
+    order = np.argsort(o[0], kind="stable")
+    so = [o[j][order] for j in range(3)]
+    kmin = None
+    for i in range(n):
+        lo = np.searchsorted(so[0], r[0][i] - b[0], side="left")
+        hi = np.searchsorted(so[0], r[0][i] + b[0], side="right")
+        ok = np.ones(hi - lo, dtype=bool)
+        for j in (1, 2):
+            seg = so[j][lo:hi]
+            ok &= (seg >= r[j][i] - b[j]) & (seg <= r[j][i] + b[j])
+        c = int(ok.sum())
+        kmin = c if kmin is None else min(kmin, c)
+    assert k == kmin
 
 
 def test_grid_survives_single_giant_group_two_attrs(spark):
