@@ -346,6 +346,180 @@ def _q18_large_orders(spark, sf_dir):
     )
 
 
+def _q7_volume_shipping(spark, sf_dir):
+    # TPC-H q7 shape: two nation-dim joins with a disjunctive pair
+    # predicate (A→B or B→A), grouped by both nations and ship year
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nat.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def _q10_returned_items(spark, sf_dir):
+    # TPC-H q10: revenue lost to returns per customer, top 20
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q11_important_parts(spark, sf_dir):
+    # TPC-H q11 shape: HAVING against a scalar subquery over the same
+    # aggregate (value share above a global-fraction threshold)
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    val = li.groupBy("l_partkey").agg(F.sum(rev).cast("double").alias("value"))
+    # threshold = 1.5x the mean per-part value: stays selective at every
+    # scale factor (a global-fraction cutoff empties out as parts grow)
+    tot = val.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 1.5 * F.col("_avg"))
+        .select("l_partkey", "value")
+    )
+
+
+def _q13_order_count_distribution(spark, sf_dir):
+    # TPC-H q13: left outer join with an extra join-side predicate, then a
+    # distribution over the per-customer counts (double aggregation)
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def _q15_top_supplier(spark, sf_dir):
+    # TPC-H q15: suppliers whose period revenue equals the maximum (scalar
+    # max subquery; equality is exact — both engines derive the double from
+    # the same decimal sum)
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("total_revenue"))
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q17_small_quantity_revenue(spark, sf_dir):
+    # TPC-H q17: correlated per-part average-quantity subquery (expressed
+    # as an aggregate self-join), one-row answer.  avg(l_quantity) is exact
+    # in both engines: integral doubles sum exactly under 2^53.
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    flt = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    lim = flt.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("_lim")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        flt.join(F.broadcast(lim), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("_lim"))
+        .agg((F.sum(ep).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+def _q19_disjunctive_revenue(spark, sf_dir):
+    # TPC-H q19: OR-of-ANDs join predicate over brand/size/quantity bands
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def _q22_dormant_customers(spark, sf_dir):
+    # TPC-H q22 shape: scalar avg subquery + NOT EXISTS anti-join with a
+    # predicate (above-average-balance customers with no recent orders)
+    cust = _read(spark, sf_dir, "customer")
+    recent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("_thr")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _cumulative_customer_revenue(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -1207,6 +1381,178 @@ def _kg_triples_interleaved(spark, sf_dir):
     return triples
 
 
+def _links_best_cte() -> str:
+    """Shared DuckDB CTE chain (appended after the mentions CTE): linked
+    mention winners per (doc_id, start) — same arithmetic and tie order as
+    kgforge.kg.linking's max-struct pick."""
+    tri = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length({p}) - 2, 1)),"
+        " i -> substr({p}, i, 3)))"
+    )
+    ta = tri.format(p="'^' || lower(surface) || '$'")
+    tb = tri.format(p="'^' || lower(canonical) || '$'")
+    values = ", ".join(f"('{n}', '{e}', '{c}')" for n, e, c in _LINK_CANDS)
+    return f"""
+cands(norm, eid, canonical) AS (VALUES {values}),
+joined AS (
+  SELECT m.doc_id, m.start, m.surface, c.eid, c.canonical
+  FROM mentions m JOIN cands c ON c.norm = m.surface
+), tri AS (
+  SELECT doc_id, start, surface, eid, {ta} AS ta, {tb} AS tb FROM joined
+), scored AS (
+  SELECT doc_id, start, surface, eid,
+         len(list_intersect(ta, tb)) * 1.0
+           / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS score
+  FROM tri
+), best AS (
+  SELECT * FROM (
+    SELECT doc_id, start, eid,
+           row_number() OVER (PARTITION BY doc_id, start
+                              ORDER BY score DESC, eid DESC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), de AS (
+  SELECT DISTINCT doc_id, eid FROM best
+)"""
+
+
+def _kg_cooccurrence(spark, sf_dir):
+    """Entity co-mention graph over the materialized KG: for every pair of
+    canonical entities linked in the same document, the number of shared
+    documents.  The per-doc self-join is bounded by entities-per-doc (small
+    by construction), so the shuffle is on doc_id and no pair blowup occurs
+    at corpus scale."""
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    a = links.alias("a")
+    b = links.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("eid_a"), F.col("b.eid").alias("eid_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _kg_cooccurrence_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()}
+SELECT a.eid AS eid_a, b.eid AS eid_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid < b.eid
+GROUP BY 1, 2
+"""
+
+
+_PR_ITER = 5
+_PR_DAMP = 0.85
+
+
+def _kg_pagerank(spark, sf_dir):
+    """Damped PageRank (5 rounds) over the symmetric entity co-mention
+    graph — the iterated-DataFrame graph-analytics operator
+    (kgforge.kg.pagerank) value-checked against an unrolled-iteration
+    DuckDB mirror.  Edges keep co-mention pairs sharing more docs than the
+    mean pair, each directed from the less-mentioned entity toward the
+    more-mentioned one (prominence flow) — the resulting graph has varied
+    in-degrees and real dangling nodes (the most prominent entity has no
+    out-edges), so the dangling-mass redistribution is exercised
+    non-trivially in both engines."""
+    from kgforge.kg.pagerank import pagerank
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    mc = links.groupBy("eid").agg(F.count(F.lit(1)).alias("mc"))
+    ma = mc.select(F.col("eid").alias("ea"), F.col("mc").alias("mca"))
+    mb = mc.select(F.col("eid").alias("eb"), F.col("mc").alias("mcb"))
+    lesser_first = (F.col("mca") < F.col("mcb")) | (
+        (F.col("mca") == F.col("mcb")) & (F.col("ea") < F.col("eb"))
+    )
+    edges = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .join(F.broadcast(ma), "ea")
+        .join(F.broadcast(mb), "eb")
+        .select(
+            F.when(lesser_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+            F.when(lesser_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMP)
+    return ranks.select(
+        F.col("node").alias("eid"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _kg_pagerank_oracle() -> str:
+    d = _PR_DAMP
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITER + 1):
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         ((1 - {d}) / (SELECT n FROM nn))
+         + {d} * (coalesce(s.inflow, 0)
+                  + (SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                     WHERE r.node NOT IN (SELECT src FROM deg))
+                    / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+mc AS MATERIALIZED (SELECT eid, count(*) AS mc FROM de GROUP BY eid),
+edges AS MATERIALIZED (
+  SELECT DISTINCT
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN ea ELSE eb END AS src,
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN eb ELSE ea END AS dst
+  FROM ecounts
+  JOIN mc ma ON ma.eid = ea
+  JOIN mc mb ON mb.eid = eb
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chain}
+SELECT node AS eid, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mask_names": _mask_names,
@@ -1225,6 +1571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast": _q6_forecast,
         "q12_priority_lines": _q12_priority_lines,
         "q18_large_orders": _q18_large_orders,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q10_returned_items": _q10_returned_items,
+        "q11_important_parts": _q11_important_parts,
+        "q13_order_count_distribution": _q13_order_count_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_dormant_customers": _q22_dormant_customers,
         "cumulative_customer_revenue": _cumulative_customer_revenue,
         "supplier_part_coverage": _supplier_part_coverage,
         "revenue_grouping_sets": _revenue_grouping_sets,
@@ -1261,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_links": _doc_links,
         "kg_triples": _kg_triples,
         "kg_triples_interleaved": _kg_triples_interleaved,
+        "kg_cooccurrence": _kg_cooccurrence,
+        "kg_pagerank": _kg_pagerank,
     }
 
 
@@ -1770,6 +2126,107 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
         """,
+        "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        "q11_important_parts": """
+        WITH val AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS value
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, value FROM val
+        WHERE value > 1.5 * (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM val)
+        """,
+        "q13_order_count_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+        """,
+        "q17_small_quantity_revenue": """
+        WITH flt AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'
+        ), lim AS (
+          SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS _lim
+          FROM flt GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM flt JOIN lim ON l_partkey = pk
+        WHERE l_quantity < _lim
+        """,
+        "q19_disjunctive_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_dormant_customers": """
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01'
+        )
+        GROUP BY c_mktsegment
+        """,
         "q18_large_orders": """
         WITH big AS (
           SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -2021,6 +2478,8 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang
         """,
         "kg_triples": _kg_triples_oracle(),
+        "kg_cooccurrence": _kg_cooccurrence_oracle(),
+        "kg_pagerank": _kg_pagerank_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

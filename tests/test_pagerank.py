@@ -1,0 +1,63 @@
+"""PageRank DataFrame loop vs a numpy power-iteration mirror."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kgforge.kg.pagerank import pagerank
+
+
+def _numpy_pagerank(edges, iterations=5, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+@pytest.fixture(scope="module")
+def graph():
+    # deterministic scale-free-ish graph: 200 nodes, preferential wiring,
+    # node 0 a hub, nodes 190..199 dangling (edges out of them omitted)
+    rng = np.random.RandomState(7)
+    edges = []
+    for v in range(1, 190):
+        for _ in range(1 + v % 3):
+            u = int(rng.randint(0, v))  # earlier nodes collect in-links
+            if u != v:
+                edges.append((v, u))
+    for v in range(190, 200):
+        edges.append((int(rng.randint(0, 50)), v))  # in-links only: dangling
+    return sorted(set(edges))
+
+
+def test_pagerank_matches_numpy(spark, graph):
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    want = _numpy_pagerank(graph, iterations=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # conservation: damped walk keeps total mass at 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_hub_ranks_highest(spark, graph):
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    assert max(got, key=got.get) == 0
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(df).count() == 0
