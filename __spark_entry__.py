@@ -1234,6 +1234,78 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+# target corpus mix: 40/30/20/10 over four sources (others dropped)
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _source_mix(spark, sf_dir):
+    """Deterministic source-mix resampling (datapipe.mix.source_mix_sample):
+    per-source keep-rates derived from target proportions, row selection by
+    portable id-hash — the oracle reproduces the rate arithmetic and the
+    hash bit-exactly."""
+    from kgforge.datapipe.mix import source_mix_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = source_mix_sample(docs, "doc_id", "source", _MIX_TARGETS)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _source_mix_oracle() -> str:
+    tw = sum(_MIX_TARGETS.values())
+    vals = ", ".join(
+        f"('{s}', {w / tw!r})" for s, w in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+WITH w(source, w) AS (VALUES {vals}),
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+sized AS (SELECT c.source, c.n, w.w FROM counts c JOIN w ON c.source = w.source),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, w * (SELECT min(n / w) FROM sized) / n)
+                    * 1000000) AS BIGINT) AS ppm
+  FROM sized
+)
+SELECT d.source, count(*) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_poly_sql("CAST(d.doc_id AS VARCHAR)", 1000003)} % 1000000 < r.ppm
+GROUP BY d.source
+"""
+
+
+_PACK_BUDGET = 1024
+
+
+def _doc_packing(spark, sf_dir):
+    """Sequence packing (datapipe.mix.pack_chunks): documents laid out in id
+    order, pack_id = floor(tokens_before / budget) via the distributed
+    global prefix sum (rank.with_global_running_sum — no single-partition
+    window); summarized per pack."""
+    from kgforge.datapipe.mix import pack_chunks
+    from kgforge.datapipe.textstats import token_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    ts = token_stats(docs, "doc_id", "text").select("id", "n_tokens")
+    packed = pack_chunks(ts, "id", "n_tokens", budget=_PACK_BUDGET)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+def _vocab_topk_q(spark, sf_dir):
+    from kgforge.datapipe.textstats import vocab_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", k=50)
+
+
+def _tfidf_keywords_q(spark, sf_dir):
+    from kgforge.datapipe.textstats import tfidf_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", top=3, min_df=2)
+
+
 # (norm, eid, canonical, etype) — the corpus-word link catalog used by the
 # value-checked kg_triples pipeline (same surfaces as _LINK_CANDS)
 _KG_CATALOG = [
@@ -1611,6 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
+        "source_mix": _source_mix,
+        "doc_packing": _doc_packing,
+        "vocab_topk": _vocab_topk_q,
+        "tfidf_keywords": _tfidf_keywords_q,
         "doc_mentions": _doc_mentions,
         "doc_links": _doc_links,
         "kg_triples": _kg_triples,
@@ -2476,6 +2552,62 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
         GROUP BY lang
+        """,
+        "source_mix": _source_mix_oracle(),
+        "doc_packing": f"""
+        WITH ts AS (
+          SELECT doc_id AS id,
+                 len(string_split(lower(trim(text)), ' ')) AS n_tokens
+          FROM documents
+        ), cum AS (
+          SELECT id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS c
+          FROM ts
+        )
+        SELECT CAST(floor((c - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM cum GROUP BY 1
+        """,
+        "vocab_topk": """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+          FROM documents
+        ), counts AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM toks WHERE length(token) >= 1 GROUP BY token
+        )
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        FROM counts ORDER BY n DESC, token LIMIT 50
+        """,
+        "tfidf_keywords": """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 unnest(string_split(lower(trim(text)), ' ')) AS token
+          FROM documents
+        ), td AS (
+          SELECT id, token, count(*) AS tf_n FROM base GROUP BY 1, 2
+        ), dl AS (
+          SELECT id, sum(tf_n) AS len FROM td GROUP BY id
+        ), dfq AS (
+          SELECT token, count(*) AS df_n FROM td
+          GROUP BY token HAVING count(*) >= 2
+        ), scored AS (
+          SELECT td.id, td.token,
+                 round((tf_n * 1.0 / len)
+                       * ln((SELECT count(*) FROM documents) * 1.0 / df_n),
+                       6) AS score
+          FROM td
+          JOIN dfq ON td.token = dfq.token
+          JOIN dl ON td.id = dl.id
+        )
+        SELECT id, token, score, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT id, token, score,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY score DESC, token) AS rk
+          FROM scored
+        ) WHERE rk <= 3
         """,
         "kg_triples": _kg_triples_oracle(),
         "kg_cooccurrence": _kg_cooccurrence_oracle(),

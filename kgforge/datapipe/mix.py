@@ -1,0 +1,105 @@
+"""Corpus composition operators: source-mix sampling and sequence packing.
+
+Training-data pipelines rarely train on a corpus as-found — they resample it
+to a target domain mix (so much web, so much code, so much books) and pack
+variable-length chunks into fixed token budgets.  Both operators here are
+deterministic pure functions of the input (portable hash sampling, fixed
+global order), so reruns, resumes, and cross-engine oracles all agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RATE_DENOM = 1_000_000
+
+
+def source_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Downsample each source so the output approximates the ``targets``
+    proportions (values need not sum to 1; they are used as ratios), without
+    upsampling any source.
+
+    The achievable total is capped by the scarcest source relative to its
+    target: ``T = min_s n_s / w_s`` with weights ``w_s`` normalized over the
+    sources present; each source then keeps ``rate_s = w_s * T / n_s`` of its
+    rows (the binding source keeps 100%).  Row selection is the portable
+    polynomial id-hash (``poly_hash % 1e6 < floor(rate * 1e6)``) — a pure
+    function of the id, reproducible across runs/partitionings/engines, like
+    :func:`kgforge.datapipe.textstats.hash_sample`.
+
+    Scale: per-source counts are one map-side-combinable groupBy over a
+    handful of sources; rates join back via broadcast; the filter is a
+    JVM-codegen expression.  No driver collect, no skew (selection is
+    per-row).  Sources absent from ``targets`` are dropped.
+    """
+    from kgforge.datapipe.dedup import poly_hash
+
+    if not targets:
+        raise ValueError("targets must not be empty")
+    total_w = sum(targets.values())
+    if total_w <= 0:
+        raise ValueError("target weights must sum to a positive value")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(s, w / total_w) for s, w in sorted(targets.items())],
+        schema=f"{source_col} string, _w double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    sized = counts.join(F.broadcast(w_df), source_col)
+    # T = min over sources of n_s / w_s  (rows the smallest source can back)
+    cap = sized.agg(F.min(F.col("_n") / F.col("_w")).alias("_cap"))
+    rates = (
+        sized.crossJoin(F.broadcast(cap))
+        .select(
+            source_col,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_w") * F.col("_cap") / F.col("_n"))
+                * _RATE_DENOM
+            ).alias("_rate_ppm"),
+        )
+    )
+    h = poly_hash(F.col(id_col).cast("string"), 1000003)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h % _RATE_DENOM < F.col("_rate_ppm"))
+        .drop("_rate_ppm")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    out: str = "pack_id",
+) -> DataFrame:
+    """Assign each unit (document / chunk) to a fixed-token-budget pack:
+    units are laid out in ``id_col`` order and ``pack_id =
+    floor(cumulative_tokens_before / budget)`` — the prefix-sum packing used
+    when sequence-packing pretraining data at scale (a unit may straddle a
+    boundary; strict first-fit is inherently sequential and is approximated
+    by this contiguous layout).
+
+    The global prefix sum comes from :func:`kgforge.rank.
+    with_global_running_sum` (range partition + per-partition offsets), so
+    there is no single-partition window; determinism requires ``id_col``
+    (the order key) to be unique.
+    """
+    from kgforge.rank import with_global_running_sum
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    d = with_global_running_sum(df, [id_col], tokens_col, out="_cum")
+    return (
+        d.withColumn(
+            out,
+            F.floor((F.col("_cum") - F.col(tokens_col)) / budget).cast("long"),
+        )
+        .drop("_cum")
+    )

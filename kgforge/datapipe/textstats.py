@@ -184,3 +184,73 @@ def hash_sample(df: DataFrame, id_col: str, percent: int,
 
     h = poly_hash(F.col(id_col).cast("string"), mult)
     return df.filter(h % 100 < percent)
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100,
+               min_len: int = 1) -> DataFrame:
+    """(token, n, rank): the k most frequent whitespace tokens across the
+    corpus — the vocabulary-building aggregation.
+
+    Scale: explode → groupBy(token) is map-side combinable (partial counts
+    per partition), so hot tokens ('the') cost one combiner cell per
+    partition, not a skewed shuffle; the final top-k is a TakeOrdered over
+    per-partition heads, never a global sort materialization."""
+    from pyspark.sql import Window as W
+
+    toks = F.explode(
+        F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) >= min_len)
+    )
+    counts = (
+        df.select(toks.alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.col("token")).limit(k)
+    # the rank window runs over k rows only (post-limit), not the corpus
+    return top.select(
+        "token", "n",
+        F.row_number().over(W.orderBy(F.desc("n"), F.col("token")))
+        .cast("long").alias("rank"),
+    )
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str,
+                   top: int = 3, min_df: int = 2) -> DataFrame:
+    """(id, token, score, rk): each document's ``top`` keywords by
+    tf·idf over whitespace tokens (tf = in-doc count / doc length,
+    idf = ln(N / doc_freq); tokens must appear in ≥ ``min_df`` docs).
+
+    Scale: two map-side-combinable aggregations (per-(doc, token) counts and
+    doc-frequency) joined on token; the per-doc top-k window partitions by
+    doc id, so no global sort.  Scores round to 6 decimals (ln is the only
+    libm call; both engines agree well inside the rounding)."""
+    toks = F.explode(_tokens(F.col(text_col))).alias("token")
+    base = df.select(F.col(id_col).alias("id"), toks)
+    n_docs = df.count()
+    td = base.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf_n"))
+    doc_len = td.groupBy("id").agg(F.sum("tf_n").alias("_len"))
+    dfreq = (
+        td.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_n"))
+        .filter(F.col("df_n") >= min_df)
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        td.join(dfreq, "token")
+        .join(doc_len, "id")
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("tf_n") / F.col("_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df_n")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top)
+        .select("id", "token", "score", "rk")
+    )
