@@ -1234,6 +1234,25 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+def _l_diversity(spark, sf_dir):
+    """l-diversity KPI (anonymize/privacy.py): per quasi-identifier group
+    (nation), the distinct-count and entropy of the sensitive attribute
+    (market segment) — map-side-combinable aggregations only."""
+    from kgforge.anonymize.privacy import l_diversity_by_group
+
+    cust = _read(spark, sf_dir, "customer")
+    return l_diversity_by_group(cust, ["c_nationkey"], "c_mktsegment")
+
+
+def _t_closeness(spark, sf_dir):
+    """t-closeness KPI (anonymize/privacy.py): per-group total variation
+    distance of the sensitive distribution from the global one."""
+    from kgforge.anonymize.privacy import t_closeness_by_group
+
+    cust = _read(spark, sf_dir, "customer")
+    return t_closeness_by_group(cust, ["c_nationkey"], "c_mktsegment")
+
+
 # target corpus mix: 40/30/20/10 over four sources (others dropped)
 _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
@@ -1683,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _ann_ivf,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
+        "l_diversity": _l_diversity,
+        "t_closeness": _t_closeness,
         "source_mix": _source_mix,
         "doc_packing": _doc_packing,
         "vocab_topk": _vocab_topk_q,
@@ -2552,6 +2573,35 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
         GROUP BY lang
+        """,
+        "l_diversity": """
+        WITH gv AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer GROUP BY 1, 2
+        ), tot AS (
+          SELECT c_nationkey, sum(n) AS g FROM gv GROUP BY 1
+        )
+        SELECT gv.c_nationkey, CAST(max(g) AS BIGINT) AS group_size,
+               count(*) AS l_distinct,
+               round(-sum((n * 1.0 / g) * ln(n * 1.0 / g)), 6) AS entropy
+        FROM gv JOIN tot USING (c_nationkey)
+        GROUP BY gv.c_nationkey
+        """,
+        "t_closeness": """
+        WITH gv AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer GROUP BY 1, 2
+        ), tot AS (
+          SELECT c_nationkey, sum(n) AS g FROM gv GROUP BY 1
+        ), gdist AS (
+          SELECT c_mktsegment,
+                 count(*) * 1.0 / (SELECT count(*) FROM customer) AS pv
+          FROM customer GROUP BY 1
+        )
+        SELECT gv.c_nationkey,
+               round(0.5 * (sum(abs(n * 1.0 / g - pv)) + (1 - sum(pv))), 6) AS tvd
+        FROM gv JOIN tot USING (c_nationkey) JOIN gdist USING (c_mktsegment)
+        GROUP BY gv.c_nationkey
         """,
         "source_mix": _source_mix_oracle(),
         "doc_packing": f"""

@@ -1,0 +1,103 @@
+"""Privacy KPIs beyond k-anonymity: l-diversity and t-closeness.
+
+The reference computes only k-anonymity (service/KpiService.java); these are
+the standard companion metrics (Machanavajjhala et al. 2007; Li et al. 2007)
+an anonymization engine reports alongside it.  Both reduce to map-side-
+combinable aggregations over the quasi-identifier group key — no self-joins,
+no pair sets — so a single giant group costs one combiner cell per
+partition, not a pinned reducer.
+
+l-diversity: a table is l-diverse when every quasi-identifier group contains
+at least l distinct sensitive values.  The per-group entropy (and entropy
+l-diversity = exp(entropy)) is reported alongside the distinct count.
+
+t-closeness: a table is t-close when no group's sensitive-value distribution
+is farther than t from the global distribution under total variation
+distance.  For groups over present values only:
+``TVD_g = 0.5 * (Σ_{v∈g} |p_gv − p_v| + (1 − Σ_{v∈g} p_v))`` — the second
+term accounts for values absent from the group, so no group×value grid is
+ever materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def l_diversity_by_group(
+    df: DataFrame, group_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """Per quasi-identifier group: member count, distinct sensitive values
+    (the l statistic), and Shannon entropy of the sensitive distribution
+    (rounded to 6 — ln is the only libm call)."""
+    gv = df.groupBy(*group_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = gv.groupBy(*group_cols).agg(F.sum("_n").alias("_g"))
+    p = F.col("_n") / F.col("_g")
+    return (
+        gv.join(tot, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_g").alias("group_size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+def l_diversity(df: DataFrame, group_cols: list[str], sensitive_col: str) -> int:
+    """The table-level l: min distinct sensitive values over all groups."""
+    row = (
+        l_diversity_by_group(df, group_cols, sensitive_col)
+        .agg(F.min("l_distinct"))
+        .collect()[0]
+    )
+    return int(row[0]) if row[0] is not None else 0
+
+
+def t_closeness_by_group(
+    df: DataFrame, group_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """Per group: total variation distance of its sensitive distribution
+    from the global one (categorical sensitive attribute), rounded to 6.
+
+    Global per-value proportions are a tiny broadcast (one row per distinct
+    sensitive value); everything else is combinable aggregation on the
+    group key."""
+    n_total = df.count()
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg((F.count(F.lit(1)) / F.lit(float(n_total))).alias("_pv"))
+    )
+    gv = df.groupBy(*group_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = gv.groupBy(*group_cols).agg(F.sum("_n").alias("_g"))
+    pgv = F.col("_n") / F.col("_g")
+    return (
+        gv.join(tot, group_cols)
+        .join(F.broadcast(glob), sensitive_col)
+        .groupBy(*group_cols)
+        .agg(
+            F.round(
+                0.5
+                * (
+                    F.sum(F.abs(pgv - F.col("_pv")))
+                    + (F.lit(1.0) - F.sum(F.col("_pv")))
+                ),
+                6,
+            ).alias("tvd")
+        )
+    )
+
+
+def t_closeness(df: DataFrame, group_cols: list[str], sensitive_col: str) -> float:
+    """The table-level t: max TVD over all groups."""
+    row = (
+        t_closeness_by_group(df, group_cols, sensitive_col)
+        .agg(F.max("tvd"))
+        .collect()[0]
+    )
+    return float(row[0]) if row[0] is not None else 0.0

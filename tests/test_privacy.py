@@ -1,0 +1,57 @@
+"""l-diversity / t-closeness KPIs vs hand-computed values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kgforge.anonymize.privacy import (
+    l_diversity,
+    l_diversity_by_group,
+    t_closeness,
+    t_closeness_by_group,
+)
+
+# two quasi-groups over sensitive {x, y, z}:
+#   g1: x,x,y,y  (2 distinct; p = .5/.5)
+#   g2: x,x,x,z  (2 distinct; p = .75/.25)
+# global: x=5/8, y=2/8, z=1/8
+ROWS = [
+    ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+    ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "z"),
+]
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    return spark.createDataFrame(ROWS, "grp string, sens string")
+
+
+def test_l_diversity_groups(spark, table):
+    got = {r["grp"]: r for r in
+           l_diversity_by_group(table, ["grp"], "sens").collect()}
+    assert got["g1"]["l_distinct"] == 2 and got["g2"]["l_distinct"] == 2
+    assert got["g1"]["group_size"] == 4 and got["g2"]["group_size"] == 4
+    assert got["g1"]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    h2 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got["g2"]["entropy"] == pytest.approx(h2, abs=1e-6)
+    assert l_diversity(table, ["grp"], "sens") == 2
+
+
+def test_t_closeness_groups(spark, table):
+    got = {r["grp"]: r["tvd"] for r in
+           t_closeness_by_group(table, ["grp"], "sens").collect()}
+    # g1: |.5-.625| + |.5-.25| + (1 - (.625+.25)) = .125+.25+.125 → tvd .25
+    assert got["g1"] == pytest.approx(0.25, abs=1e-6)
+    # g2: |.75-.625| + |.25-.125| + (1 - (.625+.125)) = .125+.125+.25 → .25
+    assert got["g2"] == pytest.approx(0.25, abs=1e-6)
+    assert t_closeness(table, ["grp"], "sens") == pytest.approx(0.25, abs=1e-6)
+
+
+def test_uniform_table_is_ideal(spark):
+    # every group mirrors the global distribution → tvd 0, full diversity
+    rows = [(g, s) for g in ("a", "b") for s in ("x", "y", "z")]
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    assert l_diversity(df, ["grp"], "sens") == 3
+    assert t_closeness(df, ["grp"], "sens") == pytest.approx(0.0, abs=1e-9)
