@@ -1592,6 +1592,56 @@ def _kg_pagerank(spark, sf_dir):
     )
 
 
+def _kg_triangles(spark, sf_dir):
+    """Triangle count (kg/triangles.py degree-oriented wedge join) over the
+    above-mean co-mention graph — same kept pair set as kg_pagerank,
+    undirected."""
+    from kgforge.kg.triangles import triangle_count
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    return triangle_count(kept)
+
+
+def _kg_triangles_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+
 def _kg_pagerank_oracle() -> str:
     d = _PR_DAMP
     prev = "r0"
@@ -1714,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_interleaved": _kg_triples_interleaved,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_pagerank": _kg_pagerank,
+        "kg_triangles": _kg_triangles,
     }
 
 
@@ -2662,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_oracle(),
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_triangles": _kg_triangles_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
