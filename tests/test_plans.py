@@ -161,3 +161,28 @@ def test_scrub_chunk_lang_paths_are_jvm_only(spark):
         plan = _plan(entry.queries()[q](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan, f"{marker} in {q}"
+
+
+def test_new_tpch_queries_broadcast_dims(spark):
+    q = entry.queries()
+    assert _plan(q["q10_returned_items"](spark, SF)).count("BroadcastHashJoin") >= 1
+    assert _plan(q["q19_disjunctive_revenue"](spark, SF)).count("BroadcastHashJoin") >= 1
+    assert _plan(q["q7_volume_shipping"](spark, SF)).count("BroadcastHashJoin") >= 2
+
+
+def test_scalar_subquery_shapes_stay_broadcast(spark):
+    # the 1-row threshold/aggregate sides must broadcast, never a shuffled
+    # cartesian over the fact table
+    q = entry.queries()
+    for name in ("q11_important_parts", "q15_top_supplier", "q22_dormant_customers"):
+        plan = _plan(q[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_ops_are_jvm_only(spark):
+    # vocab/tfidf/mix-sampling hot paths stay in codegen — no Python workers
+    q = entry.queries()
+    for name in ("vocab_topk", "tfidf_keywords", "source_mix"):
+        plan = _plan(q[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, (name, marker)
