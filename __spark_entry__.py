@@ -624,6 +624,59 @@ def _events_followup_range_join(spark, sf_dir):
     )
 
 
+def _events_asof_join(spark, sf_dir):
+    """True as-of join: for every purchase, the most recent same-user event
+    strictly before it.  Implemented as the scalable merge-streams pattern —
+    union points and queries, one per-user window pass carrying the last
+    point forward (``last(..., ignorenulls)`` over rows-preceding) — instead
+    of a per-key join + max, so a hot user costs one sorted partition
+    stream, never a pair blowup.  Ties at equal timestamps order queries
+    before points (strictly-before semantics), event_id as the unique
+    tiebreaker."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("ts"),
+        F.lit(0).alias("is_q"),
+        F.col("event_id").alias("eid"),
+        F.col("event_id").alias("point_id"),
+        F.col("ts").alias("point_ts"),
+    )
+    queries_df = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts"),
+        F.lit(1).alias("is_q"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("point_id"),
+        F.lit(None).cast("timestamp").alias("point_ts"),
+    )
+    merged = points.unionByName(queries_df)
+    # queries sort before points at equal ts → a query never sees a
+    # same-instant point (strictly before)
+    w = (
+        W.partitionBy("u")
+        .orderBy("ts", F.desc("is_q"), "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "u", "ts", "is_q", "eid",
+        F.last("point_id", ignorenulls=True).over(w).alias("prev_event_id"),
+        F.last("point_ts", ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    return (
+        carried.filter(F.col("is_q") == 1)
+        .select(
+            F.col("eid").alias("pid"),
+            "prev_event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts"))
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+    )
+
+
 def _order_value_percentiles(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     pct = F.percentile(F.col("o_totalprice").cast("double"), F.lit([0.5, 0.9, 0.99]))
@@ -1728,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "events_session_window": _events_session_window,
         "events_followup_range_join": _events_followup_range_join,
+        "events_asof_join": _events_asof_join,
         "order_value_percentiles": _order_value_percentiles,
         "customer_balance_deciles": _customer_balance_deciles,
         "events_pivot": _events_pivot,
@@ -2452,6 +2506,31 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events
         FROM ids GROUP BY user_id, sid
+        """,
+        "events_asof_join": """
+        WITH pts AS (
+          SELECT user_id AS u, ts, 0 AS is_q, event_id AS eid,
+                 event_id AS point_id, ts AS point_ts
+          FROM events
+        ), qs AS (
+          SELECT user_id AS u, ts, 1 AS is_q, event_id AS eid,
+                 CAST(NULL AS BIGINT) AS point_id,
+                 CAST(NULL AS TIMESTAMP) AS point_ts
+          FROM events WHERE event_type = 'purchase'
+        ), merged AS (SELECT * FROM pts UNION ALL SELECT * FROM qs),
+        carried AS (
+          SELECT u, ts, is_q, eid,
+                 last_value(point_id IGNORE NULLS) OVER (
+                   PARTITION BY u ORDER BY ts, is_q DESC, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_event_id,
+                 last_value(point_ts IGNORE NULLS) OVER (
+                   PARTITION BY u ORDER BY ts, is_q DESC, eid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts
+          FROM merged
+        )
+        SELECT eid AS pid, prev_event_id,
+               CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_seconds
+        FROM carried WHERE is_q = 1
         """,
         "events_followup_range_join": """
         SELECT p.event_id AS pid, count(o.event_id) AS n_followups
