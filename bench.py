@@ -128,6 +128,14 @@ EXTRA_QUERIES = [
     "doc_chunks",
     "dedup_keep",
     "kg_triples_flat",  # alias: the value-checked flat kg_triples query
+    # round-2 continuation: graph analytics, corpus composition, privacy
+    "kg_pagerank",
+    "kg_triangles",
+    "events_asof_join",
+    "tfidf_keywords",
+    "doc_packing",
+    "source_mix",
+    "t_closeness",
 ]
 
 BENCH_QUERIES = [

@@ -187,3 +187,33 @@ def stream_sessionize(
             timeout,
         )
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    glob: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: drop any document whose content hash
+    was already seen within the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the
+    watermark passes, so the dedup state store stays bounded at corpus
+    scale instead of growing with the full stream history).
+
+    The streaming counterpart of ``datapipe.dedup.exact_duplicates``: keys
+    are sha256(content), the survivor per key is whichever row the engine
+    sees first (arrival order — callers needing a deterministic survivor
+    re-key downstream like ``dedup_keep_best``)."""
+    reader = spark.readStream.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    src = reader.parquet(docs_dir)
+    return (
+        src.withColumn("_content", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content"])
+    )

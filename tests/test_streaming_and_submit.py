@@ -192,3 +192,35 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         ("b", base, base + dt.timedelta(seconds=30)): 2,
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup drains two chunks with cross-chunk duplicates
+    and must keep exactly one row per distinct content (the batch distinct
+    set), with state bounded by the watermark."""
+    from pyspark.sql import types as T
+
+    from kgforge.streaming import stream_dedup
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    base = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    rows1 = [(i, f"text {i % 6}") for i in range(12)]       # 6 distinct
+    rows2 = [(100 + i, f"text {i % 8}") for i in range(16)]  # adds 2 new
+    for n, rows in (("a", rows1), ("b", rows2)):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .withColumn("ts", base + F.expr(f"make_interval(0,0,0,0,0,0, doc_id % 50)"))
+         .coalesce(1).write.parquet(f"{src}/chunk_{n}"))
+    out = stream_dedup(spark, f"{src}/chunk_*", schema, watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_out").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = [r["text"] for r in spark.sql("SELECT text FROM dedup_out").collect()]
+    assert sorted(set(got)) == sorted(f"text {i}" for i in range(8))
+    assert len(got) == 8  # one survivor per content, none duplicated
