@@ -677,6 +677,24 @@ def _events_asof_join(spark, sf_dir):
     )
 
 
+def _events_window_funcs(spark, sf_dir):
+    # analytic-window breadth: lead/lag navigation + rank-family
+    # distribution functions in one per-user pass
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts"))
+        .cast("bigint").alias("gap_to_next"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.round(F.percent_rank().over(wv), 6).alias("value_pr"),
+        F.round(F.cume_dist().over(wv), 6).alias("value_cd"),
+    )
+
+
 def _order_value_percentiles(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     pct = F.percentile(F.col("o_totalprice").cast("double"), F.lit([0.5, 0.9, 0.99]))
@@ -1782,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": _events_session_window,
         "events_followup_range_join": _events_followup_range_join,
         "events_asof_join": _events_asof_join,
+        "events_window_funcs": _events_window_funcs,
         "order_value_percentiles": _order_value_percentiles,
         "customer_balance_deciles": _customer_balance_deciles,
         "events_pivot": _events_pivot,
@@ -2506,6 +2525,16 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events
         FROM ids GROUP BY user_id, sid
+        """,
+        "events_window_funcs": """
+        SELECT event_id,
+               CAST(date_diff('second', ts,
+                    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    AS BIGINT) AS gap_to_next,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS value_pr,
+               round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS value_cd
+        FROM events
         """,
         "events_asof_join": """
         WITH pts AS (
