@@ -1585,7 +1585,7 @@ def _kg_cooccurrence(spark, sf_dir):
     documents.  The per-doc self-join is bounded by entities-per-doc (small
     by construction), so the shuffle is on doc_id and no pair blowup occurs
     at corpus scale."""
-    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
     a = links.alias("a")
     b = links.alias("b")
     return (
@@ -1625,7 +1625,7 @@ def _kg_pagerank(spark, sf_dir):
     non-trivially in both engines."""
     from kgforge.kg.pagerank import pagerank
 
-    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
     a = links.alias("a")
     b = links.alias("b")
     counts = (
@@ -1636,6 +1636,7 @@ def _kg_pagerank(spark, sf_dir):
         )
         .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     mean = counts.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
@@ -1657,7 +1658,10 @@ def _kg_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMP)
+    ranks = pagerank(
+        edges, iterations=_PR_ITER, damping=_PR_DAMP,
+        driver_threshold=200_000,
+    )
     return ranks.select(
         F.col("node").alias("eid"), F.round("rank", 6).alias("rank")
     )
@@ -1669,7 +1673,7 @@ def _kg_triangles(spark, sf_dir):
     undirected."""
     from kgforge.kg.triangles import triangle_count
 
-    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct()
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
     a = links.alias("a")
     b = links.alias("b")
     counts = (
@@ -1680,6 +1684,7 @@ def _kg_triangles(spark, sf_dir):
         )
         .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     mean = counts.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")

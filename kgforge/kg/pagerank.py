@@ -25,12 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_pagerank(rows, iterations: int, damping: float) -> list[tuple]:
+    """numpy power iteration — same update formula as the distributed loop
+    (results agree up to float-summation order)."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in rows} | {v for _, v in rows})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    src = np.fromiter((idx[u] for u, _ in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[v] for _, v in rows), dtype=np.int64, count=len(rows))
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    dangling = outdeg == 0
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inflow = np.bincount(dst, weights=r[src] / outdeg[src], minlength=n)
+        dm = r[dangling].sum()
+        r = base + damping * (inflow + dm / n)
+    return [(nodes[i], float(r[i])) for i in range(n)]
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    driver_threshold: int = 0,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges (src, dst) → (node, rank) after ``iterations`` damped rounds.
 
@@ -38,20 +61,48 @@ def pagerank(
     round: rank' = (1-d)/N + d * (Σ_in rank/outdeg + dangling_mass/N).
     Deterministic up to float-summation order (callers comparing across
     engines should round).
+
+    Like :func:`kgforge.kg.components.connected_components`: when the edge
+    count (``n_edges`` if known, else a ``count()``) is at or below
+    ``driver_threshold``, the graph is collected and solved with a numpy
+    power iteration — one job instead of O(iterations) shuffle rounds,
+    which is the right trade below ~10^5 edges.  Above it, the distributed
+    loop runs; both paths compute the same formula.
     """
+    if driver_threshold > 0 and (n_edges is None or n_edges <= driver_threshold):
+        # single action: over-fetch by one — a full result means the graph
+        # fits on the driver, an overflow falls through to the distributed
+        # loop.  (A separate count() would evaluate the caller's plan twice.)
+        fetched = edges.select(src, dst).limit(driver_threshold + 1).collect()
+        if len(fetched) <= driver_threshold:
+            rows = [(r[0], r[1]) for r in fetched]
+            spark = edges.sparkSession
+            dt = dict(edges.dtypes)[src]
+            if not rows:
+                return spark.createDataFrame([], f"node {dt}, rank double")
+            return spark.createDataFrame(
+                _driver_pagerank(rows, iterations, damping),
+                schema=f"node {dt}, rank double",
+            )
+    # cache the edge list first: the caller's plan may be arbitrarily deep
+    # (and may reference its own subtrees several times) — everything below
+    # reads edges repeatedly
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges annotated with the sender's out-degree, reused every iteration
+    # both reused every iteration (outdeg by the dangling anti-join) — must
+    # be cached or each round recomputes the full upstream edge lineage
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # edges annotated with the sender's out-degree
     e_deg = e.join(outdeg, "src").persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -87,5 +138,7 @@ def pagerank(
         # be released before returning
         ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
+    outdeg.unpersist()
     e_deg.unpersist()
+    e.unpersist()
     return ranks

@@ -29,15 +29,24 @@ def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """(u, v) with u before v in (degree, id) order — the √m-out-degree DAG."""
-    und = _canonical(edges, src, dst)
+def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst",
+                   caches: list | None = None) -> DataFrame:
+    """(u, v) with u before v in (degree, id) order — the √m-out-degree DAG.
+
+    ``und`` and ``deg`` are each referenced more than once downstream, so
+    they are persisted (standard practice for iterative/graph plans — the
+    alternative re-evaluates the caller's full edge lineage per reference).
+    Pass ``caches`` to receive the handles for unpersisting."""
+    und = _canonical(edges, src, dst).persist()
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
+    if caches is not None:
+        caches.extend([und, deg])
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     first = (F.col("da") < F.col("db")) | (
@@ -57,7 +66,8 @@ def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """(n_triangles,) — one row with the global triangle count."""
-    o = oriented_edges(edges, src, dst).persist()
+    caches: list = []
+    o = oriented_edges(edges, src, dst, caches=caches).persist()
     e1 = o.select(F.col("u"), F.col("v").alias("w1"))
     e2 = o.select(F.col("u"), F.col("v").alias("w2"))
     wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
@@ -69,5 +79,7 @@ def triangle_count(
     result = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     out = result.collect()[0]["n_triangles"]
     o.unpersist()
+    for c in caches:
+        c.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame([(out,)], "n_triangles bigint")

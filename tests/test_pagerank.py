@@ -61,3 +61,13 @@ def test_pagerank_hub_ranks_highest(spark, graph):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(df).count() == 0
+
+
+def test_driver_and_distributed_paths_agree(spark, graph):
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    dist = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    drv = {r["node"]: r["rank"] for r in
+           pagerank(df, iterations=5, driver_threshold=10**6).collect()}
+    assert set(dist) == set(drv)
+    for k in dist:
+        assert drv[k] == pytest.approx(dist[k], abs=1e-9)
