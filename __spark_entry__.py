@@ -677,6 +677,21 @@ def _events_asof_join(spark, sf_dir):
     )
 
 
+def _customer_set_ops(spark, sf_dir):
+    # set-operation breadth: INTERSECT (active both years) and EXCEPT
+    # (churned after 1996) in one labeled union
+    orders = _read(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).withColumn("cohort", F.lit("retained"))
+    churned = y96.exceptAll(y97).distinct().withColumn("cohort", F.lit("churned"))
+    return (
+        both.unionByName(churned)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def _events_window_funcs(spark, sf_dir):
     # analytic-window breadth: lead/lag navigation + rank-family
     # distribution functions in one per-user pass
@@ -1662,6 +1677,9 @@ def _kg_pagerank(spark, sf_dir):
         edges, iterations=_PR_ITER, damping=_PR_DAMP,
         driver_threshold=200_000,
     )
+    # ranks is materialized (checkpoint / driver collect) — caches can go
+    links.unpersist()
+    counts.unpersist()
     return ranks.select(
         F.col("node").alias("eid"), F.round("rank", 6).alias("rank")
     )
@@ -1694,7 +1712,10 @@ def _kg_triangles(spark, sf_dir):
         .filter(F.col("n") > F.col("_mean"))
         .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
     )
-    return triangle_count(kept)
+    result = triangle_count(kept)  # materializes internally
+    links.unpersist()
+    counts.unpersist()
+    return result
 
 
 def _kg_triangles_oracle() -> str:
@@ -1806,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_followup_range_join": _events_followup_range_join,
         "events_asof_join": _events_asof_join,
         "events_window_funcs": _events_window_funcs,
+        "customer_set_ops": _customer_set_ops,
         "order_value_percentiles": _order_value_percentiles,
         "customer_balance_deciles": _customer_balance_deciles,
         "events_pivot": _events_pivot,
@@ -2530,6 +2552,18 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events
         FROM ids GROUP BY user_id, sid
+        """,
+        "customer_set_ops": """
+        WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+             y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+        labeled AS (
+          SELECT o_custkey, 'retained' AS cohort
+          FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+          UNION ALL
+          SELECT DISTINCT o_custkey, 'churned' AS cohort
+          FROM (SELECT o_custkey FROM y96 EXCEPT ALL SELECT o_custkey FROM y97)
+        )
+        SELECT cohort, count(*) AS n_customers FROM labeled GROUP BY cohort
         """,
         "events_window_funcs": """
         SELECT event_id,
