@@ -260,7 +260,12 @@ def jsonld_to_triples(spark: SparkSession, doc: dict) -> DataFrame:
     return spark.createDataFrame(jsonld_to_triple_tuples(doc), schema=TRIPLE_SCHEMA)
 
 
-def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFrame:
+ERROR_PRED = "http://kgforge.dev/ns/ingestError"
+
+
+def jsonld_lines_to_triples(
+    lines: DataFrame, json_col: str = "value", on_error: str = "raise"
+) -> DataFrame:
     """Distributed JSON-LD ingest: one JSON-LD document per row (the JSONL
     layout object stores ship at corpus scale) → triple DataFrame.
 
@@ -270,7 +275,16 @@ def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFr
     of the line *plus* the row's position (``monotonically_increasing_id``),
     so unioned documents never collide — including byte-identical duplicate
     lines, which are distinct documents and must keep distinct blank nodes.
+
+    ``on_error`` controls malformed-line handling (at corpus scale one
+    corrupt line must not kill the job): ``"raise"`` (default) fails the
+    task with batch-job semantics; ``"skip"`` drops the line silently;
+    ``"triple"`` emits an auditable in-band error triple
+    ``(_:badline.<tag>, kgforge:ingestError, <message>)`` so the count and
+    content of rejects stay queryable next to the good triples.
     """
+    if on_error not in ("raise", "skip", "triple"):
+        raise ValueError("on_error must be raise | skip | triple")
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -294,9 +308,20 @@ def jsonld_lines_to_triples(lines: DataFrame, json_col: str = "value") -> DataFr
             for line, rowid in zip(pdf[json_col], pdf["_kgforge_rowid"]):
                 if not line or not line.strip():
                     continue
-                doc = _json.loads(line)
                 tag = hashlib.sha256(line.encode()).hexdigest()[:12] + f".{int(rowid)}"
-                for s, p, o, dt, iri in jsonld_to_triple_tuples(doc):
+                try:
+                    doc = _json.loads(line)
+                    tuples = jsonld_to_triple_tuples(doc)
+                except Exception as exc:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    tuples = [
+                        (f"_:badline.{tag}", ERROR_PRED,
+                         f"{type(exc).__name__}: {exc}", "string", False)
+                    ]
+                for s, p, o, dt, iri in tuples:
                     if s.startswith("_:"):
                         s = f"{s}.{tag}"
                     if iri and isinstance(o, str) and o.startswith("_:"):

@@ -406,3 +406,33 @@ def test_contamination_check(spark):
     assert got["e1"]["overlap"] == 1.0 and got["e1"]["contaminated"]
     assert got["e2"]["n_hits"] == 0 and not got["e2"]["contaminated"]
     assert 0 < got["e3"]["overlap"] < 1.0
+
+
+def test_jsonl_ingest_on_error_modes(spark):
+    """Corrupt-line policy for distributed JSONL ingest: raise (default),
+    skip, or auditable in-band error triples."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from kgforge.ingest import ERROR_PRED, jsonld_lines_to_triples
+
+    good = '{"@id": "http://x/a", "p": "v"}'
+    bad = '{"@id": broken'
+    lines = spark.createDataFrame([(good,), (bad,), (good,)], "value string")
+
+    with _pytest.raises(PySparkException):
+        jsonld_lines_to_triples(lines).count()
+
+    skipped = jsonld_lines_to_triples(lines, on_error="skip")
+    assert skipped.filter("subj = 'http://x/a'").count() > 0
+    assert skipped.filter(f"pred = '{ERROR_PRED}'").count() == 0
+
+    tri = jsonld_lines_to_triples(lines, on_error="triple")
+    errs = tri.filter(f"pred = '{ERROR_PRED}'").collect()
+    assert len(errs) == 1 and "JSONDecodeError" in errs[0]["obj_value"]
+    assert errs[0]["subj"].startswith("_:badline.")
+    # good lines unaffected relative to skip mode
+    assert tri.count() == skipped.count() + 1
+
+    with _pytest.raises(ValueError):
+        jsonld_lines_to_triples(lines, on_error="nope")
