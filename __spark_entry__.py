@@ -677,6 +677,21 @@ def _events_asof_join(spark, sf_dir):
     )
 
 
+def _customer_cube(spark, sf_dir):
+    # CUBE completes the rollup / grouping-sets family: all 4 grouping
+    # combinations over (segment, nation) in one pass
+    cust = _read(spark, sf_dir, "customer")
+    nat = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .cube("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
 def _customer_set_ops(spark, sf_dir):
     # set-operation breadth: INTERSECT (active both years) and EXCEPT
     # (churned after 1996) in one labeled union
@@ -1828,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "events_window_funcs": _events_window_funcs,
         "customer_set_ops": _customer_set_ops,
+        "customer_cube": _customer_cube,
         "order_value_percentiles": _order_value_percentiles,
         "customer_balance_deciles": _customer_balance_deciles,
         "events_pivot": _events_pivot,
@@ -2552,6 +2568,12 @@ def oracle_sql() -> dict[str, str]:
                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                count(*) AS n_events
         FROM ids GROUP BY user_id, sid
+        """,
+        "customer_cube": """
+        SELECT c_mktsegment, n_name, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (c_mktsegment, n_name)
         """,
         "customer_set_ops": """
         WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),

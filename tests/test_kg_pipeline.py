@@ -195,3 +195,31 @@ def test_canonicalization_paths_agree(spark, docs):
     key = lambda t: {(r["subj"], r["obj_value"]) for r in
                      t.filter(F.col("pred").endswith("nearDuplicateOf")).collect()}
     assert key(a) == key(b) and len(key(a)) > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero shuffle and
+    zero sort — the co-located layout write_bucketed exists for."""
+    from kgforge.kg.io import read_table, write_bucketed
+
+    ent = spark.range(0, 1000).select(
+        F.col("id").alias("eid"), (F.col("id") % 7).alias("etype")
+    )
+    men = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("eid"), F.col("id").alias("mention_id")
+    )
+    write_bucketed(ent, "t_ent_b", "eid", buckets=8)
+    write_bucketed(men, "t_men_b", "eid", buckets=8)
+    try:
+        j = read_table(spark, "t_ent_b").join(read_table(spark, "t_men_b"), "eid")
+        # disable broadcast so the join strategy is the bucketed SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ent_b")
+        spark.sql("DROP TABLE IF EXISTS t_men_b")
