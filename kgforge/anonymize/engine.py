@@ -145,7 +145,15 @@ def anonymize_triples(
             )
         if kpi_rows:
             triples = triples.unionByName(triples_df(spark, kpi_rows))
-        triples = triples.persist()
+        # Lineage truncation, not just caching: each attribute operator stacks
+        # a rank/bucket/noise subtree onto the shared triple table, and the KPI
+        # pass re-joins that table against itself several times.  Without a
+        # checkpoint the analyzed plan grows multiplicatively per type —
+        # analysis time dominates tiny inputs and the driver can OOM just
+        # rendering plan strings for the SQL listener.  On a cluster this is
+        # the natural stage boundary you would checkpoint anyway (the written-
+        # back model is reused by KPIs, deletes, renames, and serialization).
+        triples = triples.localCheckpoint(eager=True)
 
         if calculate_kpi:
             k = kpi_mod.k_anonymity(triples, type_iri, used, attrs_cfg)
@@ -185,6 +193,10 @@ def anonymize_triples(
                     (F.col("pred") != attr) & (F.col("pred") != sfx)
                 ).unionByName(moved)
 
-        triples = triples.persist()
+        # Truncate again after deletes/renames so the next type's loop (and the
+        # caller's serialization) starts from a flat plan.  eager=False: the
+        # plan is already replaced by a LogicalRDD; materialization happens on
+        # the caller's first action.
+        triples = triples.localCheckpoint(eager=False)
 
     return triples, report

@@ -19,6 +19,9 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # bound plan-string rendering (SQL-listener explain strings) so a deep
+        # plan can never OOM the driver just describing itself
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
