@@ -520,6 +520,196 @@ def _q22_dormant_customers(spark, sf_dir):
     )
 
 
+def _q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H q2 shape (no partsupp table in this schema): the part-supplier
+    # relation is derived from lineitem with unit cost = min observed
+    # l_extendedprice / l_quantity per (part, supplier).  For a size/type
+    # band of parts, pick the EUROPE suppliers whose unit cost equals the
+    # per-part minimum (aggregate subquery joined back on exact equality —
+    # both engines derive the double from the same row-level division, so
+    # the min is bit-identical).
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    mn = ps.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_mn")
+    )
+    return (
+        ps.join(F.broadcast(mn),
+                (F.col("p_partkey") == F.col("_pk"))
+                & (F.col("unit_cost") == F.col("_mn")))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey",
+            F.round(F.col("unit_cost"), 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q8_market_share(spark, sf_dir):
+    # TPC-H q8: one nation's share of revenue among ASIA-customer orders of
+    # ECONOMY parts, per order year.  Share = double ratio of two exact
+    # decimal sums (bit-identical across engines); rounded to 6 decimals.
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("_snk"),
+                               F.col("n_name").alias("supp_nation"))),
+        supp["s_nationkey"] == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_asia, orders["o_custkey"] == cust_asia["c_custkey"], "left_semi")
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double")
+            .alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("nation_revenue"), F.lit(0.0))
+                / F.col("total_revenue"), 6
+            ).alias("mkt_share"),
+            "nation_revenue", "total_revenue",
+        )
+    )
+
+
+def _q9_product_profit(spark, sf_dir):
+    # TPC-H q9 shape (no ps_supplycost): supply cost proxied as
+    # 0.1 * p_retailprice per unit.  profit = exact decimal arithmetic
+    # summed per (supplier nation, order year) over a part-name band.
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    supp = _read(spark, sf_dir, "supplier")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    nat = _read(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.1).cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def _q20_promotion_suppliers(spark, sf_dir):
+    # TPC-H q20 shape (no partsupp.availqty): a supplier qualifies when its
+    # 1995 shipped quantity of some 'small%' part exceeds 1.5x the average
+    # per-supplier quantity of that part (correlated threshold expressed as
+    # an aggregate join-back), then semi-joins back to suppliers.
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _read(spark, sf_dir, "supplier")
+    qty = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    thr = qty.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        (F.avg("q") * 1.5).alias("_thr")
+    )
+    hot = (
+        qty.join(F.broadcast(thr), F.col("p_partkey") == F.col("_pk"))
+        .filter(F.col("q") > F.col("_thr"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(hot, supp["s_suppkey"] == hot["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q21_waiting_suppliers(spark, sf_dir):
+    # TPC-H q21 shape (late = shipped >90 days after order date, standing in
+    # for receipt>commit): suppliers who were the ONLY late supplier on a
+    # multi-supplier finalized order.  The classic EXISTS / NOT-EXISTS pair
+    # of lineitem self-joins is rewritten as one per-order aggregate
+    # (distinct suppliers, distinct late suppliers) — one shuffle instead of
+    # two self-joins, the plan you'd want at 100x; the DuckDB oracle keeps
+    # the literal EXISTS form, proving the rewrite.
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _read(spark, sf_dir, "supplier")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("late"),
+    )
+    per_order = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.first(F.when(F.col("late"), F.col("l_suppkey")), True).alias("late_supp"),
+        # late-row count: in qualifying orders all late rows belong to the
+        # single late supplier, so this matches the EXISTS form's per-l1-row
+        # count when one supplier ships several late lines in one order
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_rows"),
+    )
+    waiting = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("late_supp") == supp["s_suppkey"])
+        .select("s_name", F.col("numwait").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def _cumulative_customer_revenue(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -906,6 +1096,13 @@ def _fingerprint(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return fingerprint(docs, "doc_id", "text").select("id", "content_hash")
+
+
+def _repetition(spark, sf_dir):
+    from kgforge.datapipe.textstats import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
 
 
 def _sim_topk(spark, sf_dir):
@@ -1832,6 +2029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_dormant_customers": _q22_dormant_customers,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q20_promotion_suppliers": _q20_promotion_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "cumulative_customer_revenue": _cumulative_customer_revenue,
         "supplier_part_coverage": _supplier_part_coverage,
         "revenue_grouping_sets": _revenue_grouping_sets,
@@ -1856,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "quality": _quality,
         "fingerprint": _fingerprint,
+        "repetition": _repetition,
         "sim_topk": _sim_topk,
         "minhash_clusters": _minhash_clusters,
         "dedup_keep": _dedup_keep,
@@ -2491,6 +2694,108 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY c_mktsegment
         """,
+        "q2_min_cost_supplier": """
+        WITH eu_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), ps AS (
+          SELECT p_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_size = 10 AND p_type = 'STANDARD'
+          GROUP BY 1, 2
+        ), eps AS (
+          SELECT * FROM ps JOIN eu_supp ON l_suppkey = s_suppkey
+        )
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+               p_partkey, round(unit_cost, 6) AS unit_cost
+        FROM eps
+        WHERE unit_cost = (SELECT min(unit_cost) FROM eps e2
+                           WHERE e2.p_partkey = eps.p_partkey)
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+        """,
+        "q8_market_share": """
+        WITH joined AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE p_type = 'ECONOMY'
+            AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+            AND o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+        )
+        SELECT o_year,
+               round(coalesce(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS DOUBLE), 0.0)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS DOUBLE) AS nation_revenue,
+               CAST(sum(rev) AS DOUBLE) AS total_revenue
+        FROM joined GROUP BY o_year
+        """,
+        "q9_product_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(0.1 AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        """,
+        "q20_promotion_suppliers": """
+        WITH qty AS (
+          SELECT p_partkey, l_suppkey, sum(l_quantity) AS q
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+          GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM qty
+          WHERE q > 1.5 * (SELECT avg(q) FROM qty q2
+                           WHERE q2.p_partkey = qty.p_partkey))
+        ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+        WITH base AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM base l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM base l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM base l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """,
         "q18_large_orders": """
         WITH big AS (
           SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -2737,6 +3042,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS id,
                sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
         FROM documents
+        """,
+        "repetition": """
+        WITH lines AS (
+          SELECT doc_id AS id,
+                 unnest(list_filter(
+                   list_transform(string_split(text, chr(10)), s -> trim(s)),
+                   s -> length(s) > 0)) AS line
+          FROM documents
+        ), lc AS (
+          SELECT id, line, count(*) AS cnt FROM lines GROUP BY 1, 2
+        ), ls AS (
+          SELECT id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                 round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 6) AS dup_line_frac,
+                 round(sum((cnt - 1) * length(line)) * 1.0
+                       / greatest(sum(cnt * length(line)), 1), 6) AS dup_line_char_frac
+          FROM lc GROUP BY id
+        ), w AS (
+          SELECT doc_id AS id, length(text) AS n_chars,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+          FROM documents
+        ), g AS (
+          SELECT id, n_chars, 2 AS n,
+                 unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                   generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])
+                   ELSE [] END) AS gram FROM w
+          UNION ALL
+          SELECT id, n_chars, 3 AS n,
+                 unnest(CASE WHEN len(w) >= 3 THEN list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+                   ELSE [] END) AS gram FROM w
+          UNION ALL
+          SELECT id, n_chars, 5 AS n,
+                 unnest(CASE WHEN len(w) >= 5 THEN list_transform(
+                   generate_series(1, len(w) - 4),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' '
+                        || w[i + 3] || ' ' || w[i + 4])
+                   ELSE [] END) AS gram FROM w
+        ), gc AS (
+          SELECT id, n_chars, n, gram, count(*) AS cnt FROM g GROUP BY ALL
+        ), gs AS (
+          SELECT id, n, max(n_chars) AS n_chars,
+                 max(cnt * length(gram)) AS top_cov,
+                 sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) ELSE 0 END) AS dup_cov
+          FROM gc GROUP BY id, n
+        ), gp AS (
+          SELECT id,
+                 round(coalesce(max(CASE WHEN n = 2 THEN top_cov END), 0) * 1.0
+                       / greatest(max(n_chars), 1), 6) AS top_2gram_char_frac,
+                 round(coalesce(max(CASE WHEN n = 3 THEN top_cov END), 0) * 1.0
+                       / greatest(max(n_chars), 1), 6) AS top_3gram_char_frac,
+                 round(coalesce(max(CASE WHEN n = 5 THEN dup_cov END), 0) * 1.0
+                       / greatest(max(n_chars), 1), 6) AS dup_5gram_char_frac
+          FROM gs GROUP BY id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(n_lines, 0) AS n_lines,
+               coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+               coalesce(top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+               coalesce(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac
+        FROM documents d
+        LEFT JOIN ls ON ls.id = d.doc_id
+        LEFT JOIN gp ON gp.id = d.doc_id
         """,
         "sim_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

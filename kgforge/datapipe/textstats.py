@@ -173,6 +173,115 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, shingle: int = 8) -> 
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition measures (Rae et al. 2021
+    §A1.1 "repetition" filters, re-derived): per document —
+
+    - ``n_lines`` / ``dup_line_frac``: non-empty lines and the fraction of
+      them that repeat an earlier line;
+    - ``dup_line_char_frac``: characters in repeated line occurrences over
+      all line characters;
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: character coverage
+      of the single most-covering word n-gram (count x gram length) over
+      document characters;
+    - ``dup_5gram_char_frac``: characters in duplicate word-5-gram
+      occurrences (count-1 per distinct gram) over document characters.
+
+    Scale: three map-side-combinable aggregations keyed by (doc, unit) —
+    hot units combine per partition, no skewed shuffle; everything is JVM
+    expressions (explode/groupBy), no Python in the hot path."""
+    t = F.col(text_col)
+    did = F.col(id_col).alias("id")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+    line_stats = (
+        df.select(did, F.explode(lines).alias("line"))
+        .groupBy("id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.round(
+                (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.sum((F.col("cnt") - 1) * F.length("line"))
+                / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1)),
+                6,
+            ).alias("dup_line_char_frac"),
+        )
+    )
+
+    words = _tokens(t)
+    def grams(n: int):
+        # 1-based element_at keeps the expression portable to the DuckDB
+        # mirror (list subscripts are 1-based there too); sequence() must be
+        # guarded — Spark generates DESCENDING sequences when stop < start
+        parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
+        return F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN "
+            f"transform(sequence(1, size(_w) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"ELSE array() END"
+        )
+
+    wdf = df.select(did, F.length(t).alias("n_chars"), words.alias("_w"))
+    gram_units = None
+    for n in (2, 3, 5):
+        u = wdf.select(
+            "id", "n_chars", F.lit(n).alias("n"), F.explode(grams(n)).alias("gram")
+        )
+        gram_units = u if gram_units is None else gram_units.unionByName(u)
+    gram_stats = (
+        gram_units.groupBy("id", "n_chars", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("id", "n")
+        .agg(
+            F.max(F.col("cnt") * F.length("gram")).alias("top_cov"),
+            F.sum(
+                F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("gram"))
+                .otherwise(0)
+            ).alias("dup_cov"),
+            F.first("n_chars").alias("n_chars"),
+        )
+        .groupBy("id")
+        .agg(
+            *[
+                F.round(
+                    F.coalesce(
+                        F.first(F.when(F.col("n") == n, F.col(col)), True), F.lit(0)
+                    )
+                    / F.greatest(F.first("n_chars"), F.lit(1)),
+                    6,
+                ).alias(alias_)
+                for n, col, alias_ in (
+                    (2, "top_cov", "top_2gram_char_frac"),
+                    (3, "top_cov", "top_3gram_char_frac"),
+                    (5, "dup_cov", "dup_5gram_char_frac"),
+                )
+            ]
+        )
+    )
+
+    return (
+        df.select(did)
+        .join(line_stats, "id", "left")
+        .join(gram_stats, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias("top_2gram_char_frac"),
+            F.coalesce("top_3gram_char_frac", F.lit(0.0)).alias("top_3gram_char_frac"),
+            F.coalesce("dup_5gram_char_frac", F.lit(0.0)).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
 def hash_sample(df: DataFrame, id_col: str, percent: int,
                 mult: int = 1000003) -> DataFrame:
     """Deterministic hash-based sampling: keep rows whose portable polynomial
