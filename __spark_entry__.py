@@ -1278,6 +1278,71 @@ def _ann_ivf(spark, sf_dir):
     )
 
 
+# the synthetic embeddings are near-orthogonal (same-label pairwise cosine
+# tops out ≈0.47), so the dedup threshold sits where the drop path actually
+# fires; real embedding corpora would use ~0.95
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def _semantic_dedup(spark, sf_dir):
+    from kgforge.datapipe.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "vec_id", "embedding",
+                         centroids=_ivf_trained_centroids(sf_dir),
+                         threshold=_SEMDEDUP_THRESHOLD)
+    return out.select(
+        F.col("id").alias("vec_id"), "cell", "keep", "dup_of", "dup_cosine"
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Mirror of _semantic_dedup: same inlined trained centroids, same
+    within-cell lowest-id-anchor rule."""
+    import os
+
+    dot = _fold_dot_sql
+    nrm = _fold_norm_sql
+    cents = _ivf_trained_centroids(
+        os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
+    cent_values = ",\n    ".join(
+        f"({i}, {_plane_literal(c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents(cent_id, cent_vec) AS (
+  VALUES {cent_values}
+), assigned AS (
+  SELECT id, v, cell FROM (
+    SELECT e.vec_id AS id, e.v, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {dot('e.v', 'c.cent_vec')} / ({nrm('e.v')} * {nrm('c.cent_vec')}) DESC,
+                      c.cent_id) AS crk
+    FROM e, cents c)
+  WHERE crk = 1
+), pairs AS (
+  SELECT a, b, cosine FROM (
+    SELECT x.id AS a, y.id AS b,
+           {dot('x.v', 'y.v')} / ({nrm('x.v')} * {nrm('y.v')}) AS cosine
+    FROM assigned x JOIN assigned y ON x.cell = y.cell AND y.id < x.id)
+  WHERE cosine >= {_SEMDEDUP_THRESHOLD}
+), dups AS (
+  SELECT a, b AS dup_of, cosine FROM (
+    SELECT a, b, cosine,
+           row_number() OVER (PARTITION BY a ORDER BY b) AS rk
+    FROM pairs)
+  WHERE rk = 1
+)
+SELECT assigned.id AS vec_id, cell,
+       dups.a IS NULL AS keep,
+       dup_of, round(cosine, 6) AS dup_cosine
+FROM assigned LEFT JOIN dups ON dups.a = assigned.id
+"""
+
+
 def _ivf_oracle() -> str:
     """Mirror of _ann_ivf with the SAME trained centroids inlined as DOUBLE[]
     literals (computed by the identical duckdb-sample + numpy k-means path,
@@ -2069,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups_exact": _embed_near_dups_exact,
         "ann_topk": _ann_topk,
         "ann_ivf": _ann_ivf,
+        "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
         "l_diversity": _l_diversity,
@@ -3156,6 +3222,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "ann_ivf": _ivf_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "doc_mentions": _doc_mentions_oracle(),
         "doc_links": _doc_links_oracle(),
         "doc_sample": f"""

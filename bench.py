@@ -137,6 +137,13 @@ EXTRA_QUERIES = [
     "doc_packing",
     "source_mix",
     "t_closeness",
+    # round-2 continuation, session 2: full TPC-H coverage + quality/dedup
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "repetition",
+    "semantic_dedup",
 ]
 
 BENCH_QUERIES = [

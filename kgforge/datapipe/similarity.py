@@ -159,6 +159,65 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str, dim: int
     return scored.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
 
 
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, centroids,
+                   threshold: float = 0.8) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, re-derived):
+    assign every vector to its nearest centroid by cosine (ties → lowest
+    centroid id), then WITHIN each cell mark a vector as a duplicate when
+    some lower-id vector of the same cell has cosine ≥ ``threshold``; the
+    surviving anchor reported is the lowest such partner id.
+
+    Scale: the corpus-wide all-pairs comparison never happens — candidates
+    are bounded by cell membership (≈ n/k per cell), costing one broadcast
+    (centroid table) + one shuffle (cell id) + a within-cell self-join:
+    the same shape as the LSH near-dup path, but in embedding space where
+    trained cells give much tighter candidate sets than random hyperplanes.
+    Returns (id, cell, keep, dup_of, dup_cosine)."""
+    from pyspark.sql import Window as W
+
+    cents = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cent_id long, cent_vec array<double>",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_nv", _norm(F.col("_v")))
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "_ccos", _dot(F.col("_v"), F.col("cent_vec"))
+        / (F.col("_nv") * _norm(F.col("cent_vec"))),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("_ccos"), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("_crk", F.row_number().over(w))
+        .filter(F.col("_crk") == 1)
+        .select("id", "_v", "_nv", F.col("cent_id").alias("cell"))
+    )
+    a = assigned.select(F.col("id").alias("a"), F.col("_v").alias("va"),
+                        F.col("_nv").alias("na"), "cell")
+    b = assigned.select(F.col("id").alias("b"), F.col("_v").alias("vb"),
+                        F.col("_nv").alias("nb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("b") < F.col("a"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # min(struct) picks the lowest partner id and carries ITS cosine along
+    dups = pairs.groupBy("a").agg(
+        F.min(F.struct(F.col("b"), F.col("cosine"))).alias("_m")
+    )
+    return (
+        assigned.join(dups, assigned["id"] == dups["a"], "left")
+        .select(
+            "id", "cell",
+            F.col("_m").isNull().alias("keep"),
+            F.col("_m")["b"].alias("dup_of"),
+            F.round(F.col("_m")["cosine"], 6).alias("dup_cosine"),
+        )
+    )
+
+
 def train_centroids_numpy(vectors, n_centroids: int, iters: int = 8):
     """Deterministic spherical k-means on a (driver-sized) training sample.
 
