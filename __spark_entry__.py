@@ -1105,6 +1105,21 @@ def _repetition(spark, sf_dir):
     return repetition_signals(docs, "doc_id", "text")
 
 
+_SPAN_LEN = 40
+
+
+def _dup_spans(spark, sf_dir):
+    from kgforge.datapipe.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", shingle_len=_SPAN_LEN).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+
+
 def _sim_topk(spark, sf_dir):
     from kgforge.datapipe.similarity import with_cosine
 
@@ -1901,6 +1916,48 @@ GROUP BY 1, 2
 """
 
 
+def _kg_components(spark, sf_dir):
+    """Connected components over the entity co-mention graph via the
+    DISTRIBUTED hash-min label-propagation loop (kgforge.kg.components) —
+    driver_threshold=0 forces the iterated-DataFrame path so the scale
+    implementation itself (not the driver union-find fast path) is
+    value-checked against the recursive-CTE mirror."""
+    from kgforge.kg.components import connected_components
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") < F.col("b.eid")),
+        )
+        .select(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .distinct()
+    )
+    comp = connected_components(edges, "ea", "eb", driver_threshold=0)
+    return comp.select(F.col("node").alias("eid"), F.col("comp").alias("component"))
+
+
+def _kg_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_doc_mentions_cte()},
+{_links_best_cte()},
+pairs AS (
+  SELECT DISTINCT a.eid AS a, b.eid AS b
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid < b.eid
+), und AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(s, t) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.s, und.v FROM reach JOIN und ON reach.t = und.u
+)
+SELECT s AS eid, min(t) AS component FROM reach GROUP BY s
+"""
+
+
 _PR_ITER = 5
 _PR_DAMP = 0.85
 
@@ -2124,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _quality,
         "fingerprint": _fingerprint,
         "repetition": _repetition,
+        "dup_spans": _dup_spans,
         "sim_topk": _sim_topk,
         "minhash_clusters": _minhash_clusters,
         "dedup_keep": _dedup_keep,
@@ -2148,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _kg_triples,
         "kg_triples_interleaved": _kg_triples_interleaved,
         "kg_cooccurrence": _kg_cooccurrence,
+        "kg_components": _kg_components,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
     }
@@ -3174,6 +3233,33 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ls ON ls.id = d.doc_id
         LEFT JOIN gp ON gp.id = d.doc_id
         """,
+        "dup_spans": f"""
+        WITH p AS (
+          SELECT doc_id, unnest(generate_series(1, length(text) - {_SPAN_LEN} + 1)) AS pos, text
+          FROM documents WHERE length(text) >= {_SPAN_LEN}
+        ), w AS (
+          SELECT doc_id, pos, substr(text, pos, {_SPAN_LEN}) AS w FROM p
+        ), d AS (
+          SELECT w FROM w GROUP BY w HAVING count(*) >= 2
+        ), marked AS (
+          SELECT doc_id, pos FROM w SEMI JOIN d USING (w)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_SPAN_LEN}
+                      THEN 1 ELSE 0 END AS new_span
+          FROM marked
+        ), spans AS (
+          SELECT doc_id, pos,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS span
+          FROM flagged
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {_SPAN_LEN - 1} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM spans GROUP BY doc_id, span
+        """,
         "sim_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -3318,6 +3404,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triples": _kg_triples_oracle(),
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
+        "kg_components": _kg_components_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are

@@ -369,3 +369,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     finally:
         grams.unpersist()
     return out
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    shingle_len: int = 40, min_count: int = 2) -> DataFrame:
+    """Substring-level duplicate detection (the exact-substring dedup of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", re-derived for Spark): every ``shingle_len``-char window that
+    occurs ≥ ``min_count`` times across the corpus (same-doc repeats
+    included) marks its positions; per document, overlapping/adjacent
+    marked windows merge into maximal spans (doc_id, span_start, span_end,
+    n_windows), 1-based inclusive offsets.
+
+    Scale notes: the position explode is len(text) rows per doc and the
+    global window count is one map-side-combinable groupBy on the window
+    text.  At petabyte scale you would roll a Rabin hash per position
+    instead of shuffling 40-char strings (the suffix-array construction of
+    the paper is a different machine entirely); grouping the raw window
+    keeps the operator engine-portable and byte-exact — the shuffle is
+    bounded by corpus bytes x 1, same order as a tokenization pass.  The
+    per-doc merge window partitions by doc_id (bounded rows), never
+    globally.  Windows whose count clears ``min_count`` are the duplicated
+    minority, so the semi-join back to positions broadcasts in the common
+    case."""
+    L = int(shingle_len)
+    pos = F.explode(
+        F.expr(
+            f"CASE WHEN length({text_col}) >= {L} "
+            f"THEN sequence(1, length({text_col}) - {L} + 1) "
+            f"ELSE array() END"
+        )
+    ).alias("pos")
+    win = F.expr(f"substring({text_col}, pos, {L})")
+    positions = df.select(F.col(id_col).alias("id"), pos, F.col(text_col)) \
+        .select("id", "pos", win.alias("w"))
+    dup_wins = (
+        positions.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("w")
+    )
+    marked = positions.join(dup_wins, "w", "left_semi")
+
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("id").orderBy("pos")
+    # window ends (pos + L - 1) are monotone in pos, so a span breaks
+    # exactly when this window starts beyond the previous one's end + 1
+    spans = (
+        marked.withColumn("_prev", F.lag("pos").over(w_doc))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | (F.col("pos") > F.col("_prev") + L))
+            .cast("int"),
+        )
+        .withColumn("_span", F.sum("_new").over(
+            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ))
+        .groupBy("id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
+    return spans
