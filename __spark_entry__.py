@@ -1612,6 +1612,19 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+_STRAT_RATES = {"en": 30, "de": 100, "fr": 60}
+_STRAT_DEFAULT = 10
+
+
+def _stratified_sample(spark, sf_dir):
+    from kgforge.datapipe.textstats import stratified_hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", _STRAT_RATES, default_percent=_STRAT_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
 def _l_diversity(spark, sf_dir):
     """l-diversity KPI (anonymize/privacy.py): per quasi-identifier group
     (nation), the distinct-count and entropy of the sensitive attribute
@@ -2195,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
         "doc_sample": _doc_sample,
+        "stratified_sample": _stratified_sample,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
         "source_mix": _source_mix,
@@ -3316,6 +3330,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
         GROUP BY lang
+        """,
+        "stratified_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 <
+              CASE lang {' '.join(f"WHEN '{s}' THEN {p}" for s, p in _STRAT_RATES.items())}
+                   ELSE {_STRAT_DEFAULT} END
         """,
         "l_diversity": """
         WITH gv AS (

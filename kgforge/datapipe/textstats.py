@@ -295,6 +295,26 @@ def hash_sample(df: DataFrame, id_col: str, percent: int,
     return df.filter(h % 100 < percent)
 
 
+def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
+                           rates: dict[str, int], default_percent: int = 0,
+                           mult: int = 1000003) -> DataFrame:
+    """Per-stratum deterministic sampling: a row in stratum ``s`` survives
+    when its portable polynomial id-hash lands in [0, rates[s]) of 100
+    (strata not listed use ``default_percent``).  The corpus-curation
+    "rebalance by language/source" primitive: pure id-function selection —
+    reproducible across runs, partitionings, and engines, and rows keep
+    membership when a stratum's rate is raised (nested samples), unlike
+    ``df.sampleBy``.  One scan, no shuffle — the predicate is a codegen
+    CASE over the broadcast-free literal rate table."""
+    from kgforge.datapipe.dedup import poly_hash
+
+    h = poly_hash(F.col(id_col).cast("string"), mult) % 100
+    rate = F.lit(int(default_percent))
+    for s, p in rates.items():
+        rate = F.when(F.col(strata_col) == s, F.lit(int(p))).otherwise(rate)
+    return df.filter(h < rate)
+
+
 def vocab_topk(df: DataFrame, text_col: str, k: int = 100,
                min_len: int = 1) -> DataFrame:
     """(token, n, rank): the k most frequent whitespace tokens across the

@@ -186,3 +186,29 @@ def test_corpus_ops_are_jvm_only(spark):
         plan = _plan(q[name](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython"):
             assert marker not in plan, (name, marker)
+
+
+def test_completed_tpch_queries_broadcast_dims(spark):
+    # session-2 TPC-H completions: dimension sides must broadcast
+    q = entry.queries()
+    assert _plan(q["q2_min_cost_supplier"](spark, SF)).count("BroadcastHashJoin") >= 2
+    assert _plan(q["q8_market_share"](spark, SF)).count("BroadcastHashJoin") >= 2
+    assert _plan(q["q9_product_profit"](spark, SF)).count("BroadcastHashJoin") >= 2
+    assert _plan(q["q21_waiting_suppliers"](spark, SF)).count("BroadcastHashJoin") >= 1
+
+
+def test_session2_corpus_ops_are_jvm_only(spark):
+    # repetition signals, duplicate spans, stratified sampling: pure codegen
+    q = entry.queries()
+    for name in ("repetition", "dup_spans", "stratified_sample"):
+        plan = _plan(q[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, (name, marker)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark):
+    # centroid assignment broadcasts the (tiny) centroid table; the pair
+    # stage must be an equi-join on the cell id, never an all-pairs product
+    plan = _plan(entry.queries()["semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
