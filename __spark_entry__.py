@@ -1612,6 +1612,56 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+def _profile_orders(spark, sf_dir):
+    from kgforge.datapipe.profile import profile_table
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile_table(orders)
+
+
+def _events_winsorized(spark, sf_dir):
+    from kgforge.datapipe.profile import winsorize
+
+    ev = _read(spark, sf_dir, "events")
+    out = winsorize(ev, "value", lo=0.05, hi=0.95)
+    return out.select(
+        "event_id",
+        F.round("value_clipped", 6).alias("value_clipped"),
+        F.col("value_clipped_was_clipped").alias("was_clipped"),
+    )
+
+
+def _profile_orders_oracle() -> str:
+    parts: list[str] = []
+
+    def p(c, m, expr):
+        parts.append(
+            f"SELECT '{c}' AS column_name, '{m}' AS metric, "
+            f"round(CAST({expr} AS DOUBLE), 6) AS value FROM orders"
+        )
+
+    all_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"]
+    for c in all_cols:
+        p(c, "n_nonnull", f"count({c})")
+        p(c, "n_distinct", f"count(DISTINCT {c})")
+    for c in ("o_orderkey", "o_custkey"):
+        p(c, "min", f"min({c})")
+        p(c, "max", f"max({c})")
+        p(c, "mean", f"CAST(sum({c}) AS DOUBLE) / count({c})")
+    p("o_totalprice", "min", "min(o_totalprice)")
+    p("o_totalprice", "max", "max(o_totalprice)")
+    p("o_totalprice", "mean",
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(o_totalprice)")
+    for c in ("o_orderstatus", "o_orderpriority"):
+        p(c, "len_min", f"min(length({c}))")
+        p(c, "len_max", f"max(length({c}))")
+        p(c, "len_mean", f"CAST(sum(length({c})) AS DOUBLE) / count({c})")
+    p("o_orderdate", "ts_min", "epoch(min(o_orderdate))")
+    p("o_orderdate", "ts_max", "epoch(max(o_orderdate))")
+    return "\nUNION ALL\n".join(parts)
+
+
 _STRAT_RATES = {"en": 30, "de": 100, "fr": 60}
 _STRAT_DEFAULT = 10
 
@@ -2209,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "doc_sample": _doc_sample,
         "stratified_sample": _stratified_sample,
+        "profile_orders": _profile_orders,
+        "events_winsorized": _events_winsorized,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
         "source_mix": _source_mix,
@@ -3330,6 +3382,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {_poly_sql("CAST(doc_id AS VARCHAR)", 1000003)} % 100 < 37
         GROUP BY lang
+        """,
+        "profile_orders": _profile_orders_oracle(),
+        "events_winsorized": """
+        WITH q AS (
+          SELECT quantile_cont(value, 0.05) AS qlo,
+                 quantile_cont(value, 0.95) AS qhi
+          FROM events
+        )
+        SELECT event_id,
+               round(least(greatest(value, qlo), qhi), 6) AS value_clipped,
+               (value < qlo OR value > qhi) AS was_clipped
+        FROM events, q
         """,
         "stratified_sample": f"""
         SELECT doc_id, lang, source FROM documents

@@ -1,0 +1,110 @@
+"""Table profiling — ANALYZE-style per-column statistics in one pass.
+
+The cluster equivalent of the reference's implicit "what predicates exist /
+which are literal" introspection queries (QueryBuildingService.java:165-173),
+generalized to the relational tables: every column gets non-null and
+distinct counts plus type-appropriate min/max/mean, emitted in long format
+``(column, metric, value: double)``.
+
+Scale: ONE aggregation job over the table.  The multiple count-distincts
+expand the input (Spark's expand operator — one pass, M×columns rows into a
+map-side-combinable agg), which is exactly what `ANALYZE TABLE ... COMPUTE
+STATISTICS FOR COLUMNS` does; no per-column scans, no collects beyond the
+single stats row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "decimal")
+
+
+def winsorize(df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
+              out: str | None = None) -> DataFrame:
+    """Clip ``col`` to its exact [lo, hi] quantiles (linear-interpolation
+    percentile — the definition Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share), adding ``<out>`` (default ``<col>_clipped``)
+    and a boolean ``<out>_was_clipped`` — the outlier-clamp step of a
+    feature-cleaning pipeline.
+
+    Scale: one scalar-aggregate job computes both bounds (no global sort —
+    percentile aggregates per partition and merges), then a broadcast of
+    the 1-row bounds and a codegen projection."""
+    out = out or f"{col}_clipped"
+    bounds = df.agg(
+        F.percentile(F.col(col).cast("double"), F.lit([lo, hi])).alias("_q")
+    ).select(F.col("_q")[0].alias("_qlo"), F.col("_q")[1].alias("_qhi"))
+    c = F.col(col).cast("double")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, F.least(F.greatest(c, F.col("_qlo")), F.col("_qhi")))
+        .withColumn(f"{out}_was_clipped", (c < F.col("_qlo")) | (c > F.col("_qhi")))
+        .drop("_qlo", "_qhi")
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  mean_decimal_scale: int = 6) -> DataFrame:
+    """(column, metric, value) rows for every profiled column.
+
+    Metrics: ``n_nonnull`` / ``n_distinct`` always; numeric columns add
+    ``min`` / ``max`` / ``mean``; strings add ``len_min`` / ``len_max`` /
+    ``len_mean``; timestamps add ``ts_min`` / ``ts_max`` (epoch seconds).
+    Means of floating columns run through DECIMAL(18, ``mean_decimal_scale``)
+    so the sum is exact and engine-portable (summation-order-independent);
+    data with more fractional digits than the scale is rounded into it.
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = []
+    metrics: list[tuple[str, str, str]] = []  # (col, metric, agg alias)
+
+    def add(col: str, metric: str, expr) -> None:
+        alias = f"{col}__{metric}"
+        aggs.append(expr.cast("double").alias(alias))
+        metrics.append((col, metric, alias))
+
+    for c in cols:
+        t = dtypes[c]
+        col = F.col(c)
+        add(c, "n_nonnull", F.count(col))
+        add(c, "n_distinct", F.countDistinct(col))
+        if t.startswith(_NUMERIC_PREFIXES):
+            add(c, "min", F.min(col))
+            add(c, "max", F.max(col))
+            if t in ("double", "float") or t.startswith("decimal"):
+                dec = col.cast(f"decimal(18,{mean_decimal_scale})")
+                add(c, "mean", F.sum(dec).cast("double") / F.count(col))
+            else:
+                # integral sums are exact longs; one double division at the end
+                add(c, "mean", F.sum(col).cast("double") / F.count(col))
+        elif t == "string":
+            ln = F.length(col)
+            add(c, "len_min", F.min(ln))
+            add(c, "len_max", F.max(ln))
+            add(c, "len_mean", F.sum(ln).cast("double") / F.count(col))
+        elif t.startswith("timestamp") or t == "date":
+            ep = F.unix_timestamp(col)
+            add(c, "ts_min", F.min(ep))
+            add(c, "ts_max", F.max(ep))
+
+    stats = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(m).alias("metric"),
+            F.col(a).alias("value"),
+        )
+        for c, m, a in metrics
+    ])
+    return (
+        stats.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.column").alias("column_name"),
+            "p.metric",
+            F.round("p.value", 6).alias("value"),
+        )
+    )
