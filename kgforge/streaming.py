@@ -217,3 +217,54 @@ def stream_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content"])
     )
+
+
+def stream_followup_join(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 5,
+    glob: str | None = None,
+):
+    """Watermarked stream-stream interval join: purchases joined to the
+    same user's follow-up events within ``horizon_minutes``.
+
+    This is the canonical Structured Streaming two-stream join: BOTH sides
+    carry watermarks and the join condition bounds event time on each side
+    (equi-key on user + interval on ts), so the state store can expire
+    buffered rows — without the time bound, stream-stream joins hold state
+    forever.  Inner join: late/unmatched rows drop once the watermark
+    passes.  The output matches the batch ``events_followup_range_join``
+    pair set (pid, oid) once all input is processed (asserted in tests);
+    the per-purchase COUNT stays with the batch path because a streaming
+    outer aggregation over a stream-stream join would need a second
+    watermark chain."""
+    reader = spark.readStream.format("parquet").schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    base = reader.load(events_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    others = (
+        base.select(
+            F.col("event_id").alias("oid"),
+            F.col("user_id").alias("ou"),
+            F.col("ts").alias("ots"),
+        )
+        .withWatermark("ots", watermark)
+    )
+    return purchases.join(
+        others,
+        (F.col("u") == F.col("ou"))
+        & (F.col("ots") > F.col("pts"))
+        & (F.col("ots") <= F.col("pts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "inner",
+    ).select("pid", "oid", "pts", "ots")

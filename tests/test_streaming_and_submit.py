@@ -224,3 +224,45 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = [r["text"] for r in spark.sql("SELECT text FROM dedup_out").collect()]
     assert sorted(set(got)) == sorted(f"text {i}" for i in range(8))
     assert len(got) == 8  # one survivor per content, none duplicated
+
+
+def test_stream_followup_join_matches_batch_pairs(spark, tmp_path):
+    """Stream-stream interval join ≡ batch range join on the same events:
+    the (pid, oid) pair set from the watermarked two-stream join must equal
+    the batch equi-key + interval join's matched pairs."""
+    from kgforge.streaming import stream_followup_join
+
+    src = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{src}/events.parquet").schema
+    joined = stream_followup_join(spark, src, schema, glob="events.parquet")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("followup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["pid"], r["oid"])
+        for r in spark.sql("SELECT pid, oid FROM followup_out").collect()
+    }
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    o = ev.select(F.col("event_id").alias("oid"), F.col("user_id").alias("ou"),
+                  F.col("ts").alias("ots"))
+    want = {
+        (r["pid"], r["oid"])
+        for r in p.join(
+            o,
+            (F.col("u") == F.col("ou"))
+            & (F.col("ots") > F.col("pts"))
+            & (F.col("ots") <= F.col("pts") + F.expr("INTERVAL 5 MINUTES")),
+        ).select("pid", "oid").collect()
+    }
+    assert got == want and len(got) > 0
