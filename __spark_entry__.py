@@ -2000,6 +2000,8 @@ def _kg_components(spark, sf_dir):
         .distinct()
     )
     comp = connected_components(edges, "ea", "eb", driver_threshold=0)
+    # the loop eagerly checkpoints its labels each round — cache can go
+    links.unpersist()
     return comp.select(F.col("node").alias("eid"), F.col("comp").alias("component"))
 
 
