@@ -1810,6 +1810,49 @@ def _kg_triples(spark, sf_dir):
     return triples
 
 
+def _kg_anon_mention_counts(spark, sf_dir):
+    """Cross-layer composition — the north_rule sentence end to end: layer 1
+    (KG mention detection) produces a per-document numeric attribute (its
+    mention count), and layer 2 applies the reference's W1–W3
+    equal-frequency generalization (explicit floor-bucket formula, range-
+    partitioned global rank) to that attribute.  Docs with zero mentions
+    drop out exactly like the reference's null-drop (P4)."""
+    from kgforge.anonymize.buckets import calculate_number_of_buckets
+    from kgforge.anonymize.ops import generalize
+
+    m = _doc_mentions(spark, sf_dir)
+    counts = m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nm"))
+    col_df = counts.select(
+        F.col("doc_id").cast("string").alias("subj"),
+        F.col("nm").cast("string").alias("obj_value"),
+        F.col("doc_id").alias("_tie"),
+    )
+    n = col_df.count()
+    g = calculate_number_of_buckets(n, 1)
+    out = generalize(col_df, "mentions", "integer", g, n, F.col("_tie"))
+    return out.filter(F.col("pred") == "mentions_generalized").select(
+        F.col("subj").try_cast("bigint").alias("doc_id"),
+        F.substring_index("obj_value", "_", -1).try_cast("bigint").alias("bucket"),
+    )
+
+
+def _kg_anon_mention_counts_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+mc AS (
+  SELECT doc_id, count(*) AS nm FROM mentions GROUP BY doc_id
+), s AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY nm, doc_id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM mc
+), p AS (
+  SELECT max(n) AS n, {_BUCKET_FORMULA.format(n="max(n)", a="1")} AS g FROM s
+)
+SELECT s.doc_id, (p.g * s.rk) // p.n AS bucket FROM s, p
+"""
+
+
 def _kg_triples_oracle() -> str:
     """DuckDB mirror of the full build_kg DAG over the flat-span projection:
     the mention CTE (shared with doc_mentions), trigram-Jaccard link scoring
@@ -2275,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_interleaved": _kg_triples_interleaved,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
+        "kg_anon_mention_counts": _kg_anon_mention_counts,
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
     }
@@ -3491,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_oracle(),
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
         "kg_components": _kg_components_oracle(),
+        "kg_anon_mention_counts": _kg_anon_mention_counts_oracle(),
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
