@@ -76,6 +76,37 @@ def _canonicalize_driver(spark, surface_list, threshold: float):
     return spark.createDataFrame(rows, schema="surface string, canon_surface string")
 
 
+def _canonicalize_surfaces(
+    spark, surfaces: DataFrame, threshold: float,
+    small_canon_threshold: int, n_surfaces: int | None = None,
+) -> DataFrame:
+    """(surface) → persisted (surface, canon_surface).  At or below the
+    threshold the vocabulary is collected and clustered exactly on the
+    driver (one job); above it the MinHash-LSH + distributed
+    connected-components path runs.  Both paths agree on the synthetic
+    vocabulary (tested)."""
+    if n_surfaces is None:
+        n_surfaces = surfaces.count()
+    if n_surfaces <= small_canon_threshold:
+        return _canonicalize_driver(
+            spark, [r["surface"] for r in surfaces.collect()], threshold
+        ).persist()
+    # 96 lanes / 32 bands (r=3): ≥0.998 candidate recall at the 0.55
+    # Jaccard threshold (24/8 missed ~23% of near-threshold pairs); the
+    # exact-Jaccard verify prunes the extra sub-threshold candidates
+    pairs = lsh_candidate_pairs(
+        surfaces, "surface", "surface", num_hashes=96, bands=32
+    )
+    verified = jaccard_filter(pairs, surfaces, "surface", "surface", threshold)
+    comps = connected_components(verified.select("a", "b"))
+    return (
+        surfaces.join(
+            comps.withColumnRenamed("node", "surface"), "surface", "left"
+        ).withColumn("canon_surface", F.coalesce(F.col("comp"), F.col("surface")))
+        .select("surface", "canon_surface")
+    ).persist()
+
+
 def build_kg(
     docs: DataFrame,
     mention_strategy: str = "pandas",
@@ -123,27 +154,9 @@ def build_kg(
     surfaces = linked.select("surface").distinct().persist()
     n_surfaces = surfaces.count()
     metrics["n_surfaces"] = n_surfaces
-    if n_surfaces <= small_canon_threshold:
-        canon = _canonicalize_driver(
-            spark, [r["surface"] for r in surfaces.collect()], near_dup_threshold
-        ).persist()
-    else:
-        # 96 lanes / 32 bands (r=3): ≥0.998 candidate recall at the 0.55
-        # Jaccard threshold (24/8 missed ~23% of near-threshold pairs); the
-        # exact-Jaccard verify prunes the extra sub-threshold candidates
-        pairs = lsh_candidate_pairs(
-            surfaces, "surface", "surface", num_hashes=96, bands=32
-        )
-        verified = jaccard_filter(
-            pairs, surfaces, "surface", "surface", near_dup_threshold
-        )
-        comps = connected_components(verified.select("a", "b"))
-        canon = (
-            surfaces.join(
-                comps.withColumnRenamed("node", "surface"), "surface", "left"
-            ).withColumn("canon_surface", F.coalesce(F.col("comp"), F.col("surface")))
-            .select("surface", "canon_surface")
-        ).persist()
+    canon = _canonicalize_surfaces(
+        spark, surfaces, near_dup_threshold, small_canon_threshold, n_surfaces
+    )
     if collect_metrics:
         metrics["n_surface_clusters"] = canon.select("canon_surface").distinct().count()
 
@@ -256,3 +269,75 @@ def span_sequence_check(docs: DataFrame) -> int:
     return joined.filter(
         F.col("spans2").isNull() | (F.col("spans") != F.col("spans2"))
     ).count()
+
+
+def update_kg(
+    old_triples: DataFrame,
+    new_docs: DataFrame,
+    near_dup_threshold: float = 0.55,
+    small_canon_threshold: int = 20_000,
+    **build_kwargs,
+) -> tuple[DataFrame, dict]:
+    """Incremental KG maintenance: fold a batch of NEW documents into an
+    existing triple graph, equal BY CONSTRUCTION to rebuilding from scratch
+    over the union corpus (asserted in tests):
+
+    - doc-scoped families (mentions / hasMedia / mediaKind / spanCount) and
+      entity-identity families (rdf:type / canonicalName / surfaceForm) are
+      per-doc / per-catalog-entry facts — distinct union suffices;
+    - ``mentionCount`` is additive — old and new counts sum per entity;
+    - ``nearDuplicateOf`` is the one corpus-GLOBAL family (a new surface can
+      bridge two existing clusters), so it is recomputed from the union
+      surface vocabulary — which the graph itself already stores as
+      ``surfaceForm`` triples; no access to the old corpus is needed.
+
+    Caller contract: ``new_docs`` doc_ids must be disjoint from already
+    ingested ones (replays are the streaming sink's epoch-overwrite job).
+
+    Scale: the increment costs mention/link/aggregate over the NEW docs
+    only, plus one distinct over old surfaceForm triples and the
+    canonicalization of the union vocabulary — nothing reprocesses old
+    documents.
+    """
+    spark = old_triples.sparkSession
+    new_triples, metrics = build_kg(
+        new_docs,
+        near_dup_threshold=near_dup_threshold,
+        small_canon_threshold=small_canon_threshold,
+        collect_metrics=False,
+        **build_kwargs,
+    )
+    mc = KG + "mentionCount"
+    nd = KG + "nearDuplicateOf"
+
+    both = old_triples.unionByName(new_triples)
+    rest = both.filter(~F.col("pred").isin(mc, nd)).distinct()
+
+    counts = (
+        both.filter(F.col("pred") == mc)
+        .groupBy("subj")
+        .agg(F.sum(F.col("obj_value").cast("long")).alias("n"))
+    )
+    t_counts = _lit_triple(counts, F.col("subj"), mc, F.col("n"), "xsd:long")
+
+    surfaces = (
+        rest.filter(F.col("pred") == KG + "surfaceForm")
+        .select(F.col("obj_value").alias("surface"))
+        .distinct()
+        .persist()
+    )
+    canon = _canonicalize_surfaces(
+        spark, surfaces, near_dup_threshold, small_canon_threshold
+    )
+    t_neardup = (
+        canon.filter(F.col("surface") != F.col("canon_surface"))
+        .select(
+            F.concat(F.lit(KG), F.lit("surface/"), F.col("surface")).alias("subj"),
+            F.lit(nd).alias("pred"),
+            F.concat(F.lit(KG), F.lit("surface/"), F.col("canon_surface")).alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+    )
+    metrics["incremental"] = True
+    return rest.unionByName(t_counts).unionByName(t_neardup), metrics

@@ -223,3 +223,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ent_b")
         spark.sql("DROP TABLE IF EXISTS t_men_b")
+
+
+def test_update_kg_equals_batch_rebuild(spark):
+    """Incremental maintenance is EXACTLY a batch rebuild: fold a second
+    document batch into the first batch's graph and compare the full triple
+    set against build_kg over the union corpus — value equality, including
+    the recomputed global nearDuplicateOf family and the summed
+    mentionCounts."""
+    from pyspark.sql import functions as F
+
+    from kgforge.kg.pipeline import build_kg, update_kg
+    from kgforge.kg.synth import synth_docs
+
+    docs = synth_docs(spark, 300).persist()
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    d1 = docs.filter(part != 0)
+    d2 = docs.filter(part == 0)
+
+    full, _ = build_kg(docs, collect_metrics=False)
+    t1, _ = build_kg(d1, collect_metrics=False)
+    inc, _ = update_kg(t1, d2)
+
+    want = {tuple(r) for r in full.collect()}
+    got = {tuple(r) for r in inc.collect()}
+    assert len(want) > 0
+    assert got == want, (
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
+    )
+    docs.unpersist()
