@@ -3237,7 +3237,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": """
         WITH t AS (
           SELECT doc_id AS id,
-                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
           FROM documents
         ), starts AS (
           SELECT id, toks,
@@ -3400,7 +3400,7 @@ def oracle_sql() -> dict[str, str]:
                  unnest(list_distinct(list_transform(
                    generate_series(1, greatest(len(toks) - 2, 0)),
                    i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
                 FROM documents)
         ), gt AS (
           SELECT DISTINCT gram FROM g WHERE is_train
