@@ -1612,6 +1612,72 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+def _events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per user, the first view,
+    the first click AFTER that view, the first purchase AFTER that click —
+    three map-side-combinable conditional aggregations chained by two
+    per-user joins (user cardinality, not event cardinality); stage counts
+    in one final row."""
+    ev = _read(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+def _retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by the week of their first
+    event; distinct active users per (cohort_week, weeks_since) — two
+    combinable aggregations + one join on user_id."""
+    ev = _read(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("t0").cast("timestamp")).alias("cohort_week"),
+            (F.floor(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.col("t0").cast("timestamp")))
+                / F.lit(604800)
+            )).alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("weeks_since").cast("bigint").alias("weeks_since"),
+            "n_users",
+        )
+    )
+
+
+def _suppress_rare_customers(spark, sf_dir):
+    from kgforge.anonymize.privacy import suppress_small_groups
+
+    cust = _read(spark, sf_dir, "customer")
+    out = suppress_small_groups(cust, ["c_nationkey", "c_mktsegment"], k=10)
+    return out.select("c_custkey", "c_nationkey", "c_mktsegment", "suppressed")
+
+
 def _profile_orders(spark, sf_dir):
     from kgforge.datapipe.profile import profile_table
 
@@ -2306,6 +2372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
+        "events_funnel": _events_funnel,
+        "retention_cohorts": _retention_cohorts,
+        "suppress_rare_customers": _suppress_rare_customers,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
         "source_mix": _source_mix,
@@ -3430,6 +3499,48 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang
         """,
         "profile_orders": _profile_orders_oracle(),
+        "events_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_view_click,
+               (SELECT count(*) FROM s3) AS n_view_click_purchase
+        """,
+        "retention_cohorts": """
+        WITH first AS (
+          SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+        )
+        SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+               CAST(floor((epoch(e.ts) - epoch(t0)) / 604800) AS BIGINT) AS weeks_since,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN first USING (user_id)
+        GROUP BY 1, 2
+        """,
+        "suppress_rare_customers": """
+        WITH counts AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer GROUP BY 1, 2
+        )
+        SELECT c_custkey,
+               CASE WHEN n < 10 THEN '*****'
+                    ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey,
+               CASE WHEN n < 10 THEN '*****' ELSE c.c_mktsegment END AS c_mktsegment,
+               n < 10 AS suppressed
+        FROM customer c
+        JOIN counts USING (c_nationkey, c_mktsegment)
+        """,
         "events_winsorized": """
         WITH q AS (
           SELECT quantile_cont(value, 0.05) AS qlo,

@@ -101,3 +101,28 @@ def t_closeness(df: DataFrame, group_cols: list[str], sensitive_col: str) -> flo
         .collect()[0]
     )
     return float(row[0]) if row[0] is not None else 0.0
+
+
+def suppress_small_groups(df: DataFrame, qi_cols: list[str], k: int,
+                          mask: str = "*****") -> DataFrame:
+    """Quasi-identifier suppression: rows whose QI combination occurs fewer
+    than ``k`` times get every QI column replaced with ``mask`` (the
+    generalize-then-suppress step that turns an almost-k-anonymous release
+    into a k-anonymous one, at the cost of the suppressed cells; suppressed
+    rows merge into one group, so the output is k-anonymous over the QI
+    columns whenever the suppressed-row total itself reaches ``k``).
+
+    Scale: one map-side-combinable groupBy over the QI tuple + ONE join of
+    the group-count table back on the QI key — no second scan of the fact
+    table; the count side is |distinct QI tuples|, broadcastable in the
+    common case."""
+    counts = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    out = df.join(F.broadcast(counts), qi_cols, "left").withColumn(
+        "suppressed", F.col("_n") < k
+    )
+    for c in qi_cols:
+        out = out.withColumn(
+            c,
+            F.when(F.col("suppressed"), F.lit(mask)).otherwise(F.col(c).cast("string")),
+        )
+    return out.drop("_n")
