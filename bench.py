@@ -144,6 +144,15 @@ EXTRA_QUERIES = [
     "q21_waiting_suppliers",
     "repetition",
     "semantic_dedup",
+    "dup_spans",
+    "kg_components",
+    "kg_anon_mention_counts",
+    "profile_orders",
+    "events_winsorized",
+    "events_funnel",
+    "retention_cohorts",
+    "suppress_rare_customers",
+    "stratified_sample",
 ]
 
 BENCH_QUERIES = [
