@@ -1612,6 +1612,44 @@ def _doc_sample(spark, sf_dir):
     )
 
 
+def _events_json_props(spark, sf_dir):
+    # semi-structured breadth: typed from_json over the JSON props column,
+    # then a per-type aggregate on the extracted field — schema-on-read in
+    # one codegen pass (no Python, no regex)
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"].cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("mean_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select("event_type", "n", "sum_k", F.round("mean_k", 6).alias("mean_k"),
+                "max_k")
+    )
+
+
+def _nation_balance_full_outer(spark, sf_dir):
+    # full-outer breadth: per-nation customer vs supplier balance totals,
+    # keeping nations present on either side only
+    cust = _read(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nk_c")
+    ).agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("cust_bal"))
+    supp = _read(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("nk_s")
+    ).agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("supp_bal"))
+    return (
+        cust.join(supp, cust["nk_c"] == supp["nk_s"], "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            "cust_bal", "supp_bal",
+        )
+    )
+
+
 def _events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase): per user, the first view,
     the first click AFTER that view, the first purchase AFTER that click —
@@ -2373,6 +2411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
         "events_funnel": _events_funnel,
+        "events_json_props": _events_json_props,
+        "nation_balance_full_outer": _nation_balance_full_outer,
         "retention_cohorts": _retention_cohorts,
         "suppress_rare_customers": _suppress_rare_customers,
         "l_diversity": _l_diversity,
@@ -3499,6 +3539,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY lang
         """,
         "profile_orders": _profile_orders_oracle(),
+        "events_json_props": """
+        SELECT event_type,
+               count(k) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS mean_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (SELECT event_type,
+                     CAST(props::JSON->>'k' AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+        """,
+        "nation_balance_full_outer": """
+        WITH c AS (
+          SELECT c_nationkey AS nk,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+          FROM customer GROUP BY 1
+        ), s AS (
+          SELECT s_nationkey AS nk,
+                 CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+          FROM supplier GROUP BY 1
+        )
+        SELECT coalesce(c.nk, s.nk) AS nationkey, cust_bal, supp_bal
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        """,
         "events_funnel": """
         WITH s1 AS (
           SELECT user_id, min(ts) AS t1 FROM events
