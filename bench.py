@@ -141,6 +141,7 @@ EXTRA_QUERIES = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
+    "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "repetition",
     "semantic_dedup",

@@ -178,13 +178,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, centroids,
     cents = df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         schema="cent_id long, cent_vec array<double>",
-    )
+    ).withColumn("cent_norm", _norm(F.col("cent_vec")))
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_nv", _norm(F.col("_v")))
     scored = base.join(F.broadcast(cents)).withColumn(
         "_ccos", _dot(F.col("_v"), F.col("cent_vec"))
-        / (F.col("_nv") * _norm(F.col("cent_vec"))),
+        / (F.col("_nv") * F.col("cent_norm")),
     )
     w = W.partitionBy("id").orderBy(F.desc("_ccos"), F.col("cent_id"))
     assigned = (
@@ -273,6 +273,10 @@ def ivf_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).cast("array<double>").alias("cent_vec"),
         )
+    # centroid norms fold ONCE per centroid row here, not per (row, centroid)
+    # candidate — same JVM fold over the same values, so assignment cosines
+    # are bit-identical to inline evaluation (oracle parity unchanged)
+    cents = cents.withColumn("cent_norm", _norm(F.col("cent_vec")))
 
     def _assign(side: DataFrame, out_id: str, probes: int) -> DataFrame:
         j = side.select(
@@ -281,7 +285,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         ).withColumn("_nv", _norm(F.col("_v"))).join(F.broadcast(cents))
         scored = j.withColumn(
             "_ccos", _dot(F.col("_v"), F.col("cent_vec"))
-            / (F.col("_nv") * _norm(F.col("cent_vec"))),
+            / (F.col("_nv") * F.col("cent_norm")),
         )
         w = W.partitionBy(out_id).orderBy(F.desc("_ccos"), F.col("cent_id"))
         return (
