@@ -155,17 +155,23 @@ def k_anonymity(
     attr_data: list[tuple] = []
     for attr in rand_attrs:
         dtp = cfgs[attr].datatype
+        # persisted: the benchmark collect below materializes them once and
+        # the counting paths re-join them — without the persist the
+        # pred-filter + semi-join + dropDuplicates pipeline re-executes
+        # inside every downstream join (measured ~15% of the 1M-row run)
         orig = (
             triples.filter(F.col("pred") == attr)
             .join(subjects, "subj", "left_semi")
             .select("subj", _kpi_parse(dtp, F.col("obj_value")).alias("_o"))
             .dropDuplicates(["subj"])
+            .persist()
         )
         rand = (
             triples.filter(F.col("pred") == attr + "_randomized")
             .join(subjects, "subj", "left_semi")
             .select("subj", _kpi_parse(dtp, F.col("obj_value")).alias("_r"))
             .dropDuplicates(["subj"])
+            .persist()
         )
         stats = (
             orig.join(rand, "subj")
@@ -191,17 +197,22 @@ def k_anonymity(
     if mode in ("grouped", "sliced") and len(rand_attrs) == 1:
         mode = "ranges"
 
-    if mode == "pairs":
-        return _k_pairs(subjects, ent, gcols, attr_data)
-    if mode == "ranges":
-        return _k_ranges(subjects, ent, gcols, attr_data[0])
-    if mode == "grid":
-        return _k_grid(subjects, ent, gcols, attr_data)
-    if mode == "grouped":
-        return _k_grouped(subjects, ent, gcols, attr_data)
-    if mode == "sliced":
-        return _k_sliced(subjects, ent, gcols, attr_data)
-    raise ValueError(f"unknown k-anonymity mode: {mode!r}")
+    try:
+        if mode == "pairs":
+            return _k_pairs(subjects, ent, gcols, attr_data)
+        if mode == "ranges":
+            return _k_ranges(subjects, ent, gcols, attr_data[0])
+        if mode == "grid":
+            return _k_grid(subjects, ent, gcols, attr_data)
+        if mode == "grouped":
+            return _k_grouped(subjects, ent, gcols, attr_data)
+        if mode == "sliced":
+            return _k_sliced(subjects, ent, gcols, attr_data)
+        raise ValueError(f"unknown k-anonymity mode: {mode!r}")
+    finally:
+        for _, orig, rand, _b in attr_data:
+            orig.unpersist()
+            rand.unpersist()
 
 
 def _k_pairs(subjects, ent, gcols, attr_data) -> int:
@@ -311,12 +322,11 @@ def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
     )
     cnt_nonnull = _counts_1d(base.filter(F.col("_o").isNotNull()), bench)
 
+    # the two strata partition `base`, and `base` keeps every subject (left
+    # joins off the subject spine), so cnts already covers all subjects —
+    # no join back needed, min() over the union is the answer
     cnts = cnt_nonnull.unionByName(cnt_null)
-    row = (
-        subjects.join(cnts, "subj", "left")
-        .select(F.min(F.coalesce(F.col("_cnt"), F.lit(0))).alias("k"))
-        .collect()[0]
-    )
+    row = cnts.select(F.min("_cnt").alias("k")).collect()[0]
     base.unpersist()
     return int(row["k"]) if row["k"] is not None else 0
 
