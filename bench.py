@@ -222,6 +222,26 @@ def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
     return out
 
 
+def _kanon_scale_pair(n_rows: int = 4_000_000) -> dict:
+    """Second N→4N scaling witness, over the ANONYMIZATION layer: the
+    worst-skew k-anonymity job (1 generalization group, ranges mode) at
+    local[2] vs local[8] on the same synthetic subjects.  Complements the
+    KG-pipeline pair — the north rule's two-cluster-size criterion holds
+    for both halves of the engine."""
+    out = {"n_rows": n_rows}
+    for cpus in (2, 8):
+        spark = _session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        r = _anon_scale_run(spark, n_rows)
+        out[f"seconds_{cpus}c"] = r["kanon_ranges_1m_single_group"]
+        out["k"] = r["kanon_ranges_1m_k"]
+        spark.stop()
+    out["efficiency"] = round(
+        out["seconds_2c"] / out["seconds_8c"] / 4.0, 4
+    )
+    return out
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -330,6 +350,7 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
+        out["anon_scaling"] = _kanon_scale_pair()
     print(json.dumps(out))
 
 

@@ -2,66 +2,62 @@
 
 A naive ``row_number().over(Window.orderBy(...))`` funnels the whole dataset
 through one task — fatal at scale.  These helpers compute exact global ranks
-with range partitioning + per-partition offsets (the zipWithIndex pattern,
-kept in DataFrame/Arrow land): sort shuffle is spread over all partitions and
-the only driver traffic is one count per partition.
+and running sums with range partitioning + per-partition offsets (the
+zipWithIndex pattern), entirely JVM-side: repartitionByRange spreads the sort
+across all partitions, ``spark_partition_id()`` stamps the range bucket, a
+window PARTITIONED BY that bucket (bounded ~n/npart rows — never a global
+window) does the per-bucket rank/cumsum in whole-stage codegen, and a
+broadcast of one offset row per partition splices the buckets together.
+The only driver traffic is one count/sum per partition.
+
+(Earlier versions ran the per-partition pass through Arrow ``mapInPandas``;
+the Arrow round-trip dominated the runtime and anti-scaled with cores on
+this host — the JVM window is both faster and scaling-clean.)
 """
 
 from __future__ import annotations
 
-from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
-def _extended_schema(df: DataFrame) -> T.StructType:
-    # copy — StructType.add would mutate the DataFrame's cached schema
-    return T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("_pid", T.IntegerType()), T.StructField("_prn", T.LongType())]
+def _ranged_with_pid(df: DataFrame, order_cols: list, npart: int) -> DataFrame:
+    """Range-partition by the sort key and stamp the partition id.
+
+    Persisted: the offset collect and the windowed read must see the SAME
+    partitioning (the range partitioner samples bounds — two independent
+    executions could split differently)."""
+    return (
+        df.repartitionByRange(npart, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+
+
+def _offsets_df(spark, totals: dict) -> DataFrame:
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    return spark.createDataFrame(offsets or [(0, 0)], schema="_pid int, _off long")
 
 
 def with_global_rank(df: DataFrame, order_cols: list, out: str = "_rank",
                      num_partitions: int | None = None) -> DataFrame:
     """Exact 0-based global rank under ``order_cols`` without a global window.
 
-    Plan: repartitionByRange(order_cols) → sortWithinPartitions →
-    per-partition row numbers via mapInPandas (no extra shuffle) → join tiny
-    per-partition offset table (broadcast).  Equal keys land in one partition,
-    so add a unique tiebreaker to ``order_cols`` for determinism.
+    Equal keys land in one range partition, so add a unique tiebreaker to
+    ``order_cols`` for determinism.
     """
     npart = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    d = (
-        df.repartitionByRange(npart, *order_cols)
-        .sortWithinPartitions(*order_cols)
-    )
-    schema = _extended_schema(d)
-
-    def add_prn(it):
-        pid = TaskContext.get().partitionId()
-        n = 0
-        for pdf in it:
-            pdf = pdf.assign(_pid=pid, _prn=range(n, n + len(pdf)))
-            n += len(pdf)
-            yield pdf
-
-    d = d.mapInPandas(add_prn, schema=schema)
-    d = d.persist()
+    d = _ranged_with_pid(df, order_cols, npart)
     counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], schema="_pid int, _off long"
-    )
+    off_df = _offsets_df(df.sparkSession, counts)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         d.join(F.broadcast(off_df), "_pid")
-        .withColumn(out, F.col("_off") + F.col("_prn"))
-        .drop("_pid", "_prn", "_off")
+        .withColumn(out, F.row_number().over(w).cast("long") - 1 + F.col("_off"))
+        .drop("_pid", "_off")
     )
 
 
@@ -72,75 +68,26 @@ def with_global_running_sum(
     """Inclusive global running sum of ``value_col`` under ``order_cols``
     without a single-partition window.
 
-    Same shape as :func:`with_global_rank`: repartitionByRange →
-    sortWithinPartitions → per-partition cumulative sums via mapInPandas →
-    broadcast join of tiny per-partition base offsets.  Rows with equal keys
-    may order arbitrarily among themselves, so the result is deterministic
-    only where ``value_col`` is constant across ties or ties carry value 0 —
-    exactly the contract the k-anonymity range counting needs (queries have
-    weight 0, tied points are interchangeable +1s).
+    Rows with equal keys may order arbitrarily among themselves, so the
+    result is deterministic only where ``value_col`` is constant across ties
+    or ties carry value 0 — exactly the contract the k-anonymity range
+    counting needs (queries have weight 0, tied points are interchangeable
+    +1s).
     """
     npart = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    d = (
-        df.repartitionByRange(npart, *order_cols)
-        .sortWithinPartitions(*order_cols)
-    )
-    schema = T.StructType(
-        list(d.schema.fields)
-        + [T.StructField("_pid", T.IntegerType()), T.StructField("_pcs", T.LongType())]
-    )
-
-    def cum(it):
-        pid = TaskContext.get().partitionId()
-        acc = 0
-        for pdf in it:
-            cs = pdf[value_col].cumsum() + acc
-            if len(cs):
-                acc = int(cs.iloc[-1])
-            yield pdf.assign(_pid=pid, _pcs=cs)
-
-    d = d.mapInPandas(cum, schema=schema).persist()
+    d = _ranged_with_pid(df, order_cols, npart)
     totals = {
-        r["_pid"]: r["t"]
+        r["_pid"]: (r["t"] or 0)
         for r in d.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], schema="_pid int, _off long"
+    off_df = _offsets_df(df.sparkSession, totals)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         d.join(F.broadcast(off_df), "_pid")
-        .withColumn(out, F.col("_off") + F.col("_pcs"))
-        .drop("_pid", "_pcs", "_off")
-    )
-
-
-def with_global_index(df: DataFrame, out: str = "_idx") -> DataFrame:
-    """0-based index in current partition order (zipWithIndex, Arrow path)."""
-    schema = _extended_schema(df)
-
-    def add_prn(it):
-        pid = TaskContext.get().partitionId()
-        n = 0
-        for pdf in it:
-            pdf = pdf.assign(_pid=pid, _prn=range(n, n + len(pdf)))
-            n += len(pdf)
-            yield pdf
-
-    d = df.mapInPandas(add_prn, schema=schema).persist()
-    counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], schema="_pid int, _off long"
-    )
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn(out, F.col("_off") + F.col("_prn"))
-        .drop("_pid", "_prn", "_off")
+        .withColumn(out, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
     )
