@@ -311,9 +311,12 @@ def main() -> None:
         sec_small, n1 = _kg_corpus_run(n_small, corpus)
         sec_large, n2 = _kg_corpus_run(n_large, corpus)
         assert n1 == n2 == synth_n, f"nondeterministic triples {n1}/{n2}/{synth_n}"
-        if (n1 / sec_large) / ((n1 / sec_small) * (n_large / n_small)) < 0.85:
-            # host-noise guard: retake the pair once before reporting a
-            # sub-target efficiency
+        eff0 = (n1 / sec_large) / ((n1 / sec_small) * (n_large / n_small))
+        if eff0 < 0.85 or eff0 > 1.15:
+            # host-noise guard, symmetric: retake the pair once before
+            # reporting either a sub-target OR a physically impossible
+            # super-linear efficiency (a throttled small-cores leg fakes
+            # the latter); min() per leg keeps the cleaner measurement
             sec_small = min(sec_small, _kg_corpus_run(n_small, corpus)[0])
             sec_large = min(sec_large, _kg_corpus_run(n_large, corpus)[0])
         tput_small = n1 / sec_small
