@@ -138,3 +138,34 @@ def test_randomize_exact_stays_in_range_and_seeded(spark):
     c = {r["subj"]: r["obj_value"] for r in
          randomize(col_df, "x", "double", 2, 50, 100, F.col("_tie")).collect()}
     assert a != c  # different seed → different
+
+
+def test_global_running_sum_matches_python_reference(spark):
+    """The JVM-window running sum under multiple partition counts must
+    equal the sequential python prefix sum — three seeds, duplicate keys
+    included (the weight-0 tie contract makes tied queries order-free)."""
+    import random
+
+    from kgforge.rank import with_global_running_sum
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        # duplicate-heavy keys; weights 1 on "points", 0 on "queries"
+        rows = [
+            (i, rnd.randrange(50), rnd.choice([0, 1]))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, schema="id long, k long, w long")
+        for nparts in (1, 3, 16):
+            got = {
+                r["id"]: r["_rs"]
+                for r in with_global_running_sum(
+                    df, [F.col("k"), F.col("id")], "w", out="_rs",
+                    num_partitions=nparts,
+                ).collect()
+            }
+            acc, expect = 0, {}
+            for i, k, w in sorted(rows, key=lambda t: (t[1], t[0])):
+                acc += w
+                expect[i] = acc
+            assert got == expect, (seed, nparts)
