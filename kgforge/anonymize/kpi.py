@@ -153,28 +153,39 @@ def k_anonymity(
     # per-attribute column vectors + the global benchmark (2·mean |o − r|,
     # computed over the whole type like the reference — never per group)
     attr_data: list[tuple] = []
+    fused: list[DataFrame] = []
     for attr in rand_attrs:
         dtp = cfgs[attr].datatype
-        # persisted: the benchmark collect below materializes them once and
-        # the counting paths re-join them — without the persist the
-        # pred-filter + semi-join + dropDuplicates pipeline re-executes
-        # inside every downstream join (measured ~15% of the 1M-row run)
-        orig = (
-            triples.filter(F.col("pred") == attr)
+        # ONE shuffle extracts both column vectors: the orig and
+        # randomized pred-slices fold into (_o, _r) via conditional
+        # aggregation (map-side combinable), replacing two separate
+        # pred-filter + semi-join + dropDuplicates pipelines.  max() picks
+        # one value per subject like the reference's pivot OPTIONAL binding
+        # (attrs are single-valued in every fixture; for a multi-valued
+        # subject the pick is the max instead of an arbitrary row).
+        # Persisted: the benchmark collect materializes it once and every
+        # counting path re-joins it.
+        both = (
+            triples.filter(F.col("pred").isin(attr, attr + "_randomized"))
             .join(subjects, "subj", "left_semi")
-            .select("subj", _kpi_parse(dtp, F.col("obj_value")).alias("_o"))
-            .dropDuplicates(["subj"])
+            .groupBy("subj")
+            .agg(
+                F.max(
+                    F.when(F.col("pred") == attr,
+                           _kpi_parse(dtp, F.col("obj_value")))
+                ).alias("_o"),
+                F.max(
+                    F.when(F.col("pred") == attr + "_randomized",
+                           _kpi_parse(dtp, F.col("obj_value")))
+                ).alias("_r"),
+            )
             .persist()
         )
-        rand = (
-            triples.filter(F.col("pred") == attr + "_randomized")
-            .join(subjects, "subj", "left_semi")
-            .select("subj", _kpi_parse(dtp, F.col("obj_value")).alias("_r"))
-            .dropDuplicates(["subj"])
-            .persist()
-        )
+        fused.append(both)
+        orig = both.filter(F.col("_o").isNotNull()).select("subj", "_o")
+        rand = both.filter(F.col("_r").isNotNull()).select("subj", "_r")
         stats = (
-            orig.join(rand, "subj")
+            both.filter(F.col("_o").isNotNull() & F.col("_r").isNotNull())
             .agg(F.sum(F.abs(F.col("_o") - F.col("_r"))).alias("s"), F.count(F.lit(1)).alias("c"))
             .collect()[0]
         )
@@ -210,9 +221,8 @@ def k_anonymity(
             return _k_sliced(subjects, ent, gcols, attr_data)
         raise ValueError(f"unknown k-anonymity mode: {mode!r}")
     finally:
-        for _, orig, rand, _b in attr_data:
-            orig.unpersist()
-            rand.unpersist()
+        for both in fused:
+            both.unpersist()
 
 
 def _k_pairs(subjects, ent, gcols, attr_data) -> int:
