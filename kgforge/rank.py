@@ -13,6 +13,15 @@ The only driver traffic is one count/sum per partition.
 (Earlier versions ran the per-partition pass through Arrow ``mapInPandas``;
 the Arrow round-trip dominated the runtime and anti-scaled with cores on
 this host — the JVM window is both faster and scaling-clean.)
+
+Cache lifecycle: each helper must persist its range-partitioned frame (the
+offset collect and the windowed read must see the SAME partitioning — the
+range partitioner samples bounds, so two independent executions could split
+differently).  Every persisted frame is registered here; callers that own a
+terminal action unpersist through the ``cleanup`` list they pass in, and
+long-running sessions (benchmarks, services) can call
+:func:`release_rank_caches` between jobs to drop anything still pinned by a
+lazily-consumed result.
 """
 
 from __future__ import annotations
@@ -20,18 +29,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# persisted range-partitioned frames not yet released by a caller-owned
+# cleanup list; see release_rank_caches()
+_live_caches: list[DataFrame] = []
 
-def _ranged_with_pid(df: DataFrame, order_cols: list, npart: int) -> DataFrame:
-    """Range-partition by the sort key and stamp the partition id.
 
-    Persisted: the offset collect and the windowed read must see the SAME
-    partitioning (the range partitioner samples bounds — two independent
-    executions could split differently)."""
-    return (
+def release_rank_caches() -> int:
+    """Unpersist every rank-helper cache still registered; returns the count.
+
+    Safe to call at any job boundary: a consumer that re-executes a result
+    DataFrame afterwards recomputes the range partitioning from scratch,
+    which is only a correctness hazard if the consumer mixes rows from two
+    executions of the SAME result — a terminal action (collect/write/count)
+    never does.
+    """
+    n = len(_live_caches)
+    while _live_caches:
+        _live_caches.pop().unpersist()
+    return n
+
+
+def _register(d: DataFrame, cleanup: list | None) -> DataFrame:
+    if cleanup is not None:
+        cleanup.append(d)
+    else:
+        _live_caches.append(d)
+    return d
+
+
+def _ranged_with_pid(df: DataFrame, order_cols: list, npart: int,
+                     cleanup: list | None = None) -> DataFrame:
+    """Range-partition by the sort key and stamp the partition id (persisted —
+    see the module docstring on cache lifecycle)."""
+    d = (
         df.repartitionByRange(npart, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    return _register(d, cleanup)
 
 
 def _offsets_df(spark, totals: dict) -> DataFrame:
@@ -43,14 +78,15 @@ def _offsets_df(spark, totals: dict) -> DataFrame:
 
 
 def with_global_rank(df: DataFrame, order_cols: list, out: str = "_rank",
-                     num_partitions: int | None = None) -> DataFrame:
+                     num_partitions: int | None = None,
+                     cleanup: list | None = None) -> DataFrame:
     """Exact 0-based global rank under ``order_cols`` without a global window.
 
     Equal keys land in one range partition, so add a unique tiebreaker to
     ``order_cols`` for determinism.
     """
     npart = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    d = _ranged_with_pid(df, order_cols, npart)
+    d = _ranged_with_pid(df, order_cols, npart, cleanup)
     counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
     off_df = _offsets_df(df.sparkSession, counts)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -63,7 +99,7 @@ def with_global_rank(df: DataFrame, order_cols: list, out: str = "_rank",
 
 def with_global_running_sum(
     df: DataFrame, order_cols: list, value_col: str, out: str = "_runsum",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, cleanup: list | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``value_col`` under ``order_cols``
     without a single-partition window.
@@ -75,7 +111,7 @@ def with_global_running_sum(
     +1s).
     """
     npart = num_partitions or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    d = _ranged_with_pid(df, order_cols, npart)
+    d = _ranged_with_pid(df, order_cols, npart, cleanup)
     totals = {
         r["_pid"]: (r["t"] or 0)
         for r in d.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
@@ -90,4 +126,32 @@ def with_global_running_sum(
         d.join(F.broadcast(off_df), "_pid")
         .withColumn(out, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
+    )
+
+
+def with_global_index(df: DataFrame, out: str = "_idx",
+                      cleanup: list | None = None) -> DataFrame:
+    """Contiguous 0-based global row index in partition order (zipWithIndex).
+
+    No repartition: the existing partitioning is kept, each partition is
+    numbered locally under ``monotonically_increasing_id()`` (which encodes
+    the within-partition arrival order), and per-partition counts splice the
+    partitions together — the same offset pattern as the rank/runsum helpers
+    but with zero shuffle.  The frame is persisted so the offset collect and
+    the final read see identical partition contents (registered for cleanup
+    like every rank-helper cache).
+    """
+    d = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .persist()
+    )
+    _register(d, cleanup)
+    counts = {r["_pid"]: r["count"] for r in d.groupBy("_pid").count().collect()}
+    off_df = _offsets_df(df.sparkSession, counts)
+    w = Window.partitionBy("_pid").orderBy("_mono")
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(out, F.row_number().over(w).cast("long") - 1 + F.col("_off"))
+        .drop("_pid", "_off", "_mono")
     )

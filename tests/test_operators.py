@@ -169,3 +169,67 @@ def test_global_running_sum_matches_python_reference(spark):
                 acc += w
                 expect[i] = acc
             assert got == expect, (seed, nparts)
+
+
+def test_with_global_index_contiguous_and_cleanup(spark):
+    from kgforge import rank
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(257)], schema="id long, s string"
+    ).repartition(7)
+    cleanup = []
+    got = rank.with_global_index(df, out="_idx", cleanup=cleanup).collect()
+    idxs = sorted(r["_idx"] for r in got)
+    assert idxs == list(range(257))  # contiguous 0..n-1, no gaps/dupes
+    # one row per input id (the index is a bijection over the input)
+    assert len({r["id"] for r in got}) == 257
+    assert len(cleanup) == 1
+    for d in cleanup:
+        d.unpersist()
+
+
+def test_release_rank_caches_drops_registered_frames(spark):
+    from kgforge import rank
+
+    df = spark.createDataFrame([(i,) for i in range(10)], schema="id long")
+    rank.with_global_rank(df, [F.col("id")]).collect()
+    assert rank.release_rank_caches() >= 1
+    assert rank.release_rank_caches() == 0
+
+
+def test_flat_df_to_triples_matches_driver_ingest(spark):
+    """Distributed flat ingest (COVERAGE.md S2 scale path) must emit the
+    same triple multiset as the driver-side row ingest, counters being a
+    permutation of 0..n-1 over the same payloads."""
+    from kgforge.ingest import flat_df_to_triples, flat_rows_to_triples
+
+    rows = [
+        {"type": "person", "name": f"n{i}", "age": i, "city": None if i % 3 else "x"}
+        for i in range(40)
+    ]
+    pfx = "http://t/"
+    df = spark.createDataFrame(
+        [(r["type"], r["name"], r["age"], r["city"]) for r in rows],
+        schema="type string, name string, age long, city string",
+    ).repartition(5)
+    got = flat_df_to_triples(df, pfx)
+    want = flat_rows_to_triples(spark, rows, pfx)
+
+    def norm(t_df):
+        # group each subject's non-counter triples into a canonical payload
+        rows_ = t_df.collect()
+        by_subj: dict = {}
+        for r in rows_:
+            by_subj.setdefault(r["subj"], set())
+            if r["pred"] != pfx + "counter":
+                by_subj[r["subj"]].add(
+                    (r["pred"], r["obj_value"], r["obj_dtype"], r["obj_is_iri"])
+                )
+        return sorted(tuple(sorted(v)) for v in by_subj.values()), sorted(
+            int(r["obj_value"]) for r in rows_ if r["pred"] == pfx + "counter"
+        )
+
+    g_payloads, g_counters = norm(got)
+    w_payloads, w_counters = norm(want)
+    assert g_payloads == w_payloads
+    assert g_counters == w_counters == list(range(40))
