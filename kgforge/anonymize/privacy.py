@@ -114,11 +114,29 @@ def suppress_small_groups(df: DataFrame, qi_cols: list[str], k: int,
 
     Scale: one map-side-combinable groupBy over the QI tuple + ONE join of
     the group-count table back on the QI key — no second scan of the fact
-    table; the count side is |distinct QI tuples|, broadcastable in the
-    common case."""
+    table; the count side is |distinct QI tuples| and AQE promotes it to a
+    broadcast join at runtime when it is small (no hard broadcast hint: a
+    high-cardinality QI space must be allowed to shuffle-join rather than
+    OOM the driver).
+
+    NULL quasi-identifier values form groups of their own: the join is
+    null-safe (eqNullSafe per column), so a unique row with a NULL QI column
+    is counted, matched, and suppressed like any other rare tuple — an
+    equi-join would drop it to the unmasked branch and silently break the
+    k-anonymity guarantee."""
     counts = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_n"))
-    out = df.join(F.broadcast(counts), qi_cols, "left").withColumn(
-        "suppressed", F.col("_n") < k
+    counts = counts.select(
+        *[F.col(c).alias(f"_qi{i}") for i, c in enumerate(qi_cols)], "_n"
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(qi_cols):
+        cond = cond & df[c].eqNullSafe(counts[f"_qi{i}"])
+    # every row's own tuple is in counts by construction → inner join keeps
+    # all rows and _n is never null
+    out = (
+        df.join(counts, cond, "inner")
+        .drop(*[f"_qi{i}" for i in range(len(qi_cols))])
+        .withColumn("suppressed", F.col("_n") < k)
     )
     for c in qi_cols:
         out = out.withColumn(

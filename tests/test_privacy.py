@@ -55,3 +55,23 @@ def test_uniform_table_is_ideal(spark):
     df = spark.createDataFrame(rows, "grp string, sens string")
     assert l_diversity(df, ["grp"], "sens") == 3
     assert t_closeness(df, ["grp"], "sens") == pytest.approx(0.0, abs=1e-9)
+
+
+def test_suppress_small_groups_masks_rare_and_null_qi(spark):
+    from kgforge.anonymize.privacy import suppress_small_groups
+
+    rows = [
+        ("a", "m", 1), ("a", "m", 2), ("a", "m", 3),   # group of 3 → kept
+        ("b", "f", 4),                                  # singleton → masked
+        (None, "f", 5),                                 # NULL QI singleton → masked
+        (None, None, 6), (None, None, 7),               # NULL-NULL pair
+    ]
+    df = spark.createDataFrame(rows, "city string, sex string, id int")
+    got = {r["id"]: r for r in
+           suppress_small_groups(df, ["city", "sex"], k=3).collect()}
+    assert len(got) == 7  # no row lost to the join
+    for i in (1, 2, 3):
+        assert not got[i]["suppressed"] and got[i]["city"] == "a"
+    for i in (4, 5, 6, 7):
+        assert got[i]["suppressed"], f"row {i} escaped suppression"
+        assert got[i]["city"] == "*****" and got[i]["sex"] == "*****"
