@@ -24,6 +24,7 @@ from kgforge.anonymize import kpi as kpi_mod
 from kgforge.anonymize import ops
 from kgforge.anonymize.buckets import calculate_number_of_buckets
 from kgforge.config import AnonymizationConfig, AttrConfig, DEMO_PREFIX
+from kgforge.rank import release_rank_caches
 from kgforge.triples import attr_column, subjects_of_type, triples_df
 
 _SUFFIX = {
@@ -150,10 +151,18 @@ def anonymize_triples(
         # pass re-joins that table against itself several times.  Without a
         # checkpoint the analyzed plan grows multiplicatively per type —
         # analysis time dominates tiny inputs and the driver can OOM just
-        # rendering plan strings for the SQL listener.  On a cluster this is
-        # the natural stage boundary you would checkpoint anyway (the written-
-        # back model is reused by KPIs, deletes, renames, and serialization).
-        triples = triples.localCheckpoint(eager=True)
+        # rendering plan strings for the SQL listener.  The written-back model
+        # is reused by KPIs, deletes, renames, and serialization, so this is
+        # the natural stage boundary to checkpoint.  When the session has a
+        # checkpoint dir configured we take a RELIABLE checkpoint (survives
+        # executor loss / dynamic allocation on a real cluster); otherwise
+        # localCheckpoint (unreplicated executor blocks — fine for local mode
+        # and fixture-sized services, not for long cluster jobs).
+        triples = _truncate(triples, eager=True)
+        # the checkpoint materialized every operator plan for this type, so
+        # the rank caches the operators pinned (range-partitioned sort
+        # frames) are now redundant — release them before the next type
+        release_rank_caches()
 
         if calculate_kpi:
             k = kpi_mod.k_anonymity(triples, type_iri, used, attrs_cfg)
@@ -197,6 +206,16 @@ def anonymize_triples(
         # caller's serialization) starts from a flat plan.  eager=False: the
         # plan is already replaced by a LogicalRDD; materialization happens on
         # the caller's first action.
-        triples = triples.localCheckpoint(eager=False)
+        triples = _truncate(triples, eager=False)
 
     return triples, report
+
+
+def _truncate(df: DataFrame, eager: bool) -> DataFrame:
+    """Plan-lineage truncation point: reliable ``checkpoint`` when the session
+    has a checkpoint dir (cluster-safe — replicated, survives executor loss),
+    ``localCheckpoint`` otherwise (local mode / short-lived fixture jobs)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

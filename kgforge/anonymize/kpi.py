@@ -27,6 +27,10 @@ ANONYMIZATION_TYP = SOYA_URL + "anonymizationTyp"
 NR_BUCKETS = SOYA_URL + "nrBucketsUsed"
 KPIS_PRED = SOYA_URL + "kpis"
 
+# the counting path the last k_anonymity() call dispatched to (after auto
+# resolution) — observability for tests and tuning, never read by the engine
+_last_mode: str | None = None
+
 
 def attribute_info_rows(type_iri: str, attr: str, strategy: str, g: int) -> list[tuple]:
     """KpiService.addAttributeInformation:61-73 — called only for non-masking
@@ -76,6 +80,7 @@ def k_anonymity(
     cfgs: dict[str, AttrConfig],
     mode: str = "auto",
     pair_threshold: int = 50_000,
+    grid_group_budget: int = 500,
 ) -> int:
     """Compute the k-anonymity KPI for one object type (KpiService.java:75-99).
 
@@ -152,7 +157,6 @@ def k_anonymity(
 
     # per-attribute column vectors + the global benchmark (2·mean |o − r|,
     # computed over the whole type like the reference — never per group)
-    attr_data: list[tuple] = []
     fused: list[DataFrame] = []
     for attr in rand_attrs:
         dtp = cfgs[attr].datatype
@@ -163,8 +167,9 @@ def k_anonymity(
         # one value per subject like the reference's pivot OPTIONAL binding
         # (attrs are single-valued in every fixture; for a multi-valued
         # subject the pick is the max instead of an arbitrary row).
-        # Persisted: the benchmark collect materializes it once and every
-        # counting path re-joins it.
+        # _po/_pr flag pred PRESENCE independent of parse success — the
+        # benchmark denominator needs them.  Persisted: the benchmark
+        # collect materializes it once and every counting path re-joins it.
         both = (
             triples.filter(F.col("pred").isin(attr, attr + "_randomized"))
             .join(subjects, "subj", "left_semi")
@@ -178,18 +183,38 @@ def k_anonymity(
                     F.when(F.col("pred") == attr + "_randomized",
                            _kpi_parse(dtp, F.col("obj_value")))
                 ).alias("_r"),
+                F.max(F.when(F.col("pred") == attr, F.lit(1))).alias("_po"),
+                F.max(
+                    F.when(F.col("pred") == attr + "_randomized", F.lit(1))
+                ).alias("_pr"),
             )
             .persist()
         )
         fused.append(both)
+
+    # ONE action collects every attribute's benchmark scalar (a union of
+    # single-row aggs — one driver barrier total, not one per attribute).
+    # Denominator c counts subjects with both preds PRESENT even when a
+    # value fails _kpi_parse (the reference's inner-join denominator:
+    # SUM skips null |o−r| terms, COUNT(*) over the join doesn't); a
+    # c>0/all-unparseable stratum degenerates to s=0 ⇒ benchmark 0.
+    stats_union = None
+    for i, both in enumerate(fused):
+        st = both.agg(
+            F.sum(F.abs(F.col("_o") - F.col("_r"))).alias("s"),
+            F.count(
+                F.when(F.col("_po").isNotNull() & F.col("_pr").isNotNull(), 1)
+            ).alias("c"),
+        ).select(F.lit(i).alias("_i"), "s", "c")
+        stats_union = st if stats_union is None else stats_union.unionByName(st)
+    stats_by_i = {r["_i"]: r for r in stats_union.collect()}
+
+    attr_data: list[tuple] = []
+    for i, (attr, both) in enumerate(zip(rand_attrs, fused)):
+        st = stats_by_i[i]
+        bench = (2.0 * (st["s"] or 0.0) / st["c"]) if st["c"] else None
         orig = both.filter(F.col("_o").isNotNull()).select("subj", "_o")
         rand = both.filter(F.col("_r").isNotNull()).select("subj", "_r")
-        stats = (
-            both.filter(F.col("_o").isNotNull() & F.col("_r").isNotNull())
-            .agg(F.sum(F.abs(F.col("_o") - F.col("_r"))).alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()[0]
-        )
-        bench = (2.0 * stats["s"] / stats["c"]) if stats["c"] else None
         attr_data.append((attr, orig, rand, bench))
 
     if mode == "auto":
@@ -198,7 +223,17 @@ def k_anonymity(
         elif len(rand_attrs) == 1:
             mode = "ranges"
         elif len(rand_attrs) == 2:
-            mode = "grid"
+            # grid collapses per-group cell counts to DRIVER prefix-sum
+            # matrices — ~(grid+1)² int64 ≈ 0.5 MB each.  That is the right
+            # trade only for FEW groups (the giant-group skew case it was
+            # built for); many groups would accumulate GBs on the driver, so
+            # route those to sliced, which is exact and executor-resident.
+            n_groups = (
+                _with_group_struct(ent, gcols)
+                .agg(F.countDistinct("_gs").alias("n"))
+                .collect()[0]["n"]
+            )
+            mode = "grid" if n_groups <= grid_group_budget else "sliced"
         else:
             mode = "sliced"
     if mode == "ranges" and len(rand_attrs) != 1:
@@ -208,11 +243,13 @@ def k_anonymity(
     if mode in ("grouped", "sliced") and len(rand_attrs) == 1:
         mode = "ranges"
 
+    global _last_mode
+    _last_mode = mode
     try:
         if mode == "pairs":
             return _k_pairs(subjects, ent, gcols, attr_data)
         if mode == "ranges":
-            return _k_ranges(subjects, ent, gcols, attr_data[0])
+            return _k_ranges(subjects, ent, gcols, attr_data[0], fused[0])
         if mode == "grid":
             return _k_grid(subjects, ent, gcols, attr_data)
         if mode == "grouped":
@@ -266,7 +303,7 @@ def _with_group_struct(ent, gcols):
     return ent.withColumn("_gs", key)
 
 
-def _counts_1d(stratum, bench) -> "DataFrame":
+def _counts_1d(stratum, bench, cleanup: list | None = None) -> "DataFrame":
     """(subj, _cnt) interval counts within a (_gs, subj, _o, _r) stratum —
     the distributed subMap event/prefix-sum core.
 
@@ -277,27 +314,37 @@ def _counts_1d(stratum, bench) -> "DataFrame":
     count(r) = runsum(hi_r) − runsum(lo_r) — points of other groups cancel
     because the group struct leads the sort order.  No pair is ever
     materialized and a single giant group spreads across all partitions.
+
+    The three event kinds come from ONE explode over a 3-struct array — a
+    single pass over the stratum instead of a 3-way self-union (one scan of
+    the upstream cache, narrower stage graph at low parallelism).
     """
     from kgforge.rank import with_global_running_sum
 
     if bench is None:
         return stratum.select("subj", F.lit(0).cast("long").alias("_cnt"))
-    pts = stratum.select(
-        "_gs", F.col("_o").alias("_val"), F.lit(1).alias("_typ"),
-        F.lit(1).cast("long").alias("_delta"),
-        F.lit(None).cast("string").alias("_q"),
+    events = F.array(
+        F.struct(
+            F.col("_o").alias("_val"), F.lit(1).alias("_typ"),
+            F.lit(1).cast("long").alias("_delta"),
+            F.lit(None).cast("string").alias("_q"),
+        ),
+        F.struct(
+            (F.col("_r") - F.lit(bench)).alias("_val"), F.lit(0).alias("_typ"),
+            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+        ),
+        F.struct(
+            (F.col("_r") + F.lit(bench)).alias("_val"), F.lit(2).alias("_typ"),
+            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+        ),
     )
-    qlo = stratum.select(
-        "_gs", (F.col("_r") - F.lit(bench)).alias("_val"), F.lit(0).alias("_typ"),
-        F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+    ev = stratum.select("_gs", F.explode(events).alias("_e")).select(
+        "_gs", F.col("_e._val").alias("_val"), F.col("_e._typ").alias("_typ"),
+        F.col("_e._delta").alias("_delta"), F.col("_e._q").alias("_q"),
     )
-    qhi = stratum.select(
-        "_gs", (F.col("_r") + F.lit(bench)).alias("_val"), F.lit(2).alias("_typ"),
-        F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
-    )
-    ev = pts.unionByName(qlo).unionByName(qhi)
     rs = with_global_running_sum(
-        ev, [F.col("_gs"), F.col("_val"), F.col("_typ")], "_delta", out="_rs"
+        ev, [F.col("_gs"), F.col("_val"), F.col("_typ")], "_delta", out="_rs",
+        cleanup=cleanup,
     )
     return (
         rs.filter(F.col("_q").isNotNull())
@@ -319,18 +366,26 @@ def _stratum_size_counts(stratum) -> "DataFrame":
     return stratum.join(ncnt, "_gs").select("subj", "_cnt")
 
 
-def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
+def _k_ranges(subjects, ent, gcols, attr_datum, both=None) -> int:
     """Distributed subMap counting for ONE randomized attribute (see
     :func:`_counts_1d` for the event/prefix-sum core)."""
     _, orig, rand, bench = attr_datum
-    base = _with_group_struct(
-        ent.join(orig, "subj", "left").join(rand, "subj", "left"), gcols
-    ).persist()
+    if both is not None:
+        # the fused (subj, _o, _r) frame — ONE left join off the subject
+        # spine instead of two (orig/rand are both slices of it; a null _o
+        # or _r lands identically either way)
+        vals = both.select("subj", "_o", "_r")
+        base = _with_group_struct(ent.join(vals, "subj", "left"), gcols).persist()
+    else:
+        base = _with_group_struct(
+            ent.join(orig, "subj", "left").join(rand, "subj", "left"), gcols
+        ).persist()
 
+    cleanup: list = []
     cnt_null = _stratum_size_counts(
         base.filter(F.col("_o").isNull()).select("subj", "_gs")
     )
-    cnt_nonnull = _counts_1d(base.filter(F.col("_o").isNotNull()), bench)
+    cnt_nonnull = _counts_1d(base.filter(F.col("_o").isNotNull()), bench, cleanup)
 
     # the two strata partition `base`, and `base` keeps every subject (left
     # joins off the subject spine), so cnts already covers all subjects —
@@ -338,6 +393,8 @@ def _k_ranges(subjects, ent, gcols, attr_datum) -> int:
     cnts = cnt_nonnull.unionByName(cnt_null)
     row = cnts.select(F.min("_cnt").alias("k")).collect()[0]
     base.unpersist()
+    for d in cleanup:
+        d.unpersist()
     return int(row["k"]) if row["k"] is not None else 0
 
 
@@ -506,6 +563,7 @@ def _k_grid(subjects, ent, gcols, attr_data, grid: int = 256) -> int:
     base = base.join(F.broadcast(gid_map), "_gs").persist()
 
     n0, n1 = F.col("_o0").isNotNull(), F.col("_o1").isNotNull()
+    cleanup: list = []
     parts = [
         _stratum_size_counts(base.filter(~n0 & ~n1).select("subj", "_gs")),
         _counts_1d(
@@ -513,12 +571,14 @@ def _k_grid(subjects, ent, gcols, attr_data, grid: int = 256) -> int:
                 "_gs", "subj", F.col("_o0").alias("_o"), F.col("_r0").alias("_r")
             ),
             b0,
+            cleanup,
         ),
         _counts_1d(
             base.filter(~n0 & n1).select(
                 "_gs", "subj", F.col("_o1").alias("_o"), F.col("_r1").alias("_r")
             ),
             b1,
+            cleanup,
         ),
         _grid_counts_2d(
             base.filter(n0 & n1).select(
@@ -537,6 +597,8 @@ def _k_grid(subjects, ent, gcols, attr_data, grid: int = 256) -> int:
         .collect()[0]
     )
     base.unpersist()
+    for d in cleanup:
+        d.unpersist()
     return int(row["k"]) if row["k"] is not None else 0
 
 

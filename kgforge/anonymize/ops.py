@@ -25,7 +25,7 @@ from kgforge.anonymize.values import (
     parse_col,
 )
 from kgforge.javarandom import JavaRandom, java_math_round
-from kgforge.rank import with_global_rank
+from kgforge.rank import register_cache, with_global_rank
 from kgforge.triples import (
     RDF_MAX,
     RDF_MIN,
@@ -76,7 +76,11 @@ def generalize(
     spark = col_df.sparkSession
     d = col_df.withColumn("_v", parse_col(datatype, F.col("obj_value")))
     tiebreak = order_col if order_col is not None else F.col("subj")
-    ranked = with_global_rank(d, [F.col("_v"), tiebreak], out="_rank").persist()
+    # persisted (read by the boundary join AND the bucket assignment) and
+    # registered: the engine releases it after its per-type checkpoint
+    ranked = register_cache(
+        with_global_rank(d, [F.col("_v"), tiebreak], out="_rank").persist()
+    )
 
     # boundary-adjacent sorted indices for all g buckets, as a DataFrame
     roles = F.array(

@@ -57,6 +57,13 @@ def _register(d: DataFrame, cleanup: list | None) -> DataFrame:
     return d
 
 
+def register_cache(d: DataFrame, cleanup: list | None = None) -> DataFrame:
+    """Register an externally-persisted frame with the same lifecycle as the
+    rank caches (released by the caller's ``cleanup`` list or by
+    :func:`release_rank_caches`)."""
+    return _register(d, cleanup)
+
+
 def _ranged_with_pid(df: DataFrame, order_cols: list, npart: int,
                      cleanup: list | None = None) -> DataFrame:
     """Range-partition by the sort key and stamp the partition id (persisted —

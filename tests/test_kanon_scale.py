@@ -269,3 +269,24 @@ def test_grid_survives_single_giant_group_two_attrs(spark):
         c = int(((seg >= r1[i] - b1) & (seg <= r1[i] + b1)).sum())
         kmin = c if kmin is None else min(kmin, c)
     assert k == kmin
+
+
+def test_auto_two_attr_routes_by_group_count(spark):
+    """Auto dispatch above the pair threshold: few groups → grid (driver
+    prefix matrices are bounded), many groups → sliced (executor-resident).
+    Both must agree with pairs on the same input."""
+    from kgforge.anonymize import kpi as kpi_mod
+
+    used = [GEN, A0, A1]
+    triples, data = _mk_triples(spark, 300, n_groups=40, rand_attrs=[A0, A1])
+
+    k_many = k_anonymity(triples, T, used, CFG, mode="auto",
+                         pair_threshold=10, grid_group_budget=8)
+    assert kpi_mod._last_mode == "sliced"
+
+    k_few = k_anonymity(triples, T, used, CFG, mode="auto",
+                        pair_threshold=10, grid_group_budget=1000)
+    assert kpi_mod._last_mode == "grid"
+
+    k_pairs = k_anonymity(triples, T, used, CFG, mode="pairs")
+    assert k_many == k_few == k_pairs == _expected_k(data, [A0, A1])
