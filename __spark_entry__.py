@@ -1479,6 +1479,43 @@ FROM h, (SELECT unnest(generate_series(0, {_MEDIA_DIM - 1})) AS i) AS i
 """
 
 
+def _wav_stats(spark, sf_dir):
+    """REAL media decode end-to-end: deterministic PCM → actual RIFF/WAVE
+    bytes via the stdlib ``wave`` encoder → REAL ``wave`` decode → exact
+    integer audio stats.  The oracle reproduces the PCM formula directly
+    (the WAV container round-trip is the part under test on the Spark
+    side)."""
+    from kgforge.datapipe.multimodal import decode_wav, synth_wav_payloads
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    wavs = synth_wav_payloads(docs.select("doc_id"))
+    return decode_wav(wavs).select(
+        "doc_id", "sample_rate", "n_channels", "n_frames",
+        "duration_ms", "sum_sq", "peak",
+    )
+
+
+def _wav_stats_oracle() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 50 = 0
+), s AS (
+  SELECT d.doc_id, d.n,
+         ((d.doc_id * 31 + i.i * 97) % 65536) - 32768 AS smp
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) AS i
+)
+SELECT doc_id,
+       16000 AS sample_rate,
+       1 AS n_channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(max(abs(smp)) AS INT) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+
 _MENTION_VOCAB = [
     "table scan", "hash join", "scan", "join", "sort", "merge",
     "window", "filter", "group", "query",
@@ -2392,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups_exact": _embed_near_dups_exact,
         "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
+        "wav_stats": _wav_stats,
         # — text analysis / curation —
         "token_stats": _token_stats,
         "lang_id": _lang_id,
@@ -3562,6 +3600,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(_EMBED_DIM),
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
+        "wav_stats": _wav_stats_oracle(),
         "ann_ivf": _ivf_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "doc_mentions": _doc_mentions_oracle(),

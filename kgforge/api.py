@@ -33,6 +33,62 @@ class RequestValidationError(ValueError):
         ))
 
 
+class MessageNotReadableError(ValueError):
+    """Payload shape the DTO cannot bind — the reference surfaces this as the
+    HttpMessageNotReadable arm, 500 'Error creation Json output'
+    (GlobalExceptionHandler.java:78-86): e.g. the flat endpoint fed a JSON-LD
+    object where ``data`` must be a list of objects (error fixture
+    04-no-json-ld).  Binding happens BEFORE bean validation, exactly like
+    Jackson runs before @Valid."""
+
+
+class RequestModelError(ValueError):
+    """Invalid request model (400, GlobalExceptionHandler.java:58-65)."""
+
+
+class AnonymizationError(RuntimeError):
+    """Anonymization-process failure (500, GlobalExceptionHandler.java:49-56)."""
+
+
+def problem_detail(exc: Exception, instance: str) -> dict:
+    """Map a raised error to the exact response body the reference's
+    GlobalExceptionHandler (java:25-93) would emit — Spring ProblemDetail
+    for typed errors, the bare map shape for bean-validation failures.
+    ``instance`` is the endpoint path ('/api/anonymization' or
+    '/api/anonymization/flatjson')."""
+    from kgforge.config import OntologyError
+
+    if isinstance(exc, RequestValidationError):
+        return {
+            "messages": dict(exc.fields),
+            "error": "Validation failed",
+            "status": 400,
+        }
+    if isinstance(exc, OntologyError):
+        title, status = "Error in ontology fetching or parsing", 404
+    elif isinstance(exc, MessageNotReadableError):
+        title, status = "Error creation Json output", 500
+    elif isinstance(exc, AnonymizationError):
+        title, status = "Error during anonymization process", 500
+    elif isinstance(exc, RequestModelError):
+        title, status = "Invalid request model", 400
+    else:
+        return {
+            "type": "about:blank",
+            "title": "Unexpected error",
+            "status": 500,
+            "detail": "An unexpected error occurred. Please try again later.",
+            "instance": instance,
+        }
+    return {
+        "type": "about:blank",
+        "title": title,
+        "status": status,
+        "detail": str(exc),
+        "instance": instance,
+    }
+
+
 def _validate_request(request: dict, *, flat: bool) -> None:
     errors: dict[str, str] = {}
     url = request.get("configurationUrl")
@@ -79,6 +135,18 @@ def anonymize_flat_json(
     transport=None,
 ) -> dict:
     """PUT /api/anonymization/flatjson equivalent: request dict → response dict."""
+    # Jackson binds the DTO before @Valid runs: a ``data`` that is not a
+    # list of objects fails deserialization first (error fixture 04 feeds
+    # the flat endpoint a JSON-LD document)
+    data = request.get("data")
+    if data is not None and (
+        not isinstance(data, list)
+        or any(not isinstance(row, dict) for row in data)
+    ):
+        raise MessageNotReadableError(
+            "Cannot deserialize value for field \"data\": expected a list of "
+            "objects, got " + type(data).__name__
+        )
     _validate_request(request, flat=True)
     cfg = resolve_config(request.get("configurationUrl"), config, transport)
     prefix = request["prefix"]

@@ -120,3 +120,112 @@ def resize_images(media: DataFrame, width: int, height: int, real: bool = False)
     return media.filter(F.col("kind") == "image").withColumn(
         "width", F.lit(width)
     ).withColumn("height", F.lit(height))
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF/WAVE PCM) via the stdlib ``wave`` module — the
+# one container-friendly codec path that needs no external libraries.  The
+# other media kinds stay behind DecoderUnavailable until codec libs exist.
+# --------------------------------------------------------------------------
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id",
+                       rate: int = 16000) -> DataFrame:
+    """(id) → (id, payload) where payload is REAL RIFF/WAVE bytes: mono,
+    16-bit PCM at ``rate``, with a deterministic integer sawtooth signal
+    derived from the id —
+
+        n_frames  = 400 + id % 100
+        sample[i] = ((id * 31 + i * 97) % 65536) - 32768
+
+    Pure integer arithmetic, so an external SQL oracle can reproduce every
+    sample exactly; the bytes themselves are produced by ``wave.open`` (a
+    real encoder, not a fake blob), making the decode path a genuine
+    round-trip."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                n = 400 + seed % 100
+                i = np.arange(n, dtype=np.int64)
+                s = ((seed * 31 + i * 97) % 65536) - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema=out_schema
+    )
+
+
+def decode_wav(df: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode (stdlib ``wave`` — header parse + PCM frame read) →
+    per-item audio stats.  Integer outputs (exact, oracle-comparable):
+
+        sample_rate, n_channels, n_frames, duration_ms (frames*1000 div rate),
+        sum_sq (Σ sample², exact int64), peak (max |sample|)
+
+    Only 16-bit PCM is supported here; other widths raise DecoderUnavailable
+    (honest gate, same policy as the image/video stubs)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("n_channels", T.IntegerType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("sum_sq", T.LongType(), False),
+            T.StructField("peak", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k.name: [] for k in out_schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    nch = w.getnchannels()
+                    sw = w.getsampwidth()
+                    rate = w.getframerate()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                if sw != 2:
+                    raise DecoderUnavailable(
+                        f"only 16-bit PCM WAV supported, got sampwidth={sw}"
+                    )
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                rows[id_col].append(int(rid))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(nf * 1000 // rate)
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -184,7 +184,7 @@ class _Ctx:
 
 def jsonld_to_triple_tuples(doc: dict) -> list[tuple]:
     """Normalize the fixture JSON-LD profile into triple tuples."""
-    ctx = _Ctx(doc.get("@context"))
+    ctx = _Ctx(doc.get("@context") if isinstance(doc, dict) else None)
     out: list[tuple] = []
     state = {"bnode_n": 0}
 
@@ -240,17 +240,34 @@ def jsonld_to_triple_tuples(doc: dict) -> list[tuple]:
             if k == "@type":
                 types = v if isinstance(v, list) else [v]
                 for t in types:
-                    out.append((subj, RDF_TYPE, ctx.expand(t), "iri", True))
+                    t_iri = ctx.expand(t)
+                    if ":" in t_iri:  # expansion drops non-IRI types
+                        out.append((subj, RDF_TYPE, t_iri, "iri", True))
                 continue
             pred = ctx.expand(k)
+            if ":" not in pred:
+                # JSON-LD expansion rule: a term that is neither a keyword,
+                # an IRI, nor context-defined is DROPPED — this is how Jena
+                # turns a flat-JSON payload sent to the JSON-LD endpoint
+                # into an EMPTY model (error fixture 04's golden is the
+                # k-Anonymity-1 KPI document, not an error)
+                continue
             vals = v if isinstance(v, list) else [v]
             for item in vals:
                 emit_value(subj, pred, item)
         return subj
 
-    graph = doc.get("@graph")
-    if graph is None:
-        graph = [doc] if any(not k.startswith("@") or k == "@type" for k in doc) else []
+    if isinstance(doc, list):
+        # a bare node array is a valid JSON-LD document (no context)
+        graph = doc
+    else:
+        graph = doc.get("@graph")
+        if graph is None:
+            graph = (
+                [doc]
+                if any(not k.startswith("@") or k == "@type" for k in doc)
+                else []
+            )
     for node in graph:
         walk(node)
     return out

@@ -436,3 +436,50 @@ def test_jsonl_ingest_on_error_modes(spark):
 
     with _pytest.raises(ValueError):
         jsonld_lines_to_triples(lines, on_error="nope")
+
+
+def test_wav_roundtrip_real_decode(spark):
+    """synth_wav_payloads writes REAL RIFF/WAVE bytes (stdlib wave encoder);
+    decode_wav must parse them back and reproduce hand-computed stats."""
+    import io
+    import wave as wavemod
+
+    from kgforge.datapipe.multimodal import decode_wav, synth_wav_payloads
+
+    ids = spark.createDataFrame([(0,), (7,), (123,)], "doc_id long")
+    wavs = synth_wav_payloads(ids)
+    rows = {r["doc_id"]: r for r in wavs.collect()}
+    # the payload is a structurally valid WAV the stdlib decoder accepts
+    w = wavemod.open(io.BytesIO(bytes(rows[7]["payload"])), "rb")
+    assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 16000)
+    assert w.getnframes() == 400 + 7 % 100
+
+    got = {r["doc_id"]: r for r in decode_wav(wavs).collect()}
+    for rid in (0, 7, 123):
+        n = 400 + rid % 100
+        samples = [((rid * 31 + i * 97) % 65536) - 32768 for i in range(n)]
+        r = got[rid]
+        assert r["n_frames"] == n
+        assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+        assert r["duration_ms"] == n * 1000 // 16000
+        assert r["sum_sq"] == sum(s * s for s in samples)
+        assert r["peak"] == max(abs(s) for s in samples)
+
+
+def test_decode_wav_rejects_unsupported_width(spark):
+    import io
+    import wave as wavemod
+
+    import pytest as _pytest
+
+    from kgforge.datapipe.multimodal import DecoderUnavailable, decode_wav
+
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([1, 2, 3, 4]))
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    with _pytest.raises(Exception) as ei:
+        decode_wav(df).collect()
+    assert "DecoderUnavailable" in str(ei.value) or "16-bit" in str(ei.value)

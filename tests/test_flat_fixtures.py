@@ -28,6 +28,7 @@ REF = "/root/reference/pytest"
 FIXTURES = [
     "11-maksing",
     "12-generalization",
+    "12-generalization-address",
     "13-generalization-address",
     "14-randomization",
     "15-multiple-attributes",
