@@ -1547,12 +1547,17 @@ def _doc_mentions(spark, sf_dir):
     )
 
 
-def _doc_mentions_cte() -> str:
-    """Shared CTE body: (doc_id, surface, start) mention tuples in DuckDB."""
-    pat = "(" + "|".join(sorted(_MENTION_VOCAB, key=len, reverse=True)) + ")"
+def _doc_mentions_cte(vocab: list | None = None, d_cte: str | None = None) -> str:
+    """Shared CTE body: (doc_id, surface, start) mention tuples in DuckDB.
+
+    ``vocab`` overrides the demo mention vocabulary and ``d_cte`` the corpus
+    projection (``SELECT doc_id, <text expr> AS t FROM ...``) — the same
+    parametrization build_kg exposes via mention_vocab / custom docs."""
+    pat = "(" + "|".join(sorted(vocab or _MENTION_VOCAB, key=len, reverse=True)) + ")"
+    d_cte = d_cte or "SELECT doc_id, lower(text) AS t FROM documents"
     return f"""
 d AS (
-  SELECT doc_id, lower(text) AS t FROM documents
+  {d_cte}
 ), m AS (
   SELECT doc_id,
          regexp_extract_all(t, '{pat}') AS ms,
@@ -2008,13 +2013,17 @@ SELECT s.doc_id, (p.g * s.rk) // p.n AS bucket FROM s, p
 """
 
 
-def _kg_triples_oracle() -> str:
+def _kg_triples_oracle(catalog: list | None = None, vocab: list | None = None,
+                       d_cte: str | None = None) -> str:
     """DuckDB mirror of the full build_kg DAG over the flat-span projection:
     the mention CTE (shared with doc_mentions), trigram-Jaccard link scoring
     with the max-struct tie order, char-3-shingle all-pairs canonicalization
     with recursive-CTE connected components, and the union of every triple
     family build_kg emits (mentions / mentionCount / rdf:type /
-    canonicalName / surfaceForm / nearDuplicateOf / spanCount)."""
+    canonicalName / surfaceForm / nearDuplicateOf / spanCount).
+
+    ``catalog``/``vocab``/``d_cte`` mirror build_kg's domain parametrization
+    (see _kg_triples_geo for a second, data-derived domain)."""
     tri = (
         "list_distinct(list_transform("
         "generate_series(1, greatest(length({p}) - 2, 1)),"
@@ -2024,14 +2033,14 @@ def _kg_triples_oracle() -> str:
     tb = tri.format(p="'^' || lower(canonical) || '$'")
     ts = tri.format(p="'^' || surface || '$'")
     values = ", ".join(
-        f"('{n}', '{e}', '{c}', '{t}')" for n, e, c, t in _KG_CATALOG
+        f"('{n}', '{e}', '{c}', '{t}')" for n, e, c, t in (catalog or _KG_CATALOG)
     )
     kg = "http://kgforge.dev/ns/"
     ent = "http://kgforge.dev/entity/"
     doc = "http://kgforge.dev/doc/"
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     return f"""
-WITH RECURSIVE {_doc_mentions_cte()},
+WITH RECURSIVE {_doc_mentions_cte(vocab, d_cte)},
 cands(norm, eid, canonical, etype) AS (VALUES {values}),
 joined AS (
   SELECT m.doc_id, m.start, m.surface, c.eid, c.canonical, c.etype
@@ -2109,6 +2118,94 @@ def _kg_triples_interleaved(spark, sf_dir):
     docs = docs_from_testdata(spark, sf_dir)
     triples, _ = build_kg(docs)
     return triples
+
+
+# --------------------------------------------------------------------------
+# second KG domain: the SAME build_kg DAG parametrized with a DATA-DERIVED
+# geo catalog (nation/region tables) over a corpus with injected geo
+# mentions — proves the vocab/catalog parametrization end to end on a
+# non-demo domain, with the full-value oracle reusing the parametrized
+# mirror.  The synthetic NATION_<k> names overlap heavily (prefix-sharing
+# surfaces cluster at trigram-Jaccard >= 0.55), so this domain also
+# exercises non-trivial near-dup canonicalization merges.
+# --------------------------------------------------------------------------
+
+def _geo_catalog_rows(sf_dir: str) -> list[tuple]:
+    import duckdb as _duck
+
+    con = _duck.connect()
+    nat = con.execute(
+        f"SELECT n_nationkey, n_name FROM "
+        f"read_parquet('{sf_dir}/nation.parquet') ORDER BY n_nationkey"
+    ).fetchall()
+    reg = con.execute(
+        f"SELECT r_regionkey, r_name FROM "
+        f"read_parquet('{sf_dir}/region.parquet') ORDER BY r_regionkey"
+    ).fetchall()
+    con.close()
+    return (
+        [(n.lower(), f"N{k}", n, "nation") for k, n in nat]
+        + [(r.lower(), f"R{k}", r, "region") for k, r in reg]
+    )
+
+
+_GEO_D_CTE = (
+    "SELECT d0.doc_id, lower(d0.text) || ' ' || lower(n.n_name) || "
+    "' and ' || lower(r.r_name) AS t "
+    "FROM documents d0 "
+    "JOIN nation n ON d0.doc_id % 25 = n.n_nationkey "
+    "JOIN region r ON d0.doc_id % 5 = r.r_regionkey"
+)
+
+
+def _kg_triples_geo(spark, sf_dir):
+    from kgforge.kg.pipeline import build_kg
+
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    docs0 = _read(spark, sf_dir, "documents")
+    corpus = (
+        docs0.join(F.broadcast(nat), docs0["doc_id"] % 25 == nat["n_nationkey"])
+        .join(F.broadcast(reg), docs0["doc_id"] % 5 == reg["r_regionkey"])
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.concat(
+                        F.lower("text"), F.lit(" "), F.lower("n_name"),
+                        F.lit(" and "), F.lower("r_name"),
+                    ).alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    )
+    catalog_rows = _geo_catalog_rows(sf_dir)
+    catalog = spark.createDataFrame(
+        catalog_rows, "norm string, eid string, canonical string, etype string"
+    )
+    triples, _ = build_kg(
+        corpus,
+        mention_strategy="regex",
+        link_strategy="sql",
+        collect_metrics=False,
+        mention_vocab=[n for (n, _, _, _) in catalog_rows],
+        mention_case_insensitive=False,
+        catalog=catalog,
+    )
+    return triples
+
+
+def _kg_triples_geo_oracle() -> str:
+    import os as _os
+
+    sfd = _os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cat = _geo_catalog_rows(sfd)
+    return _kg_triples_oracle(
+        catalog=cat, vocab=[n for (n, _, _, _) in cat], d_cte=_GEO_D_CTE
+    )
 
 
 def _links_best_cte() -> str:
@@ -2406,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — KG construction (north_rule flagship) —
         "kg_triples": _kg_triples,
         "kg_triples_interleaved": _kg_triples_interleaved,
+        "kg_triples_geo": _kg_triples_geo,
         "doc_mentions": _doc_mentions,
         "doc_links": _doc_links,
         "kg_cooccurrence": _kg_cooccurrence,
@@ -3781,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rk <= 3
         """,
         "kg_triples": _kg_triples_oracle(),
+        "kg_triples_geo": _kg_triples_geo_oracle(),
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
         "kg_components": _kg_components_oracle(),
         "kg_anon_mention_counts": _kg_anon_mention_counts_oracle(),

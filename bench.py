@@ -178,6 +178,32 @@ BENCH_QUERIES = [
 ]
 
 
+def _ivf_recall(spark, sf_dir: str, entrymod) -> float:
+    """recall@k of the IVF ANN (trained centroids + multi-probe) vs exact
+    brute-force cosine over the same queries — surfaced in the canonical
+    bench record so a quantization/probe regression is visible in BENCH,
+    not only in the local test suite."""
+    from pyspark.sql import functions as F
+
+    from kgforge.datapipe.similarity import brute_force_topk
+
+    got: dict = {}
+    for r in entrymod.queries()["ann_ivf"](spark, sf_dir).collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hit = tot = 0
+    for q in emb.filter(F.col("vec_id") < 5).collect():
+        truth = {
+            r["id"]
+            for r in brute_force_topk(
+                emb, "vec_id", "embedding", list(q["embedding"]), 5
+            ).collect()
+        }
+        hit += len(truth & got.get(q["vec_id"], set()))
+        tot += len(truth)
+    return round(hit / tot, 4) if tot else 0.0
+
+
 def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
     from pyspark.sql import functions as F
 
@@ -331,6 +357,8 @@ def main() -> None:
         retaken[name] = retaken.get(name, 0) + 1
         extras[name] = round(min(extras[name], dt), 3)
 
+    ivf_recall = _ivf_recall(spark, sf_dir, entrymod)
+
     # anonymization-layer scale evidence: the two round-1 scale-killers
     # (k-anonymity pair join, generalization boundary extraction) on 1M
     # synthetic subjects in ONE generalization group — the worst skew case
@@ -400,6 +428,7 @@ def main() -> None:
         "kg_full_machine_seconds": round(sec_full, 3),
         "cpus": cpus,
         "retaken": retaken,
+        "ann_ivf_recall_at_5": ivf_recall,
     }
     if scaling:
         out["scaling"] = scaling
