@@ -416,7 +416,9 @@ def test_jsonl_ingest_on_error_modes(spark):
 
     from kgforge.ingest import ERROR_PRED, jsonld_lines_to_triples
 
-    good = '{"@id": "http://x/a", "p": "v"}'
+    # absolute-IRI predicate: a bare term like "p" is dropped by the
+    # JSON-LD expansion rule (fixture-04 parity), yielding zero triples
+    good = '{"@id": "http://x/a", "http://x/p": "v"}'
     bad = '{"@id": broken'
     lines = spark.createDataFrame([(good,), (bad,), (good,)], "value string")
 
