@@ -307,15 +307,23 @@ def main() -> None:
     # headline relational / datapipe queries (count() forces full execution).
     # "queries" is the cold first pass (r01-comparable); "queries_warm" is
     # the min of two passes — JIT/codegen-warm and host-noise-resistant.
+    # release rank-helper caches between timed queries: each query is fully
+    # materialized by count() before the next starts, so released caches are
+    # never re-read — this keeps one query's pinned range-partitioned frames
+    # from pressuring the next one's memory
+    from kgforge.rank import release_rank_caches
+
     warm: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         qmap[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        release_rank_caches()
     for name in BENCH_QUERIES:
         t0 = time.time()
         qmap[name](spark, sf_dir).count()
         warm[name] = round(min(time.time() - t0, timings[name]), 3)
+        release_rank_caches()
 
     # Per-query host-noise retake: this VM's throttling is unstable enough
     # that BOTH passes of a query can land in a bad window (r02 recorded a
@@ -351,6 +359,7 @@ def main() -> None:
         t0 = time.time()
         qmap[qname](spark, sf_dir).count()
         extras[name] = round(time.time() - t0, 3)
+        release_rank_caches()
     # same retake policy for the slow extras (single-pass, so noisier)
     for name in sorted(EXTRA_QUERIES, key=lambda n: -extras[n]):
         if extras[name] < 5.0 or spent > retake_budget:
@@ -369,6 +378,13 @@ def main() -> None:
     # (k-anonymity pair join, generalization boundary extraction) on 1M
     # synthetic subjects in ONE generalization group — the worst skew case
     extras.update(_anon_scale_run(spark))
+    # same host-noise policy as everything else: a throttled window can
+    # triple these (clean-window references ~19 s / ~5 s); one retake, min
+    if extras["kanon_ranges_1m_single_group"] > 30 or extras["generalize_1m"] > 15:
+        r2 = _anon_scale_run(spark)
+        retaken["kanon_ranges_1m"] = 1
+        for key in ("kanon_ranges_1m_single_group", "generalize_1m"):
+            extras[key] = round(min(extras[key], r2[key]), 3)
     spark.stop()
 
     # throughput + N→4N scaling over the materialized synthetic corpus.
