@@ -268,3 +268,108 @@ def stream_followup_join(
         & (F.col("ots") <= F.col("pts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
         "inner",
     ).select("pid", "oid", "pts", "ots")
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental KG maintenance: fold each microbatch into the FULL
+# graph via kg.pipeline.update_kg (additive mentionCount, recomputed global
+# nearDuplicateOf — proven exactly equal to a batch rebuild), keeping the
+# graph in a versioned directory with an atomically-swapped _LATEST marker.
+# On a cluster the versioned dirs + marker become Iceberg snapshots (the
+# same gating note as kgforge.kg.io); the parquet+marker layout is the
+# format-compatible default for this image.
+# --------------------------------------------------------------------------
+
+def _kg_marker(graph_dir: str) -> dict:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(graph_dir, "_LATEST")) as f:
+            return json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {"epoch": -1, "version": -1}
+
+
+def read_kg(spark: SparkSession, graph_dir: str) -> DataFrame | None:
+    """Current committed graph, or None before the first epoch."""
+    import os
+
+    state = _kg_marker(graph_dir)
+    if state["version"] < 0:
+        return None
+    return spark.read.parquet(os.path.join(graph_dir, f"v{state['version']:06d}"))
+
+
+def update_kg_epoch(batch_df: DataFrame, epoch_id: int, graph_dir: str,
+                    **build_kwargs) -> bool:
+    """Fold ONE microbatch into the versioned graph; returns True if the
+    epoch was applied, False if it was a replay no-op.
+
+    Exactly-once under foreachBatch's at-least-once contract:
+
+    - an epoch at or below the committed marker is skipped outright;
+    - a crash after the version directory's _SUCCESS but before the marker
+      swap re-commits the marker without recomputing;
+    - the marker swap itself is an atomic ``os.replace``.
+    """
+    import json
+    import os
+
+    from kgforge.kg.pipeline import build_kg, update_kg
+
+    state = _kg_marker(graph_dir)
+    if state["epoch"] >= epoch_id:
+        return False  # replayed epoch — already folded and committed
+    os.makedirs(graph_dir, exist_ok=True)
+    version = state["version"]
+    if not batch_df.isEmpty():
+        spark = batch_df.sparkSession
+        out = os.path.join(graph_dir, f"v{int(epoch_id):06d}")
+        if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+            if version >= 0:
+                old = spark.read.parquet(
+                    os.path.join(graph_dir, f"v{version:06d}")
+                )
+                g, _ = update_kg(old, batch_df, **build_kwargs)
+            else:
+                g, _ = build_kg(batch_df, collect_metrics=False, **build_kwargs)
+            g.write.mode("overwrite").parquet(out)
+        version = int(epoch_id)
+    tmp = os.path.join(graph_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": int(epoch_id), "version": version}, f)
+    os.replace(tmp, os.path.join(graph_dir, "_LATEST"))
+    return True
+
+
+def stream_update_kg(
+    spark: SparkSession,
+    docs_dir: str,
+    graph_dir: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+    **build_kwargs,
+):
+    """Streaming KG maintenance: each microbatch of new documents folds into
+    the committed graph through :func:`update_kg_epoch` — the full
+    triple-family semantics, not just mention rows.  Cost per epoch is the
+    increment only (mention/link/aggregate over the NEW docs plus
+    canonicalization of the union surface vocabulary read from the graph
+    itself); old documents are never reprocessed."""
+    docs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(docs_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        update_kg_epoch(batch_df, int(epoch_id), graph_dir, **build_kwargs)
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

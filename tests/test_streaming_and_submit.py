@@ -266,3 +266,38 @@ def test_stream_followup_join_matches_batch_pairs(spark, tmp_path):
         ).select("pid", "oid").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_update_kg_equals_batch_rebuild(spark, tmp_path):
+    """Streaming incremental maintenance: three single-file microbatches
+    folded through update_kg_epoch must equal ONE batch build over the whole
+    corpus (triple multiset equality), and a replayed epoch must be a
+    no-op."""
+    from kgforge.kg.pipeline import build_kg
+    from kgforge.kg.synth import synth_docs
+    from kgforge.streaming import read_kg, stream_update_kg, update_kg_epoch
+
+    docs_dir = str(tmp_path / "docs_ukg")
+    all_docs = synth_docs(spark, 45, seed=7)
+    all_docs.repartition(3).write.parquet(docs_dir)
+    schema = all_docs.schema
+
+    graph_dir = str(tmp_path / "graph_ukg")
+    ckpt = str(tmp_path / "ckpt_ukg")
+    q = stream_update_kg(spark, docs_dir, graph_dir, ckpt, schema).start()
+    q.awaitTermination(300)
+
+    got = read_kg(spark, graph_dir)
+    assert got is not None
+    want, _ = build_kg(all_docs, collect_metrics=False)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(got) == rows(want)
+
+    # replaying an already-committed epoch is a committed no-op
+    some_batch = spark.read.parquet(docs_dir).limit(5)
+    applied = update_kg_epoch(some_batch, 0, graph_dir)
+    assert applied is False
+    assert rows(read_kg(spark, graph_dir)) == rows(want)
