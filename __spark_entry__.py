@@ -1498,6 +1498,65 @@ def _wav_stats(spark, sf_dir):
     )
 
 
+def _audio_triples(spark, sf_dir):
+    """Media decode → KG materialization: the audio rows of the portable
+    media sidecar get REAL WAV payloads (stdlib wave encoder), the REAL
+    decoder extracts exact integer stats, and the stats land as typed
+    triples on the media IRI — the interleaved-payload axis end to end
+    (binary column → vectorized decode → graph table)."""
+    from kgforge.datapipe.multimodal import decode_wav, synth_wav_payloads
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 < 2) & (F.col("doc_id") % 3 == 1)  # audio rows
+    )
+    stats = decode_wav(synth_wav_payloads(docs.select("doc_id")))
+    subj = F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
+    kg = "http://kgforge.dev/ns/"
+
+    def lit_t(pred, col):
+        return stats.select(
+            subj.alias("subj"), F.lit(kg + pred).alias("pred"),
+            col.cast("string").alias("obj_value"),
+            F.lit("xsd:long").alias("obj_dtype"), F.lit(False).alias("obj_is_iri"),
+        )
+
+    return (
+        lit_t("sampleRate", F.col("sample_rate"))
+        .unionByName(lit_t("durationMs", F.col("duration_ms")))
+        .unionByName(lit_t("audioSumSq", F.col("sum_sq")))
+        .unionByName(lit_t("audioPeak", F.col("peak")))
+    )
+
+
+def _audio_triples_oracle() -> str:
+    kg = "http://kgforge.dev/ns/"
+    return f"""
+WITH d AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 5 < 2 AND doc_id % 3 = 1
+), s AS (
+  SELECT d.doc_id, d.n,
+         ((d.doc_id * 31 + i.i * 97) % 65536) - 32768 AS smp
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) AS i
+), st AS (
+  SELECT doc_id, n, sum(smp * smp) AS sum_sq, max(abs(smp)) AS peak
+  FROM s GROUP BY doc_id, n
+)
+SELECT 'media://' || CAST(doc_id AS VARCHAR) AS subj,
+       '{kg}sampleRate' AS pred, '16000' AS obj_value,
+       'xsd:long' AS obj_dtype, FALSE AS obj_is_iri FROM st
+UNION ALL
+SELECT 'media://' || CAST(doc_id AS VARCHAR), '{kg}durationMs',
+       CAST(n * 1000 // 16000 AS VARCHAR), 'xsd:long', FALSE FROM st
+UNION ALL
+SELECT 'media://' || CAST(doc_id AS VARCHAR), '{kg}audioSumSq',
+       CAST(sum_sq AS VARCHAR), 'xsd:long', FALSE FROM st
+UNION ALL
+SELECT 'media://' || CAST(doc_id AS VARCHAR), '{kg}audioPeak',
+       CAST(peak AS VARCHAR), 'xsd:long', FALSE FROM st
+"""
+
+
 def _wav_stats_oracle() -> str:
     return """
 WITH d AS (
@@ -2531,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
         "wav_stats": _wav_stats,
+        "audio_triples": _audio_triples,
         # — text analysis / curation —
         "token_stats": _token_stats,
         "lang_id": _lang_id,
@@ -3702,6 +3762,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
+        "audio_triples": _audio_triples_oracle(),
         "ann_ivf": _ivf_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "doc_mentions": _doc_mentions_oracle(),
