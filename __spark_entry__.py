@@ -1578,6 +1578,13 @@ FROM s GROUP BY doc_id, n
 """
 
 
+def _lm_xent(spark, sf_dir):
+    from kgforge.datapipe.textstats import lm_cross_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return lm_cross_entropy(docs, "doc_id", "text")
+
+
 _MENTION_VOCAB = [
     "table scan", "hash join", "scan", "join", "sort", "merge",
     "window", "filter", "group", "query",
@@ -2601,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _quality,
         "fingerprint": _fingerprint,
         "repetition": _repetition,
+        "lm_xent": _lm_xent,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
         # — corpus composition + privacy KPIs —
@@ -3762,6 +3770,23 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
+        "lm_xent": """
+        WITH t AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+        pos AS (
+          SELECT id, substr(t, i.i, 3) AS tri
+          FROM t, LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS i) AS i
+          WHERE length(t) >= 3
+        ),
+        c3 AS (SELECT tri, count(*) AS c3 FROM pos GROUP BY tri),
+        c2 AS (SELECT substr(tri, 1, 2) AS bi, count(*) AS c2 FROM pos GROUP BY 1),
+        s AS (
+          SELECT id, -ln((c3.c3 + 1) / (c2.c2 + 128.0)) AS nll
+          FROM pos JOIN c3 USING (tri) JOIN c2 ON substr(pos.tri, 1, 2) = c2.bi
+        )
+        SELECT id, round(avg(nll), 6) AS xent,
+               CAST(count(*) AS BIGINT) AS n_trigrams
+        FROM s GROUP BY id
+        """,
         "audio_triples": _audio_triples_oracle(),
         "ann_ivf": _ivf_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),

@@ -383,3 +383,52 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("rk") <= top)
         .select("id", "token", "score", "rk")
     )
+
+
+def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str,
+                     vocab_size: int = 128) -> DataFrame:
+    """Char-trigram language-model quality score: train add-one-smoothed
+    trigram conditionals on the corpus itself and score each document by its
+    average negative log-likelihood (self-perplexity) —
+
+        p(tri) = (count(tri) + 1) / (count(prefix bigram over trigram
+                                      positions) + vocab_size)
+        xent(doc) = -avg over trigram positions of ln p
+
+    Low xent = repetitive/templated text, high xent = unusual character
+    statistics (both curation signals).  Everything is JVM: trigram arrays
+    via transform(sequence), counts are map-side-combinable groupBys, and
+    the model tables are bounded by the charset³ vocabulary, so they
+    broadcast — the only data-sized shuffle is the final per-doc aggregate.
+    """
+    t = df.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("t"))
+    tris = t.select(
+        "id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(t) >= 3 "
+                "THEN transform(sequence(1, length(t) - 2), i -> substr(t, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    c3 = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = (
+        tris.select(F.substring("tri", 1, 2).alias("bi"))
+        .groupBy("bi")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    nll = -F.log(
+        (F.col("c3") + F.lit(1)).cast("double")
+        / (F.col("c2") + F.lit(vocab_size)).cast("double")
+    )
+    scored = (
+        tris.join(F.broadcast(c3), "tri")
+        .withColumn("bi", F.substring("tri", 1, 2))
+        .join(F.broadcast(c2), "bi")
+        .withColumn("nll", nll)
+    )
+    return scored.groupBy("id").agg(
+        F.round(F.avg("nll"), 6).alias("xent"),
+        F.count(F.lit(1)).alias("n_trigrams"),
+    )

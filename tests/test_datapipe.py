@@ -485,3 +485,23 @@ def test_decode_wav_rejects_unsupported_width(spark):
     with _pytest.raises(Exception) as ei:
         decode_wav(df).collect()
     assert "DecoderUnavailable" in str(ei.value) or "16-bit" in str(ei.value)
+
+
+def test_lm_cross_entropy_matches_python_mirror(spark):
+    from collections import Counter
+    from math import log
+
+    from kgforge.datapipe.textstats import lm_cross_entropy
+
+    docs = [(1, "abcabcab"), (2, "abcxyzzy"), (3, "zz")]  # doc 3: no trigrams
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in lm_cross_entropy(df, "doc_id", "text").collect()}
+
+    pos = [(i, t[j:j + 3]) for i, t in docs for j in range(max(len(t) - 2, 0))]
+    c3 = Counter(tri for _, tri in pos)
+    c2 = Counter(tri[:2] for _, tri in pos)
+    for i in (1, 2):
+        mine = [-log((c3[tri] + 1) / (c2[tri[:2]] + 128)) for j, tri in pos if j == i]
+        assert got[i]["n_trigrams"] == len(mine)
+        assert abs(got[i]["xent"] - sum(mine) / len(mine)) < 1e-6
+    assert 3 not in got  # sub-trigram docs drop out, like the null-drop rule
