@@ -1585,6 +1585,36 @@ def _lm_xent(spark, sf_dir):
     return lm_cross_entropy(docs, "doc_id", "text")
 
 
+def _url_domains(spark, sf_dir):
+    """Per-domain URL stats over a corpus with deterministically injected
+    URLs (the synthetic text has none) — the domain-level composition view
+    a blocklist/allowlist filter keys on."""
+    from kgforge.datapipe.scrub import extract_urls
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" and http://cdn.example.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    u = extract_urls(injected, "doc_id", "text")
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+
+
 _MENTION_VOCAB = [
     "table scan", "hash join", "scan", "join", "sort", "merge",
     "window", "filter", "group", "query",
@@ -2609,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _fingerprint,
         "repetition": _repetition,
         "lm_xent": _lm_xent,
+        "url_domains": _url_domains,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
         # — corpus composition + privacy KPIs —
@@ -3770,6 +3801,22 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
+        "url_domains": r"""
+        WITH t AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN
+            ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+            || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+            || ' and http://cdn.example.net/x' ELSE '' END AS text
+          FROM documents
+        ), u AS (
+          SELECT doc_id AS id, unnest(regexp_extract_all(text,
+            'https?://([a-z0-9.-]+)(/[^\s]*)?', 0)) AS url
+          FROM t
+        )
+        SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)(/[^\s]*)?', 1) AS domain,
+               count(*) AS n_urls, count(DISTINCT id) AS n_docs
+        FROM u GROUP BY 1
+        """,
         "lm_xent": """
         WITH t AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
         pos AS (

@@ -124,3 +124,27 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
         ).cast("long").alias("n_tokens"),
     )
     return chunks
+
+
+# RE2/Java- AND DuckDB-safe (no lookaround); host group 1 isolates the domain
+URL_PATTERN = r"https?://([a-z0-9.-]+)(/[^\s]*)?"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, url, domain) — one row per URL occurrence, JVM regex only.
+
+    The domain column feeds the standard curation moves: per-domain corpus
+    composition stats, domain blocklist/allowlist filters (an anti-join or
+    broadcast semi-join on ``domain``), and per-domain dedup keys.
+    """
+    # DataFrame-API regexp (NOT F.expr): a single-quoted SQL literal would
+    # escape-process the pattern's backslashes and corrupt \s
+    urls = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return urls.withColumn(
+        "domain", F.regexp_extract("url", URL_PATTERN, 1)
+    )
