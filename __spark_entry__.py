@@ -1513,18 +1513,23 @@ def _audio_triples(spark, sf_dir):
     subj = F.concat(F.lit("media://"), F.col("doc_id").cast("string"))
     kg = "http://kgforge.dev/ns/"
 
-    def lit_t(pred, col):
-        return stats.select(
-            subj.alias("subj"), F.lit(kg + pred).alias("pred"),
-            col.cast("string").alias("obj_value"),
-            F.lit("xsd:long").alias("obj_dtype"), F.lit(False).alias("obj_is_iri"),
+    # ONE explode, not a 4-way union: union branches don't share subtrees,
+    # so the union form would execute the decode UDF four times
+    def kv(pred, col):
+        return F.struct(
+            F.lit(kg + pred).alias("pred"), col.cast("string").alias("obj_value")
         )
 
-    return (
-        lit_t("sampleRate", F.col("sample_rate"))
-        .unionByName(lit_t("durationMs", F.col("duration_ms")))
-        .unionByName(lit_t("audioSumSq", F.col("sum_sq")))
-        .unionByName(lit_t("audioPeak", F.col("peak")))
+    fams = F.array(
+        kv("sampleRate", F.col("sample_rate")),
+        kv("durationMs", F.col("duration_ms")),
+        kv("audioSumSq", F.col("sum_sq")),
+        kv("audioPeak", F.col("peak")),
+    )
+    return stats.select(subj.alias("subj"), F.explode(fams).alias("e")).select(
+        "subj", F.col("e.pred").alias("pred"),
+        F.col("e.obj_value").alias("obj_value"),
+        F.lit("xsd:long").alias("obj_dtype"), F.lit(False).alias("obj_is_iri"),
     )
 
 

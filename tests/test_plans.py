@@ -212,3 +212,29 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian_pairs(spark):
     # stage must be an equi-join on the cell id, never an all-pairs product
     plan = _plan(entry.queries()["semantic_dedup"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_round3_ops_plan_quality(spark):
+    q = entry.queries()
+    # lm_xent: model tables broadcast (charset^3-bounded), nothing Python,
+    # no sort-merge join of the data against the model
+    plan = _plan(q["lm_xent"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert marker not in plan, marker
+
+    # url_domains: pure JVM regex path
+    plan = _plan(q["url_domains"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # audio_triples: the decode UDF must appear ONCE (an explode over
+    # families, not a union that re-executes the Arrow pipeline per family)
+    plan = _plan(q["audio_triples"](spark, SF))
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")  # synth+decode
+
+
+def test_kg_triples_geo_broadcasts_catalog(spark):
+    plan = _plan(entry.queries()["kg_triples_geo"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
