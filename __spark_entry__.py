@@ -1620,6 +1620,26 @@ def _url_domains(spark, sf_dir):
     )
 
 
+def _normalize_text(spark, sf_dir):
+    """Pre-tokenization cleanup over a corpus with deterministically
+    injected control characters and whitespace runs (the synthetic text is
+    already clean)."""
+    from kgforge.datapipe.scrub import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\tmessy\x01  twice  spaced \nline"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(injected, "doc_id", "text")
+
+
 _MENTION_VOCAB = [
     "table scan", "hash join", "scan", "join", "sort", "merge",
     "window", "filter", "group", "query",
@@ -2645,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _repetition,
         "lm_xent": _lm_xent,
         "url_domains": _url_domains,
+        "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
         # — corpus composition + privacy KPIs —
@@ -3806,6 +3827,23 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
+        "normalize_text": r"""
+        WITH t AS (
+          SELECT doc_id AS id, text || CASE WHEN doc_id % 4 = 0 THEN
+            chr(9) || 'messy' || chr(1) || '  twice  spaced ' || chr(10) || 'line'
+            ELSE '' END AS t
+          FROM documents
+        )
+        SELECT id,
+               trim(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[\t\n\r]', ' ', 'g'),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 ' {2,}', ' ', 'g')) AS normalized,
+               CAST(len(regexp_extract_all(t,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_controls,
+               CAST(len(regexp_extract_all(t, ' {2,}')) AS BIGINT) AS n_ws_runs
+        FROM t
+        """,
         "url_domains": r"""
         WITH t AS (
           SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN

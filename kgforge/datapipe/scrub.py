@@ -148,3 +148,26 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return urls.withColumn(
         "domain", F.regexp_extract("url", URL_PATTERN, 1)
     )
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, normalized, n_controls, n_ws_runs): strip C0/DEL control
+    characters (tab/newline become spaces first, so word boundaries
+    survive), collapse whitespace runs to one space, and trim — the
+    standard pre-tokenization cleanup.  Pure JVM regexp chain; counts are
+    taken on the original text so the operator doubles as a corpus-noise
+    profiler.  (Unicode NFC is deliberately NOT done here: Spark has no
+    built-in normalizer, and a per-row Python UDF in this hot path would be
+    a 10-100x regression — at scale NFC belongs in the ingest decoder.)"""
+    t = F.col(text_col)
+    controls = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    squeezed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, r"[\t\n\r]", " "), controls, ""),
+        r" {2,}", " ",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.trim(squeezed).alias("normalized"),
+        (F.size(F.split(t, controls)) - F.lit(1)).cast("long").alias("n_controls"),
+        (F.size(F.split(t, r" {2,}")) - F.lit(1)).cast("long").alias("n_ws_runs"),
+    )
