@@ -1121,12 +1121,58 @@ def _repetition(spark, sf_dir):
 
 _SPAN_LEN = 40
 
+_DUP_SPANS_SQL = f"""
+        WITH p AS (
+          SELECT doc_id, unnest(generate_series(1, length(text) - {_SPAN_LEN} + 1)) AS pos, text
+          FROM documents WHERE length(text) >= {_SPAN_LEN}
+        ), w AS (
+          SELECT doc_id, pos, substr(text, pos, {_SPAN_LEN}) AS w FROM p
+        ), d AS (
+          SELECT w FROM w GROUP BY w HAVING count(*) >= 2
+        ), marked AS (
+          SELECT doc_id, pos FROM w SEMI JOIN d USING (w)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_SPAN_LEN}
+                      THEN 1 ELSE 0 END AS new_span
+          FROM marked
+        ), spans AS (
+          SELECT doc_id, pos,
+                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS span
+          FROM flagged
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + {_SPAN_LEN - 1} AS BIGINT) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM spans GROUP BY doc_id, span
+        """
+
 
 def _dup_spans(spark, sf_dir):
     from kgforge.datapipe.dedup import duplicate_spans
 
     docs = _read(spark, sf_dir, "documents")
     return duplicate_spans(docs, "doc_id", "text", shingle_len=_SPAN_LEN).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+    )
+
+
+def _dup_spans_hashed(spark, sf_dir):
+    # petabyte-scale variant: the corpus-sized shuffle carries xxhash64(w)
+    # (8 bytes) instead of the 40-char window; exact recount on the marked
+    # minority makes the output byte-identical, so it shares dup_spans'
+    # oracle SQL.
+    from kgforge.datapipe.dedup import duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_spans(
+        docs, "doc_id", "text", shingle_len=_SPAN_LEN, hashed=True
+    ).select(
         F.col("id").alias("doc_id"),
         F.col("span_start").cast("bigint").alias("span_start"),
         F.col("span_end").cast("bigint").alias("span_end"),
@@ -2643,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash_pairs,
         "ngram_pairs": _ngram_pairs,
         "dup_spans": _dup_spans,
+        "dup_spans_hashed": _dup_spans_hashed,
         # — similarity / ANN family —
         "sim_topk": _sim_topk,
         "ann_topk": _ann_topk,
@@ -3752,33 +3799,10 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ls ON ls.id = d.doc_id
         LEFT JOIN gp ON gp.id = d.doc_id
         """,
-        "dup_spans": f"""
-        WITH p AS (
-          SELECT doc_id, unnest(generate_series(1, length(text) - {_SPAN_LEN} + 1)) AS pos, text
-          FROM documents WHERE length(text) >= {_SPAN_LEN}
-        ), w AS (
-          SELECT doc_id, pos, substr(text, pos, {_SPAN_LEN}) AS w FROM p
-        ), d AS (
-          SELECT w FROM w GROUP BY w HAVING count(*) >= 2
-        ), marked AS (
-          SELECT doc_id, pos FROM w SEMI JOIN d USING (w)
-        ), flagged AS (
-          SELECT doc_id, pos,
-                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                        OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_SPAN_LEN}
-                      THEN 1 ELSE 0 END AS new_span
-          FROM marked
-        ), spans AS (
-          SELECT doc_id, pos,
-                 sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS UNBOUNDED PRECEDING) AS span
-          FROM flagged
-        )
-        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-               CAST(max(pos) + {_SPAN_LEN - 1} AS BIGINT) AS span_end,
-               CAST(count(*) AS BIGINT) AS n_windows
-        FROM spans GROUP BY doc_id, span
-        """,
+        "dup_spans": _DUP_SPANS_SQL,
+        # hashed mode is exact (collision candidates re-counted on real
+        # strings), so it must reproduce the identical span set
+        "dup_spans_hashed": _DUP_SPANS_SQL,
         "sim_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -372,7 +372,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    shingle_len: int = 40, min_count: int = 2) -> DataFrame:
+                    shingle_len: int = 40, min_count: int = 2,
+                    hashed: bool = False) -> DataFrame:
     """Substring-level duplicate detection (the exact-substring dedup of
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     Better", re-derived for Spark): every ``shingle_len``-char window that
@@ -381,17 +382,25 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     marked windows merge into maximal spans (doc_id, span_start, span_end,
     n_windows), 1-based inclusive offsets.
 
-    Scale notes: the position explode is len(text) rows per doc and the
-    global window count is one map-side-combinable groupBy on the window
-    text.  At petabyte scale you would roll a Rabin hash per position
-    instead of shuffling 40-char strings (the suffix-array construction of
-    the paper is a different machine entirely); grouping the raw window
-    keeps the operator engine-portable and byte-exact — the shuffle is
-    bounded by corpus bytes x 1, same order as a tokenization pass.  The
-    per-doc merge window partitions by doc_id (bounded rows), never
-    globally.  Windows whose count clears ``min_count`` are the duplicated
-    minority, so the semi-join back to positions broadcasts in the common
-    case."""
+    Scale notes: the position explode is len(text) rows per doc and (in the
+    default exact mode) the global window count is one map-side-combinable
+    groupBy on the window text — the shuffle is bounded by corpus bytes x 1,
+    same order as a tokenization pass, and the operator is engine-portable
+    and byte-exact.  The per-doc merge window partitions by doc_id (bounded
+    rows), never globally.  Windows whose count clears ``min_count`` are the
+    duplicated minority, so the semi-join back to positions broadcasts in
+    the common case.
+
+    ``hashed=True`` is the petabyte-scale path (the rolling-hash idea from
+    Lee et al. expressed as Spark shuffles): the global count groups an
+    8-byte ``xxhash64`` of each window instead of the 40-char string — a
+    ~(L/8)x reduction in shuffle bytes for the one corpus-sized exchange.
+    Hash collisions can only ADD candidate positions, never hide one, so
+    the marked minority is then re-counted on the exact window text
+    (recovered with ONE text copy per affected doc, not per position) and
+    the final filter re-applies ``min_count`` on real strings — the output
+    is byte-identical to the exact mode (property-tested and driven through
+    the same DuckDB oracle)."""
     L = int(shingle_len)
     pos = F.explode(
         F.expr(
@@ -401,15 +410,48 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         )
     ).alias("pos")
     win = F.expr(f"substring({text_col}, pos, {L})")
-    positions = df.select(F.col(id_col).alias("id"), pos, F.col(text_col)) \
-        .select("id", "pos", win.alias("w"))
-    dup_wins = (
-        positions.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("w")
-    )
-    marked = positions.join(dup_wins, "w", "left_semi")
+    if hashed:
+        # fixed-width (id, pos, h) rows only — nothing string-sized crosses
+        # the corpus-scale exchanges below
+        positions_h = df.select(F.col(id_col).alias("id"), pos,
+                                F.col(text_col)) \
+            .select("id", "pos", F.xxhash64(win).alias("h"))
+        dup_h = (
+            positions_h.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("h")
+        )
+        cand = positions_h.join(dup_h, "h", "left_semi")
+        # recover exact window text for the marked minority: one text copy
+        # per affected doc (collect_list is bounded by doc length, which
+        # already fits in a row), then re-substring per candidate position
+        cand_docs = cand.groupBy("id").agg(
+            F.sort_array(F.collect_list("pos")).alias("_ps"))
+        withw = (
+            cand_docs.join(
+                df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
+            .select("id", F.explode("_ps").alias("pos"),
+                    F.expr(f"substring({text_col}, pos, {L})").alias("w"))
+        )
+        dup_wins = (
+            withw.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("w")
+        )
+        marked = withw.join(dup_wins, "w", "left_semi").select("id", "pos")
+    else:
+        positions = df.select(F.col(id_col).alias("id"), pos,
+                              F.col(text_col)) \
+            .select("id", "pos", win.alias("w"))
+        dup_wins = (
+            positions.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+            .select("w")
+        )
+        marked = positions.join(dup_wins, "w", "left_semi")
 
     from pyspark.sql import Window as W
 

@@ -505,3 +505,40 @@ def test_lm_cross_entropy_matches_python_mirror(spark):
         assert got[i]["n_trigrams"] == len(mine)
         assert abs(got[i]["xent"] - sum(mine) / len(mine)) < 1e-6
     assert 3 not in got  # sub-trigram docs drop out, like the null-drop rule
+
+
+def test_duplicate_spans_hashed_equivalence(spark):
+    """hashed=True (8-byte xxhash64 corpus shuffle + exact recount on the
+    marked minority) must produce the byte-identical span set as the exact
+    mode, including the min_count filter and per-doc span merging."""
+    from kgforge.datapipe.dedup import duplicate_spans
+
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-FOR-DAILY-UPDATES!"  # 46 chars
+    rows = [
+        (1, "alpha " + boiler + " omega unique tail one"),
+        (2, "beta " + boiler + " gamma " + boiler + " close"),  # twice in-doc
+        (3, "no duplicated windows live here at all, short"),
+        (4, boiler),  # exactly one window family, shared with 1 and 2
+        (5, "pad " * 10 + boiler + " trailing pad " * 3),
+    ]
+    df = spark.createDataFrame(rows, schema="id long, text string")
+
+    def norm(out):
+        return sorted(
+            (r["id"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in out.collect()
+        )
+
+    for L, mc in ((40, 2), (20, 2), (20, 3)):
+        exact = norm(duplicate_spans(df, "id", "text", shingle_len=L,
+                                     min_count=mc))
+        hashed = norm(duplicate_spans(df, "id", "text", shingle_len=L,
+                                      min_count=mc, hashed=True))
+        assert hashed == exact and len(exact) > 0
+
+    # the corpus-scale aggregation in the hashed plan groups a hash, not the
+    # window string: xxhash64 appears, and the first (pre-candidate)
+    # hashAggregate keys on h rather than the substring
+    plan = duplicate_spans(df, "id", "text", hashed=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
