@@ -276,6 +276,7 @@ def update_kg(
     new_docs: DataFrame,
     near_dup_threshold: float = 0.55,
     small_canon_threshold: int = 20_000,
+    stable_labels: bool = False,
     **build_kwargs,
 ) -> tuple[DataFrame, dict]:
     """Incremental KG maintenance: fold a batch of NEW documents into an
@@ -293,6 +294,18 @@ def update_kg(
 
     Caller contract: ``new_docs`` doc_ids must be disjoint from already
     ingested ones (replays are the streaming sink's epoch-overwrite job).
+
+    ``stable_labels=True`` pins cluster labels across increments instead of
+    re-deriving min-surface labels: each new cluster is labeled with the
+    MINIMUM of the OLD labels of its old members (falling back to the fresh
+    min-surface label for entirely-new clusters).  Pure growth never
+    relabels an existing cluster; when two old clusters merge, the
+    lexicographically smaller prior label deterministically wins (one side
+    must relabel — that is the merge, not churn).  Correctness of "the prior
+    label is always a member of its superset cluster" follows from
+    connectivity being monotone under vocabulary growth.  The default
+    (False) keeps the rebuild-equivalence guarantee above, where labels are
+    min-surface exactly as ``build_kg`` would assign them.
 
     Scale: the increment costs mention/link/aggregate over the NEW docs
     only, plus one distinct over old surfaceForm triples and the
@@ -329,6 +342,37 @@ def update_kg(
     canon = _canonicalize_surfaces(
         spark, surfaces, near_dup_threshold, small_canon_threshold
     )
+    if stable_labels:
+        # prior label per OLD surface: its nearDuplicateOf target if it had
+        # one, else itself (canonicals and singletons carry no nd edge)
+        pref_len = len(KG + "surface/") + 1  # substring() is 1-based
+        old_nd = (
+            old_triples.filter(F.col("pred") == nd)
+            .select(
+                F.expr(f"substring(subj, {pref_len})").alias("surface"),
+                F.expr(f"substring(obj_value, {pref_len})").alias("_lab"),
+            )
+        )
+        old_lab = (
+            old_triples.filter(F.col("pred") == KG + "surfaceForm")
+            .select(F.col("obj_value").alias("surface"))
+            .distinct()
+            .join(old_nd, "surface", "left")
+            .withColumn("_old_label", F.coalesce(F.col("_lab"), F.col("surface")))
+            .select("surface", "_old_label")
+        )
+        stable = (
+            canon.join(old_lab, "surface", "left")
+            .groupBy("canon_surface")
+            .agg(F.min("_old_label").alias("_stable"))
+        )
+        canon = (
+            canon.join(stable, "canon_surface", "left")
+            .withColumn(
+                "canon_surface", F.coalesce(F.col("_stable"), F.col("canon_surface"))
+            )
+            .select("surface", "canon_surface")
+        )
     t_neardup = (
         canon.filter(F.col("surface") != F.col("canon_surface"))
         .select(

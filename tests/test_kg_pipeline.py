@@ -252,3 +252,84 @@ def test_update_kg_equals_batch_rebuild(spark):
         f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}"
     )
     docs.unpersist()
+
+
+def test_update_kg_stable_labels(spark):
+    """stable_labels=True pins cluster labels across increments: pure growth
+    never relabels, and a bridge-induced merge keeps the minimum PRIOR label
+    even when the fresh min-surface label would differ; cluster membership
+    stays identical to the default (rebuild-equivalent) policy."""
+    from pyspark.sql import functions as F
+
+    from kgforge.kg.pipeline import KG, _py_shingles, build_kg, update_kg
+
+    def jac(a, b):
+        sa, sb = _py_shingles(a), _py_shingles(b)
+        return len(sa & sb) / len(sa | sb)
+
+    c1 = ["bbbb-cccc", "bbbb-cccd"]
+    c2 = ["dddd-eeee", "dddd-eeef"]
+    bridge = "a-bbbb-cccc-dddd-eeee"  # lexicographically BELOW all old labels
+    thr = 0.25
+    assert jac(*c1) >= thr and jac(*c2) >= thr
+    assert max(jac(a, b) for a in c1 for b in c2) < thr
+    assert jac(bridge, c1[0]) >= thr and jac(bridge, c2[0]) >= thr
+    assert bridge < min(c1 + c2)
+
+    surfaces = c1 + c2 + [bridge]
+    catalog = spark.createDataFrame(
+        [(s, f"e{i}", s, "Thing") for i, s in enumerate(surfaces)],
+        "norm string, eid string, canonical string, etype string",
+    )
+
+    def mk_docs(rows):
+        return spark.createDataFrame(
+            [(d, [("text", t, "", 0)]) for d, t in rows],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    kw = dict(
+        mention_strategy="regex", link_strategy="sql",
+        mention_vocab=surfaces, mention_case_insensitive=False,
+        catalog=catalog,
+    )
+    old_docs = mk_docs([(f"d{i}", f"x {s} y") for i, s in enumerate(c1 + c2)])
+    t1, _ = build_kg(old_docs, near_dup_threshold=thr, collect_metrics=False,
+                     **kw)
+
+    nd = KG + "nearDuplicateOf"
+    pref = KG + "surface/"
+
+    def labels(tr):
+        return {
+            r["subj"][len(pref):]: r["obj_value"][len(pref):]
+            for r in tr.filter(F.col("pred") == nd).collect()
+        }
+
+    assert labels(t1) == {"bbbb-cccd": "bbbb-cccc", "dddd-eeef": "dddd-eeee"}
+
+    # pure growth (re-mention of an existing surface): labels unchanged
+    grown, _ = update_kg(
+        t1, mk_docs([("d10", "z bbbb-cccd w")]),
+        near_dup_threshold=thr, stable_labels=True, **kw,
+    )
+    assert labels(grown) == labels(t1)
+
+    # merge: the bridge connects both old clusters.  Stable policy keeps the
+    # min PRIOR label (bbbb-cccc); the default rebuild policy relabels to the
+    # fresh min surface (the bridge itself).
+    merge_docs = mk_docs([("d11", f"z {bridge} w")])
+    stable, _ = update_kg(
+        t1, merge_docs, near_dup_threshold=thr, stable_labels=True, **kw,
+    )
+    lab_s = labels(stable)
+    assert set(lab_s.values()) == {"bbbb-cccc"}
+    assert set(lab_s) == {"bbbb-cccd", "dddd-eeee", "dddd-eeef", bridge}
+
+    default, _ = update_kg(t1, merge_docs, near_dup_threshold=thr, **kw)
+    lab_d = labels(default)
+    assert set(lab_d.values()) == {bridge}
+    # same partition of the vocabulary under both policies: every surface in
+    # one merged cluster (label + its members)
+    assert set(lab_d) | set(lab_d.values()) == set(lab_s) | set(lab_s.values())
