@@ -1052,6 +1052,37 @@ def _pii_scrub(spark, sf_dir):
     )
 
 
+def _c4_filter(spark, sf_dir):
+    """C4 page cleaning over a corpus with deterministically injected line
+    structure (the synthetic text is single-line): every doc gets a
+    guaranteed-terminal first line, a too-short line, a clean sentence, a
+    lorem-ipsum line on every 4th doc, and a curly-brace code line on every
+    5th — portable concat, so the oracle reproduces inputs and decisions."""
+    from kgforge.datapipe.textstats import c4_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(".\nshort line\n"),
+            F.lit("this tidy sentence has exactly seven words.\n"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("lorem ipsum dolor sit amet consectetur."))
+            .otherwise(F.lit(
+                "another perfectly fine sentence with enough words here.")),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("code { block }"))
+            .otherwise(F.lit("terminal punctuation ends this final line!")),
+        ).alias("text"),
+    )
+    return c4_filter(injected, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+        "clean_text", "has_lorem", "has_brace", "keep",
+    )
+
+
 def _dedup_lines(spark, sf_dir):
     """Intra-doc repetition removal over a corpus with deterministically
     injected boilerplate: every doc gets a repeated header/footer line
@@ -2706,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profiles": _lang_profiles,
         "pii_scrub": _pii_scrub,
         "dedup_lines": _dedup_lines,
+        "c4_filter": _c4_filter,
         "doc_chunks": _doc_chunks,
         "quality": _quality,
         "fingerprint": _fingerprint,
@@ -3662,6 +3694,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_profiles": _lang_profiles_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
+        "c4_filter": r"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || '.' || chr(10) || 'short line' || chr(10) ||
+                 'this tidy sentence has exactly seven words.' || chr(10) ||
+                 CASE WHEN doc_id % 4 = 0
+                      THEN 'lorem ipsum dolor sit amet consectetur.'
+                      ELSE 'another perfectly fine sentence with enough words here.'
+                 END || chr(10) ||
+                 CASE WHEN doc_id % 5 = 0 THEN 'code { block }'
+                      ELSE 'terminal punctuation ends this final line!'
+                 END AS text
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+                 list_filter(
+                   string_split(text, chr(10)),
+                   x -> len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                        AND regexp_matches(x, '[.!?"]\s*$')) AS kept
+          FROM inj
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               array_to_string(kept, chr(10)) AS clean_text,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_brace,
+               (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS keep
+        FROM f
+        """,
         "dedup_lines": """
         WITH t AS (
           SELECT doc_id AS id,

@@ -432,3 +432,41 @@ def lm_cross_entropy(df: DataFrame, id_col: str, text_col: str,
         F.round(F.avg("nll"), 6).alias("xent"),
         F.count(F.lit(1)).alias("n_trigrams"),
     )
+
+
+def c4_filter(df: DataFrame, id_col: str, text_col: str,
+              min_words_per_line: int = 5,
+              min_kept_lines: int = 3) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 "Exploring the Limits of
+    Transfer Learning...", the public C4 heuristics): keep only lines that
+    end in a terminal punctuation mark AND contain at least
+    ``min_words_per_line`` words; drop the whole page when fewer than
+    ``min_kept_lines`` lines survive, when it mentions "lorem ipsum", or
+    when it contains a curly brace (code leakage).
+
+    Output: (id, n_lines, n_kept_lines, clean_text, has_lorem, has_brace,
+    keep).  ``clean_text`` is the surviving lines rejoined.
+
+    Scale: entirely JVM higher-order functions (split / filter lambda /
+    array_join) — no shuffle at all until whatever consumes the result;
+    a 100-TB corpus filters at scan speed with full codegen."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & l.rlike(r'[.!?"]\s*$'),
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )

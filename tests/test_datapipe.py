@@ -542,3 +542,35 @@ def test_duplicate_spans_hashed_equivalence(spark):
     plan = duplicate_spans(df, "id", "text", hashed=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_c4_filter_rules(spark):
+    """The C4 heuristics: line survives iff ≥5 words AND terminal
+    punctuation; page survives iff ≥3 kept lines, no lorem ipsum, no brace."""
+    from kgforge.datapipe.textstats import c4_filter
+
+    good = "one two three four five six in this fine sentence."
+    rows = [
+        (1, "\n".join([good, good + "!", 'quoted line with five words here?"',
+                       "too short."])),          # 3 kept → keep
+        (2, "\n".join([good, good])),            # 2 kept → drop
+        (3, "\n".join([good, good, "we sprinkle Lorem Ipsum dolor here sadly."])),
+        (4, "\n".join([good, good, "a code line { with braces } five words."])),
+        (5, ""),                                  # empty page
+        (6, "no terminal punctuation on this long enough line"),
+    ]
+    df = spark.createDataFrame(rows, schema="id long, text string")
+    out = {r["id"]: r for r in c4_filter(df, "id", "text").collect()}
+
+    assert out[1]["keep"] and out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"].count("\n") == 2 and "too short" not in out[1]["clean_text"]
+    assert not out[2]["keep"] and out[2]["n_kept_lines"] == 2
+    assert not out[3]["keep"] and out[3]["has_lorem"]
+    assert not out[4]["keep"] and out[4]["has_brace"]
+    assert not out[5]["keep"] and out[5]["n_kept_lines"] == 0
+    assert not out[6]["keep"] and out[6]["n_kept_lines"] == 0
+
+    # pure codegen path: no Python execution nodes in the plan
+    plan = c4_filter(df, "id", "text")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
