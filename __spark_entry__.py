@@ -2059,6 +2059,23 @@ def _t_closeness(spark, sf_dir):
 _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
 
+def _dsir_select(spark, sf_dir):
+    """DSIR-style importance selection toward the English-language target
+    domain; integer affinity scores, hard top-k (see mix.dsir_select for
+    the documented float→integer deviation that makes this bit-exact)."""
+    from kgforge.datapipe.mix import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_select(
+        docs.withColumn("_is_en", F.col("lang") == "en"),
+        "doc_id", "text", "_is_en", k=50, n_buckets=256,
+    ).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("score").cast("bigint").alias("score"),
+    )
+
+
 def _source_mix(spark, sf_dir):
     """Deterministic source-mix resampling (datapipe.mix.source_mix_sample):
     per-source keep-rates derived from target proportions, row selection by
@@ -2749,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _doc_sample,
         # — corpus composition + privacy KPIs —
         "source_mix": _source_mix,
+        "dsir_select": _dsir_select,
         "doc_packing": _doc_packing,
         "vocab_topk": _vocab_topk_q,
         "tfidf_keywords": _tfidf_keywords_q,
@@ -4089,6 +4107,26 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY gv.c_nationkey
         """,
         "source_mix": _source_mix_oracle(),
+        "dsir_select": f"""
+        WITH toks AS (
+          SELECT doc_id, (lang = 'en') AS t,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ), hb AS (
+          SELECT doc_id, t, {_poly_sql("tok", 31)} % 256 AS b FROM toks
+        ), model AS (
+          SELECT b,
+                 CAST((sum(CASE WHEN t THEN 1 ELSE 0 END) + 1) * 1000000
+                      // (count(*) + 2) AS BIGINT) AS aff
+          FROM hb GROUP BY b
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(aff) AS BIGINT) AS score
+        FROM hb JOIN model USING (b)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50
+        """,
         "doc_packing": f"""
         WITH ts AS (
           SELECT doc_id AS id,

@@ -103,3 +103,68 @@ def pack_chunks(
         )
         .drop("_cum")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    k: int = 100,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", re-derived for Spark):
+    hashed bag-of-words features, a bucket-level affinity model of the
+    target domain, per-document importance scores, hard top-``k`` selection.
+
+    Deviation from the paper, deliberately: the per-bucket statistic is the
+    INTEGER smoothed target share ``(c_target + 1) * scale div (c_all + 2)``
+    (a monotone transform of the Laplace-smoothed p(target|bucket)) and the
+    document score is the integer SUM of its tokens' bucket statistics —
+    instead of the float log-ratio sum, which is addition-order-dependent
+    and therefore not reproducible across engines/partitionings.  Integer
+    sums are associative, so the score is partition-invariant and the DuckDB
+    oracle matches bit-for-bit (``div`` on longs ≡ Java integer division,
+    verified).  Paper-faithful Gumbel resampling would add an RNG; hard
+    top-k is the paper's argmax variant.
+
+    Scale: tokenize+hash is codegen; the bucket model is ONE
+    map-side-combinable groupBy to ≤``n_buckets`` rows (broadcast back);
+    scoring is one integer-sum groupBy per doc; selection is a TakeOrdered
+    top-k, never a global sort materialization or single-partition window.
+
+    Returns the selected rows: (id, n_tokens, score), score descending,
+    id ascending as the tie-break.
+    """
+    from kgforge.datapipe.dedup import poly_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("boolean").alias("_t"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    ).withColumn("b", F.pmod(poly_hash(F.col("tok")), F.lit(n_buckets)))
+    model = (
+        toks.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_t"),
+        )
+        .select(
+            "b",
+            F.expr(f"(c_t + 1) * CAST({scale} AS BIGINT) div (c_all + 2)")
+            .alias("aff"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("aff").alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)

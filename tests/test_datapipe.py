@@ -574,3 +574,30 @@ def test_c4_filter_rules(spark):
     plan = c4_filter(df, "id", "text")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_dsir_select_prefers_target_domain(spark):
+    """Docs made of target-domain vocabulary must outscore off-domain docs,
+    the model join must broadcast, and nothing runs in Python."""
+    from kgforge.datapipe.mix import dsir_select
+
+    target_words = "protein genome enzyme receptor molecule"
+    offdom_words = "goal striker referee penalty stadium"
+    rows = (
+        [(i, f"{target_words} study {i}", True) for i in range(10)]
+        + [(100 + i, f"{offdom_words} match {i}", False) for i in range(10)]
+        + [(200, target_words + " extra analysis", False)]  # unlabeled target-like
+    )
+    df = spark.createDataFrame(rows, "id long, text string, is_t boolean")
+    out = dsir_select(df, "id", "text", "is_t", k=11).collect()
+    picked = [r["id"] for r in out]
+    # all 10 labeled target docs plus the unlabeled target-like one win
+    assert set(picked) == set(range(10)) | {200}
+    # integer scores: partition-invariant ordering, target-like on top
+    assert all(r["score"] > 0 for r in out)
+
+    plan = dsir_select(df, "id", "text", "is_t", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "TakeOrdered" in plan  # top-k, not a global sort
