@@ -154,6 +154,10 @@ EXTRA_QUERIES = [
     "retention_cohorts",
     "suppress_rare_customers",
     "stratified_sample",
+    # round-3 continuation: scale-path dedup + curation breadth
+    "dup_spans_hashed",
+    "c4_filter",
+    "dsir_select",
 ]
 
 BENCH_QUERIES = [
