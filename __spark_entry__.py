@@ -2188,6 +2188,78 @@ def _kg_triples(spark, sf_dir):
     return triples
 
 
+def _sparql_balances(spark, sf_dir):
+    """Ad-hoc SPARQL over flat-ingested triples (kgforge.sparql): customers
+    melt into the canonical triple table, then a SELECT with a BGP join, a
+    numeric FILTER, ORDER BY and LIMIT — proving the Jena-user query surface
+    against a plain-SQL oracle over the base table."""
+    from kgforge.ingest import flat_df_to_triples
+    from kgforge.sparql import sparql_select
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_name", "c_acctbal", "c_mktsegment"
+    )
+    triples = flat_df_to_triples(cust, "http://ex.org/")
+    out = sparql_select(triples, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n ?b WHERE {
+          ?s ex:c_name ?n .
+          ?s ex:c_acctbal ?b .
+          ?s ex:c_mktsegment "BUILDING" .
+          FILTER (?b > 9000)
+        } ORDER BY ?n LIMIT 25
+    """)
+    return out.select(
+        F.col("n").alias("name"), F.col("b").cast("double").alias("balance")
+    )
+
+
+def _sparql_kg(spark, sf_dir):
+    """SPARQL over the MATERIALIZED knowledge graph: canonical names joined
+    with mention counts through two constant-predicate patterns (each a
+    partition-pruning scan on the pred-partitioned sink at scale)."""
+    from kgforge.sparql import sparql_select
+
+    triples = _kg_triples(spark, sf_dir)
+    out = sparql_select(triples, """
+        PREFIX kg: <http://kgforge.dev/ns/>
+        SELECT ?ent ?name ?cnt WHERE {
+          ?ent kg:canonicalName ?name .
+          ?ent kg:mentionCount ?cnt .
+        } ORDER BY ?name ?ent
+    """)
+    return out.select(
+        "ent", "name", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates + VALUES over flat-ingested triples:
+    per-segment customer counts and average balance, restricted to an
+    inline VALUES list (the broadcast-ID-list idiom), with HAVING — the
+    whole thing compiles to one hash-aggregate after the BGP joins."""
+    from kgforge.ingest import flat_df_to_triples
+    from kgforge.sparql import sparql_select
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_name", "c_acctbal", "c_mktsegment"
+    )
+    triples = flat_df_to_triples(cust, "http://ex.org/")
+    out = sparql_select(triples, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?seg (COUNT(*) AS ?n) (AVG(?b) AS ?avg_bal) WHERE {
+          ?s ex:c_mktsegment ?seg .
+          ?s ex:c_acctbal ?b .
+          VALUES ?seg { "BUILDING" "MACHINERY" "AUTOMOBILE" }
+        } GROUP BY ?seg HAVING (?n > 0) ORDER BY ?seg
+    """)
+    return out.select(
+        F.col("seg").alias("segment"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("avg_bal"), 4).alias("avg_bal"),
+    )
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2729,6 +2801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_triangles": _kg_triangles,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
+        "sparql_balances": _sparql_balances,
+        "sparql_kg": _sparql_kg,
+        "sparql_agg": _sparql_agg,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4187,6 +4262,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
         "kg_components": _kg_components_oracle(),
         "kg_anon_mention_counts": _kg_anon_mention_counts_oracle(),
+        "sparql_balances": """
+        SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS balance
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+        ORDER BY name LIMIT 25
+        """,
+        "sparql_kg": f"""
+        WITH kg AS ({_kg_triples_oracle()})
+        SELECT a.subj AS ent, a.obj_value AS name,
+               CAST(b.obj_value AS BIGINT) AS cnt
+        FROM kg a JOIN kg b ON a.subj = b.subj
+        WHERE a.pred = 'http://kgforge.dev/ns/canonicalName'
+          AND b.pred = 'http://kgforge.dev/ns/mentionCount'
+        ORDER BY name, ent
+        """,
+        "sparql_agg": """
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(CAST(c_acctbal AS DOUBLE)), 4) AS avg_bal
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        GROUP BY c_mktsegment HAVING COUNT(*) > 0
+        ORDER BY segment
+        """,
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are

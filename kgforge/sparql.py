@@ -1,0 +1,690 @@
+"""Minimal SPARQL SELECT evaluator over the canonical triple DataFrame.
+
+The reference interacts with its Jena ``Model`` exclusively through SPARQL
+(11 templates built in ``data/QueryBuildingService.java``, executed by Jena
+ARQ in ``data/QueryService.java``).  Those templates are each implemented as
+dedicated operators elsewhere in this repo; this module adds what a Jena
+user actually reaches for when they *switch*: ad-hoc SPARQL over the triple
+table, compiled to a DataFrame plan so Catalyst/AQE — not a driver loop —
+executes it.
+
+Supported subset (covers every shape the reference's templates use, plus
+the common exploratory forms):
+
+- ``PREFIX pfx: <iri>`` declarations
+- ``SELECT [DISTINCT] ?a ?b …``, ``SELECT *``, or aggregate projections
+  ``(COUNT(?v) AS ?alias)`` / ``COUNT(*)`` / ``COUNT(DISTINCT ?v)`` /
+  ``SUM`` / ``AVG`` / ``MIN`` / ``MAX``
+- ``WHERE { … }`` with:
+  - basic graph patterns, ``.``-separated, with ``;`` predicate-object
+    lists and ``,`` object lists; ``a`` sugar for rdf:type
+  - ``OPTIONAL { … }`` groups (compiled to left joins)
+  - ``{ … } UNION { … }`` alternatives (compiled to ``unionByName`` with
+    null-padding for variables bound on one side only)
+  - ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (…) … }`` inline data
+    (``UNDEF`` → null), compiled to a literal DataFrame join — at scale
+    this is the broadcast-join idiom for "restrict to this ID list"
+  - ``FILTER ( expr )`` with ``= != < <= > >= && || !``, ``regex(?v,
+    "pat")``, ``bound(?v)``, ``isIRI(?v)``, ``str(?v)``
+- ``GROUP BY ?a ?b`` + ``HAVING ( expr )`` (expr over aliases/keys)
+- ``ORDER BY [ASC|DESC](?v) …`` and ``LIMIT n``
+
+Aggregate typing over lexical bindings: ``COUNT`` counts non-null
+bindings; ``SUM``/``AVG`` cast operands with ``try_cast`` to double
+(SPARQL numeric aggregation over this engine's stored datatypes);
+``MIN``/``MAX`` compare lexical forms (document the cast if you need
+numeric extrema: ``xsd:integer`` lexical order ≠ numeric order).
+
+Terms: ``?var``, ``<iri>``, ``pfx:local``, ``"string"``, integers/decimals,
+``true``/``false``.
+
+Compilation model — one scan per triple pattern, joined on shared
+variables:
+
+- a CONSTANT predicate becomes ``pred = <iri>`` on the scan, which is a
+  partition-pruning predicate on the pred-partitioned graph sink
+  (``kgforge/kg/io.py``) — at 100 TB each pattern reads only its
+  predicate's partitions;
+- constant subjects/objects push down as parquet filters;
+- join order is left as written and joins are plain equi-joins on the
+  shared variable columns — AQE picks broadcast/shuffle per side at
+  runtime, exactly the decision we should not hand-schedule;
+- patterns with no shared variables produce a cross join (a real SPARQL
+  semantics corner — allowed, documented, and visible in the plan).
+
+Variable bindings are lexical forms (strings); comparisons against a
+numeric literal cast both sides with ``try_cast`` to double, matching
+SPARQL's numeric-vs-numeric operator mapping for the datatypes this engine
+stores.  DISTINCT/ORDER BY/LIMIT map to the DataFrame operators of the
+same name (ORDER BY + LIMIT collapses to TakeOrdered).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# --- tokenizer ---------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<KEYWORD>[A-Za-z][A-Za-z0-9_]*)
+  | (?P<OP><=|>=|!=|&&|\|\||[=<>!{}().;,*])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise SparqlError(f"unexpected character at offset {i}: {q[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append((kind, m.group()))
+    out.append(("EOF", ""))
+    return out
+
+
+# --- AST ---------------------------------------------------------------------
+
+
+@dataclass
+class Term:
+    kind: str  # "var" | "iri" | "str" | "num" | "bool"
+    value: str
+
+
+@dataclass
+class Pattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+@dataclass
+class Group:
+    patterns: list = field(default_factory=list)   # Pattern
+    optionals: list = field(default_factory=list)  # Group
+    filters: list = field(default_factory=list)    # expr AST tuples
+    unions: list = field(default_factory=list)     # list[list[Group]]
+    values: list = field(default_factory=list)     # (vars, rows) blocks
+
+
+@dataclass
+class Agg:
+    fn: str            # count | sum | avg | min | max
+    arg: str | None    # variable name, or None for COUNT(*)
+    distinct: bool
+    alias: str
+
+
+@dataclass
+class Query:
+    select: list  # var names / Agg items, or ["*"]
+    distinct: bool
+    where: Group
+    group_by: list  # var names
+    having: list    # expr AST tuples
+    order_by: list  # (var, asc) pairs
+    limit: int | None
+
+
+class _Parser:
+    def __init__(self, q: str):
+        self.toks = _tokenize(q)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        k, v = self.next()
+        if v.upper() != text.upper():
+            raise SparqlError(f"expected {text!r}, got {v!r}")
+        return v
+
+    def kw(self, word: str) -> bool:
+        k, v = self.peek()
+        if k == "KEYWORD" and v.upper() == word.upper():
+            self.next()
+            return True
+        return False
+
+    # -- terms --
+    def term(self) -> Term:
+        k, v = self.next()
+        if k == "VAR":
+            return Term("var", v[1:])
+        if k == "IRI":
+            return Term("iri", v[1:-1])
+        if k == "STRING":
+            return Term("str", _unescape(v[1:-1]))
+        if k == "NUMBER":
+            return Term("num", v)
+        if k == "PNAME":
+            pfx, local = v.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError(f"undeclared prefix {pfx!r}")
+            return Term("iri", self.prefixes[pfx] + local)
+        if k == "KEYWORD":
+            if v == "a":
+                return Term("iri", RDF_TYPE)
+            if v.lower() in ("true", "false"):
+                return Term("bool", v.lower())
+        raise SparqlError(f"expected term, got {v!r}")
+
+    # -- query --
+    def parse(self) -> Query:
+        while self.kw("PREFIX"):
+            k, v = self.next()
+            if k != "PNAME" or not v.endswith(":"):
+                raise SparqlError(f"bad prefix name {v!r}")
+            name = v[:-1]
+            k2, v2 = self.next()
+            if k2 != "IRI":
+                raise SparqlError(f"bad prefix IRI {v2!r}")
+            self.prefixes[name] = v2[1:-1]
+        if not self.kw("SELECT"):
+            raise SparqlError("only SELECT queries are supported")
+        distinct = self.kw("DISTINCT")
+        select: list = []
+        while True:
+            k, v = self.peek()
+            if k == "VAR":
+                select.append(self.next()[1][1:])
+            elif v == "(":
+                self.next()
+                select.append(self.agg_item())
+            elif v == "*":
+                self.next()
+                select = ["*"]
+                break
+            else:
+                break
+        if not select:
+            raise SparqlError("empty SELECT clause")
+        if not self.kw("WHERE"):
+            raise SparqlError("missing WHERE")
+        where = self.group()
+        group_by: list[str] = []
+        if self.kw("GROUP"):
+            self.expect("BY")
+            while self.peek()[0] == "VAR":
+                group_by.append(self.next()[1][1:])
+            if not group_by:
+                raise SparqlError("empty GROUP BY")
+        having: list = []
+        if self.kw("HAVING"):
+            self.expect("(")
+            having.append(self.expr())
+            self.expect(")")
+        order_by: list[tuple[str, bool]] = []
+        if self.kw("ORDER"):
+            self.expect("BY")
+            while True:
+                k, v = self.peek()
+                if k == "KEYWORD" and v.upper() in ("ASC", "DESC"):
+                    asc = self.next()[1].upper() == "ASC"
+                    self.expect("(")
+                    var = self.term()
+                    self.expect(")")
+                elif k == "VAR":
+                    asc, var = True, self.term()
+                else:
+                    break
+                if var.kind != "var":
+                    raise SparqlError("ORDER BY expects a variable")
+                order_by.append((var.value, asc))
+            if not order_by:
+                raise SparqlError("empty ORDER BY")
+        limit = None
+        if self.kw("LIMIT"):
+            k, v = self.next()
+            if k != "NUMBER":
+                raise SparqlError("LIMIT expects a number")
+            limit = int(v)
+        k, v = self.next()
+        if k != "EOF":
+            raise SparqlError(f"trailing input at {v!r}")
+        return Query(select, distinct, where, group_by, having, order_by, limit)
+
+    def agg_item(self) -> Agg:
+        """``AGG([DISTINCT] ?v | *) AS ?alias`` — the '(' is consumed."""
+        k, v = self.next()
+        fn = v.lower()
+        if k != "KEYWORD" or fn not in ("count", "sum", "avg", "min", "max"):
+            raise SparqlError(f"expected aggregate function, got {v!r}")
+        self.expect("(")
+        distinct = self.kw("DISTINCT")
+        arg: str | None
+        if self.peek()[1] == "*":
+            if fn != "count":
+                raise SparqlError(f"{fn.upper()}(*) is not valid")
+            self.next()
+            arg = None
+        else:
+            t = self.term()
+            if t.kind != "var":
+                raise SparqlError("aggregate argument must be a variable")
+            arg = t.value
+        self.expect(")")
+        if not self.kw("AS"):
+            raise SparqlError("aggregate projection needs AS ?alias")
+        a = self.term()
+        if a.kind != "var":
+            raise SparqlError("AS expects a variable")
+        self.expect(")")
+        return Agg(fn, arg, distinct, a.value)
+
+    def group(self) -> Group:
+        self.expect("{")
+        g = Group()
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return g
+            if k == "KEYWORD" and v.upper() == "OPTIONAL":
+                self.next()
+                g.optionals.append(self.group())
+                continue
+            if k == "KEYWORD" and v.upper() == "FILTER":
+                self.next()
+                self.expect("(")
+                g.filters.append(self.expr())
+                self.expect(")")
+                continue
+            if k == "KEYWORD" and v.upper() == "VALUES":
+                self.next()
+                g.values.append(self.values_block())
+                continue
+            if v == "{":  # { … } UNION { … } [UNION { … }]*
+                alts = [self.group()]
+                while self.kw("UNION"):
+                    alts.append(self.group())
+                g.unions.append(alts)  # a lone nested group is a 1-way union
+                if self.peek()[1] == ".":
+                    self.next()
+                continue
+            # triple pattern with ; and , lists
+            s = self.term()
+            while True:
+                p = self.term()
+                while True:
+                    o = self.term()
+                    g.patterns.append(Pattern(s, p, o))
+                    if self.peek()[1] == ",":
+                        self.next()
+                        continue
+                    break
+                if self.peek()[1] == ";":
+                    self.next()
+                    if self.peek()[1] in ("}", "."):
+                        break  # dangling ';' tolerated, Turtle-style
+                    continue
+                break
+            if self.peek()[1] == ".":
+                self.next()
+
+    def values_block(self) -> tuple[list[str], list[list]]:
+        """``VALUES ?v { t … }`` or ``VALUES (?a ?b) { (t t) … }``."""
+        vars_: list[str] = []
+        if self.peek()[1] == "(":
+            self.next()
+            while self.peek()[0] == "VAR":
+                vars_.append(self.next()[1][1:])
+            self.expect(")")
+        elif self.peek()[0] == "VAR":
+            vars_.append(self.next()[1][1:])
+        if not vars_:
+            raise SparqlError("VALUES needs at least one variable")
+        self.expect("{")
+        rows: list[list] = []
+        while self.peek()[1] != "}":
+            if self.peek()[1] == "(":
+                self.next()
+                row = []
+                while self.peek()[1] != ")":
+                    row.append(self._values_term())
+                self.next()
+            else:
+                row = [self._values_term()]
+            if len(row) != len(vars_):
+                raise SparqlError(
+                    f"VALUES row width {len(row)} != {len(vars_)} variables"
+                )
+            rows.append(row)
+        self.next()  # }
+        return vars_, rows
+
+    def _values_term(self):
+        k, v = self.peek()
+        if k == "KEYWORD" and v.upper() == "UNDEF":
+            self.next()
+            return None
+        t = self.term()
+        if t.kind == "var":
+            raise SparqlError("VALUES data must be constants")
+        return t.value
+
+    # -- filter expressions: or → and → unary → cmp → primary --
+    def expr(self):
+        node = self.expr_and()
+        while self.peek()[1] == "||":
+            self.next()
+            node = ("or", node, self.expr_and())
+        return node
+
+    def expr_and(self):
+        node = self.expr_unary()
+        while self.peek()[1] == "&&":
+            self.next()
+            node = ("and", node, self.expr_unary())
+        return node
+
+    def expr_unary(self):
+        if self.peek()[1] == "!":
+            self.next()
+            return ("not", self.expr_unary())
+        if self.peek()[1] == "(":
+            self.next()
+            node = self.expr()
+            self.expect(")")
+            return node
+        return self.expr_cmp()
+
+    def expr_cmp(self):
+        left = self.primary()
+        k, v = self.peek()
+        if v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.primary()
+            return ("cmp", v, left, right)
+        return ("truthy", left)
+
+    def primary(self):
+        k, v = self.peek()
+        if k == "KEYWORD" and v.lower() in ("regex", "bound", "isiri", "str"):
+            fn = self.next()[1].lower()
+            self.expect("(")
+            args = [self.expr() if fn == "str" else ("term", self.term())]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(("term", self.term()))
+            self.expect(")")
+            return ("fn", fn, args)
+        if v == "(":
+            self.next()
+            node = self.expr()
+            self.expect(")")
+            return node
+        return ("term", self.term())
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\\\", "\x00").replace('\\"', '"').replace("\\n", "\n")
+        .replace("\\t", "\t").replace("\x00", "\\")
+    )
+
+
+# --- compiler ----------------------------------------------------------------
+
+
+def _pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
+    """One triple pattern → a filtered scan projected to its variables."""
+    df = triples
+    out_cols: list[Column] = []
+    bound: set[str] = set()
+    slots = (("subj", pat.s), ("pred", pat.p), ("obj_value", pat.o))
+    seen: dict[str, str] = {}
+    for col, term in slots:
+        if term.kind == "var":
+            if term.value in seen:  # e.g. ?x ?p ?x — intra-pattern equality
+                df = df.filter(F.col(col) == F.col(seen[term.value]))
+            else:
+                seen[term.value] = col
+                out_cols.append(F.col(col).alias(term.value))
+                bound.add(term.value)
+        elif term.kind == "iri":
+            df = df.filter(F.col(col) == term.value)
+            if col == "obj_value":
+                df = df.filter(F.col("obj_is_iri"))
+        elif term.kind in ("str", "bool"):
+            if col != "obj_value":
+                raise SparqlError("literals are only valid in object position")
+            df = df.filter(
+                (F.col("obj_value") == term.value) & (~F.col("obj_is_iri"))
+            )
+        elif term.kind == "num":
+            if col != "obj_value":
+                raise SparqlError("literals are only valid in object position")
+            df = df.filter(
+                F.expr("try_cast(obj_value AS DOUBLE)") == float(term.value)
+            )
+    return df.select(*out_cols), bound
+
+
+def _union_df(triples: DataFrame, alts: list) -> tuple[DataFrame, set]:
+    """``{A} UNION {B}`` → unionByName with null-padding: a variable bound
+    in only one branch is null in the other's rows (SPARQL's unbound)."""
+    dfs, all_vars = [], set()
+    for alt in alts:
+        adf, avars = _join_group(triples, alt)
+        dfs.append((adf, avars))
+        all_vars |= avars
+    cols = sorted(all_vars)
+    padded = [
+        adf.select(*[
+            F.col(v) if v in avars else F.lit(None).cast("string").alias(v)
+            for v in cols
+        ])
+        for adf, avars in dfs
+    ]
+    out = padded[0]
+    for p in padded[1:]:
+        out = out.unionByName(p)
+    return out, all_vars
+
+
+def _values_df(spark, vars_: list, rows: list) -> DataFrame:
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], schema=", ".join(f"{v} string" for v in vars_)
+    )
+
+
+def _merge(acc, bound, pdf, pvars, how: str = "inner"):
+    if acc is None:
+        return pdf, set(pvars)
+    shared = sorted(bound & pvars)
+    if shared:
+        acc = acc.join(pdf, on=shared, how=how)
+    elif how == "inner":
+        acc = acc.crossJoin(pdf)
+    else:
+        raise SparqlError("OPTIONAL group shares no variables")
+    return acc, bound | pvars
+
+
+def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    for pat in g.patterns:
+        pdf, pvars = _pattern_df(triples, pat)
+        acc, bound = _merge(acc, bound, pdf, pvars)
+    for alts in g.unions:
+        udf, uvars = _union_df(triples, alts)
+        acc, bound = _merge(acc, bound, udf, uvars)
+    for vars_, rows in g.values:
+        vdf = _values_df(triples.sparkSession, vars_, rows)
+        acc, bound = _merge(acc, bound, vdf, set(vars_))
+    if acc is None:
+        raise SparqlError("empty graph pattern")
+    for og in g.optionals:
+        odf, ovars = _join_group(triples, og)
+        acc, bound = _merge(acc, bound, odf, ovars, how="left")
+    for fexpr in g.filters:
+        acc = acc.filter(_compile_expr(fexpr, bound))
+    return acc, bound
+
+
+def _compile_term(t: Term, bound: set, numeric: bool = False):
+    if t.kind == "var":
+        if t.value not in bound:
+            raise SparqlError(f"filter references unbound variable ?{t.value}")
+        c = F.col(t.value)
+        return c.cast("double") if numeric else c
+    if t.kind == "num":
+        return F.lit(float(t.value))
+    if t.kind == "bool":
+        return F.lit(t.value)
+    return F.lit(t.value)
+
+
+def _compile_expr(node, bound: set) -> Column:
+    op = node[0]
+    if op == "or":
+        return _compile_expr(node[1], bound) | _compile_expr(node[2], bound)
+    if op == "and":
+        return _compile_expr(node[1], bound) & _compile_expr(node[2], bound)
+    if op == "not":
+        return ~_compile_expr(node[1], bound)
+    if op == "truthy":
+        return _compile_expr(node[1], bound)
+    if op == "cmp":
+        _, sym, ln, rn = node
+        numeric = any(
+            n[0] == "term" and n[1].kind == "num" for n in (ln, rn)
+        )
+        lc = _compile_operand(ln, bound, numeric)
+        rc = _compile_operand(rn, bound, numeric)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[sym]
+    if op == "fn":
+        _, fn, args = node
+        if fn == "regex":
+            v = _compile_operand(args[0], bound, False)
+            pat = args[1][1]
+            if pat.kind != "str":
+                raise SparqlError("regex() pattern must be a string literal")
+            return v.rlike(pat.value)
+        if fn == "bound":
+            return _compile_operand(args[0], bound, False).isNotNull()
+        if fn == "isiri":
+            # bindings are lexical forms; IRI-ness is approximated by shape
+            return _compile_operand(args[0], bound, False).rlike("^[a-z][a-z0-9+.-]*:")
+        if fn == "str":
+            return _compile_operand(args[0], bound, False).cast("string")
+    if op == "term":
+        return _compile_term(node[1], bound)
+    raise SparqlError(f"unsupported filter expression {node!r}")
+
+
+def _compile_operand(node, bound: set, numeric: bool) -> Column:
+    if node[0] == "term":
+        return _compile_term(node[1], bound, numeric)
+    c = _compile_expr(node, bound)
+    return c.cast("double") if numeric else c
+
+
+def _aggregate(acc: DataFrame, bound: set, q: Query) -> DataFrame:
+    """GROUP BY + aggregate projection → one hash-aggregate (map-side
+    partials + one shuffle on the group keys — Catalyst's HashAggregate
+    pair, the same physical shape a hand-written groupBy().agg() gets)."""
+    keys = q.group_by
+    plain = [s for s in q.select if not isinstance(s, Agg)]
+    if q.select == ["*"]:
+        raise SparqlError("SELECT * cannot be combined with aggregates")
+    for v in set(plain) | set(keys):
+        if v not in bound:
+            raise SparqlError(f"GROUP BY/SELECT references unbound variable ?{v}")
+    stray = [v for v in plain if v not in keys]
+    if stray:
+        raise SparqlError(f"non-aggregated SELECT variables not in GROUP BY: {stray}")
+    exprs = []
+    for a in (s for s in q.select if isinstance(s, Agg)):
+        if a.arg is None:
+            if a.distinct:
+                raise SparqlError("COUNT(DISTINCT *) is not supported")
+            c = F.count(F.lit(1))
+        else:
+            if a.arg not in bound:
+                raise SparqlError(f"aggregate over unbound variable ?{a.arg}")
+            col = F.col(a.arg)
+            if a.fn in ("sum", "avg"):
+                col = F.expr(f"try_cast({a.arg} AS DOUBLE)")
+            if a.fn == "count":
+                c = F.countDistinct(col) if a.distinct else F.count(col)
+            elif a.distinct and a.fn in ("sum", "avg"):
+                # SPARQL set semantics: dedup the numeric operand first
+                c = F.expr(f"{a.fn}(DISTINCT try_cast({a.arg} AS DOUBLE))")
+            else:  # DISTINCT under min/max is a semantic no-op
+                c = getattr(F, a.fn)(col)
+        exprs.append(c.alias(a.alias))
+    grouped = acc.groupBy(*keys) if keys else acc.groupBy()
+    out = grouped.agg(*exprs)
+    out_cols = set(keys) | {a.alias for a in q.select if isinstance(a, Agg)}
+    for h in q.having:
+        out = out.filter(_compile_expr(h, out_cols))
+    order = [s if isinstance(s, str) else s.alias for s in q.select]
+    return out.select(*order)
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate a SPARQL SELECT query over a canonical triple DataFrame.
+
+    Returns a DataFrame with one column per selected variable (lexical
+    forms; IRIs as their string value).  See the module docstring for the
+    supported subset and the compilation model.
+    """
+    q = _Parser(query).parse()
+    acc, bound = _join_group(triples, q.where)
+    aggs = [s for s in q.select if isinstance(s, Agg)]
+    if aggs or q.group_by:
+        out = _aggregate(acc, bound, q)
+    elif q.having:
+        raise SparqlError("HAVING requires GROUP BY or aggregates")
+    elif q.select == ["*"]:
+        out = acc.select(*sorted(bound))
+    else:
+        missing = [v for v in q.select if v not in bound]
+        if missing:
+            raise SparqlError(f"SELECT references unbound variables: {missing}")
+        out = acc.select(*q.select)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
