@@ -2260,6 +2260,29 @@ def _sparql_agg(spark, sf_dir):
     )
 
 
+def _sparql_construct_kg(spark, sf_dir):
+    """SPARQL CONSTRUCT over the materialized KG: derive a 'popular entity'
+    subgraph (inverse edge + flag triple per entity with ≥2 mentions).
+    Template slots carry the source bindings' datatype/IRI-ness through the
+    solution joins — the derived graph is a valid canonical triple table
+    that feeds back into every operator in this repo."""
+    from kgforge.sparql import sparql_construct
+
+    triples = _kg_triples(spark, sf_dir)
+    out = sparql_construct(triples, """
+        PREFIX kg: <http://kgforge.dev/ns/>
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT {
+          ?ent ex:popularity ?cnt .
+          ?ent a ex:PopularEntity .
+        } WHERE {
+          ?ent kg:mentionCount ?cnt .
+          FILTER (?cnt >= 2)
+        }
+    """)
+    return out.orderBy("subj", "pred", "obj_value")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2804,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
         "sparql_agg": _sparql_agg,
+        "sparql_construct_kg": _sparql_construct_kg,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4276,6 +4300,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.pred = 'http://kgforge.dev/ns/canonicalName'
           AND b.pred = 'http://kgforge.dev/ns/mentionCount'
         ORDER BY name, ent
+        """,
+        "sparql_construct_kg": f"""
+        WITH kg AS ({_kg_triples_oracle()}),
+        pop AS (
+          SELECT subj, CAST(obj_value AS BIGINT) AS cnt, obj_dtype
+          FROM kg WHERE pred = 'http://kgforge.dev/ns/mentionCount'
+            AND CAST(obj_value AS DOUBLE) >= 2
+        )
+        SELECT * FROM (
+          SELECT subj, 'http://ex.org/popularity' AS pred,
+                 CAST(cnt AS VARCHAR) AS obj_value,
+                 obj_dtype, FALSE AS obj_is_iri FROM pop
+          UNION ALL
+          SELECT subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 'http://ex.org/PopularEntity' AS obj_value,
+                 'iri' AS obj_dtype, TRUE AS obj_is_iri FROM pop
+        ) ORDER BY subj, pred, obj_value
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,

@@ -147,6 +147,8 @@ class Query:
     having: list    # expr AST tuples
     order_by: list  # (var, asc) pairs
     limit: int | None
+    form: str = "select"            # select | ask | construct
+    template: Group | None = None   # construct template (patterns only)
 
 
 class _Parser:
@@ -210,8 +212,35 @@ class _Parser:
             if k2 != "IRI":
                 raise SparqlError(f"bad prefix IRI {v2!r}")
             self.prefixes[name] = v2[1:-1]
+        if self.kw("ASK"):
+            where = self.group()
+            k, v = self.next()
+            if k != "EOF":
+                raise SparqlError(f"trailing input at {v!r}")
+            return Query([], False, where, [], [], [], None, form="ask")
+        if self.kw("CONSTRUCT"):
+            template = self.group()
+            if template.optionals or template.filters or template.unions \
+                    or template.values:
+                raise SparqlError("CONSTRUCT template must be plain triples")
+            if not template.patterns:
+                raise SparqlError("empty CONSTRUCT template")
+            if not self.kw("WHERE"):
+                raise SparqlError("CONSTRUCT needs a WHERE clause")
+            where = self.group()
+            limit = None
+            if self.kw("LIMIT"):
+                k, v = self.next()
+                if k != "NUMBER":
+                    raise SparqlError("LIMIT expects a number")
+                limit = int(v)
+            k, v = self.next()
+            if k != "EOF":
+                raise SparqlError(f"trailing input at {v!r}")
+            return Query([], False, where, [], [], [], limit,
+                         form="construct", template=template)
         if not self.kw("SELECT"):
-            raise SparqlError("only SELECT queries are supported")
+            raise SparqlError("only SELECT/ASK/CONSTRUCT queries are supported")
         distinct = self.kw("DISTINCT")
         select: list = []
         while True:
@@ -457,8 +486,22 @@ def _unescape(s: str) -> str:
 # --- compiler ----------------------------------------------------------------
 
 
+def _m_iri(v: str) -> str:
+    return f"__m_{v}_iri"
+
+
+def _m_dt(v: str) -> str:
+    return f"__m_{v}_dt"
+
+
 def _pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
-    """One triple pattern → a filtered scan projected to its variables."""
+    """One triple pattern → a filtered scan projected to its variables.
+
+    Each variable also carries two hidden companion columns
+    (``__m_<v>_iri``, ``__m_<v>_dt``): the binding's IRI-ness and datatype.
+    Subject/predicate bindings are IRIs by RDF definition; object bindings
+    copy the triple's ``obj_is_iri``/``obj_dtype``.  CONSTRUCT templates and
+    ``isIRI()`` read these instead of guessing from the lexical shape."""
     df = triples
     out_cols: list[Column] = []
     bound: set[str] = set()
@@ -471,6 +514,12 @@ def _pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
             else:
                 seen[term.value] = col
                 out_cols.append(F.col(col).alias(term.value))
+                if col == "obj_value":
+                    out_cols.append(F.col("obj_is_iri").alias(_m_iri(term.value)))
+                    out_cols.append(F.col("obj_dtype").alias(_m_dt(term.value)))
+                else:
+                    out_cols.append(F.lit(True).alias(_m_iri(term.value)))
+                    out_cols.append(F.lit("iri").alias(_m_dt(term.value)))
                 bound.add(term.value)
         elif term.kind == "iri":
             df = df.filter(F.col(col) == term.value)
@@ -499,11 +548,15 @@ def _union_df(triples: DataFrame, alts: list) -> tuple[DataFrame, set]:
         adf, avars = _join_group(triples, alt)
         dfs.append((adf, avars))
         all_vars |= avars
-    cols = sorted(all_vars)
+    sel_cols = []
+    for v in sorted(all_vars):
+        sel_cols.append((v, "string"))
+        sel_cols.append((_m_iri(v), "boolean"))
+        sel_cols.append((_m_dt(v), "string"))
     padded = [
         adf.select(*[
-            F.col(v) if v in avars else F.lit(None).cast("string").alias(v)
-            for v in cols
+            F.col(c) if c in adf.columns else F.lit(None).cast(t).alias(c)
+            for c, t in sel_cols
         ])
         for adf, avars in dfs
     ]
@@ -514,9 +567,17 @@ def _union_df(triples: DataFrame, alts: list) -> tuple[DataFrame, set]:
 
 
 def _values_df(spark, vars_: list, rows: list) -> DataFrame:
-    return spark.createDataFrame(
+    """Inline data; bindings carry literal-string companions (VALUES terms
+    that are IRIs still join fine — companions matter only in CONSTRUCT
+    object slots and isIRI())."""
+    df = spark.createDataFrame(
         [tuple(r) for r in rows], schema=", ".join(f"{v} string" for v in vars_)
     )
+    for v in vars_:
+        df = df.withColumn(_m_iri(v), F.lit(False)).withColumn(
+            _m_dt(v), F.lit("string")
+        )
+    return df
 
 
 def _merge(acc, bound, pdf, pvars, how: str = "inner"):
@@ -524,7 +585,10 @@ def _merge(acc, bound, pdf, pvars, how: str = "inner"):
         return pdf, set(pvars)
     shared = sorted(bound & pvars)
     if shared:
-        acc = acc.join(pdf, on=shared, how=how)
+        # the left side already carries the shared vars' companions
+        dup = [c for v in shared for c in (_m_iri(v), _m_dt(v))
+               if c in pdf.columns]
+        acc = acc.join(pdf.drop(*dup), on=shared, how=how)
     elif how == "inner":
         acc = acc.crossJoin(pdf)
     else:
@@ -550,7 +614,7 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
         odf, ovars = _join_group(triples, og)
         acc, bound = _merge(acc, bound, odf, ovars, how="left")
     for fexpr in g.filters:
-        acc = acc.filter(_compile_expr(fexpr, bound))
+        acc = acc.filter(_compile_expr(fexpr, bound, set(acc.columns)))
     return acc, bound
 
 
@@ -567,23 +631,23 @@ def _compile_term(t: Term, bound: set, numeric: bool = False):
     return F.lit(t.value)
 
 
-def _compile_expr(node, bound: set) -> Column:
+def _compile_expr(node, bound: set, meta: set = frozenset()) -> Column:
     op = node[0]
     if op == "or":
-        return _compile_expr(node[1], bound) | _compile_expr(node[2], bound)
+        return _compile_expr(node[1], bound, meta) | _compile_expr(node[2], bound, meta)
     if op == "and":
-        return _compile_expr(node[1], bound) & _compile_expr(node[2], bound)
+        return _compile_expr(node[1], bound, meta) & _compile_expr(node[2], bound, meta)
     if op == "not":
-        return ~_compile_expr(node[1], bound)
+        return ~_compile_expr(node[1], bound, meta)
     if op == "truthy":
-        return _compile_expr(node[1], bound)
+        return _compile_expr(node[1], bound, meta)
     if op == "cmp":
         _, sym, ln, rn = node
         numeric = any(
             n[0] == "term" and n[1].kind == "num" for n in (ln, rn)
         )
-        lc = _compile_operand(ln, bound, numeric)
-        rc = _compile_operand(rn, bound, numeric)
+        lc = _compile_operand(ln, bound, numeric, meta)
+        rc = _compile_operand(rn, bound, numeric, meta)
         return {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
@@ -591,27 +655,35 @@ def _compile_expr(node, bound: set) -> Column:
     if op == "fn":
         _, fn, args = node
         if fn == "regex":
-            v = _compile_operand(args[0], bound, False)
+            v = _compile_operand(args[0], bound, False, meta)
             pat = args[1][1]
             if pat.kind != "str":
                 raise SparqlError("regex() pattern must be a string literal")
             return v.rlike(pat.value)
         if fn == "bound":
-            return _compile_operand(args[0], bound, False).isNotNull()
+            return _compile_operand(args[0], bound, False, meta).isNotNull()
         if fn == "isiri":
-            # bindings are lexical forms; IRI-ness is approximated by shape
-            return _compile_operand(args[0], bound, False).rlike("^[a-z][a-z0-9+.-]*:")
+            t = args[0][1] if args[0][0] == "term" else None
+            if t is not None and t.kind == "var" and _m_iri(t.value) in meta:
+                # the binding's real IRI flag, carried from the scan
+                return F.coalesce(F.col(_m_iri(t.value)), F.lit(False))
+            if t is not None and t.kind == "iri":
+                return F.lit(True)
+            # fallback (e.g. HAVING scope): approximate by lexical shape
+            return _compile_operand(args[0], bound, False, meta).rlike(
+                "^[a-z][a-z0-9+.-]*:"
+            )
         if fn == "str":
-            return _compile_operand(args[0], bound, False).cast("string")
+            return _compile_operand(args[0], bound, False, meta).cast("string")
     if op == "term":
         return _compile_term(node[1], bound)
     raise SparqlError(f"unsupported filter expression {node!r}")
 
 
-def _compile_operand(node, bound: set, numeric: bool) -> Column:
+def _compile_operand(node, bound: set, numeric: bool, meta: set = frozenset()) -> Column:
     if node[0] == "term":
         return _compile_term(node[1], bound, numeric)
-    c = _compile_expr(node, bound)
+    c = _compile_expr(node, bound, meta)
     return c.cast("double") if numeric else c
 
 
@@ -666,6 +738,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     supported subset and the compilation model.
     """
     q = _Parser(query).parse()
+    if q.form != "select":
+        raise SparqlError(
+            f"{q.form.upper()} is evaluated by sparql_{q.form}(), not sparql_select()"
+        )
     acc, bound = _join_group(triples, q.where)
     aggs = [s for s in q.select if isinstance(s, Agg)]
     if aggs or q.group_by:
@@ -688,3 +764,80 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def sparql_ask(triples: DataFrame, query: str) -> bool:
+    """Evaluate a SPARQL ASK query: does the pattern have any solution?
+
+    Compiles the group exactly like SELECT and probes with ``limit(1)`` —
+    Spark stops the scan at the first matching row."""
+    q = _Parser(query).parse()
+    if q.form != "ask":
+        raise SparqlError("sparql_ask() expects an ASK query")
+    acc, _ = _join_group(triples, q.where)
+    return bool(acc.limit(1).count())
+
+
+def _template_term(term: Term, slot: str, bound: set):
+    """One CONSTRUCT template slot → (value, dtype, is_iri) columns."""
+    if term.kind == "var":
+        if term.value not in bound:
+            raise SparqlError(f"CONSTRUCT template uses unbound variable ?{term.value}")
+        return (
+            F.col(term.value),
+            F.col(_m_dt(term.value)),
+            F.coalesce(F.col(_m_iri(term.value)), F.lit(False)),
+        )
+    if term.kind == "iri":
+        return F.lit(term.value), F.lit("iri"), F.lit(True)
+    if slot != "obj":
+        raise SparqlError(f"literal is not a valid {slot} in a CONSTRUCT template")
+    if term.kind == "num":
+        dt = "xsd:integer" if re.fullmatch(r"[+-]?\d+", term.value) else "xsd:decimal"
+        return F.lit(term.value), F.lit(dt), F.lit(False)
+    if term.kind == "bool":
+        return F.lit(term.value), F.lit("xsd:boolean"), F.lit(False)
+    return F.lit(term.value), F.lit("string"), F.lit(False)
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate a SPARQL CONSTRUCT query → a canonical triple DataFrame
+    (``subj, pred, obj_value, obj_dtype, obj_is_iri``).
+
+    Each template pattern projects the solution set into one triple family
+    (same columns, narrow select) and the families union; ``distinct()``
+    gives CONSTRUCT's graph-set semantics, exactly how this repo's own KG
+    pipeline materializes its triple families.  Rows where any slot is
+    unbound (an OPTIONAL variable) emit no triple, per the SPARQL spec.
+    Subject/predicate slots must be IRIs or variables; a variable there
+    emits whatever it is bound to (this engine does not re-check IRI-ness
+    of subject bindings — bindings from subject/predicate positions are
+    IRIs by construction)."""
+    q = _Parser(query).parse()
+    if q.form != "construct":
+        raise SparqlError("sparql_construct() expects a CONSTRUCT query")
+    acc, bound = _join_group(triples, q.where)
+    if q.limit is not None:
+        acc = acc.limit(q.limit)
+    fams = []
+    for pat in q.template.patterns:
+        sv, _, _ = _template_term(pat.s, "subject", bound)
+        pv, _, _ = _template_term(pat.p, "predicate", bound)
+        ov, od, oi = _template_term(pat.o, "obj", bound)
+        fams.append(
+            acc.select(
+                sv.cast("string").alias("subj"),
+                pv.cast("string").alias("pred"),
+                ov.cast("string").alias("obj_value"),
+                od.cast("string").alias("obj_dtype"),
+                oi.cast("boolean").alias("obj_is_iri"),
+            ).filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj_value").isNotNull()
+            )
+        )
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.unionByName(f)
+    return out.distinct()

@@ -270,3 +270,69 @@ def test_aggregate_matches_handwritten_plan(graph):
     want = (tdf.join(ndf, "s").groupBy("t").agg(F.min("n").alias("first"))
             .orderBy("t").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ask(graph):
+    from kgforge.sparql import sparql_ask
+    assert sparql_ask(graph, f"""
+        PREFIX ex: <{EX}>
+        ASK {{ ?s ex:age ?a . FILTER (?a > 40) }}
+    """) is True
+    assert sparql_ask(graph, f"""
+        PREFIX ex: <{EX}>
+        ASK {{ ?s ex:age ?a . FILTER (?a > 99) }}
+    """) is False
+
+
+def test_construct_carries_binding_metadata(graph):
+    from kgforge.sparql import sparql_construct
+    out = sparql_construct(graph, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{
+          ?s ex:label ?n .
+          ?s a ex:Named .
+        }} WHERE {{ ?s ex:name ?n . }}
+    """)
+    assert out.columns == ["subj", "pred", "obj_value", "obj_dtype", "obj_is_iri"]
+    collected = out.collect()
+    assert len(collected) == 6  # 3 labels + 3 type triples
+    rows = {(r["pred"], r["obj_value"]): r for r in collected}
+    lbl = rows[(EX + "label", "Ada")]
+    # the literal-ness and datatype of the source binding are preserved
+    assert lbl["obj_is_iri"] is False and lbl["obj_dtype"] == "string"
+    typ = rows[("http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Named")]
+    assert typ["obj_is_iri"] is True and typ["obj_dtype"] == "iri"
+
+
+def test_construct_optional_unbound_emits_no_triple(graph):
+    from kgforge.sparql import sparql_construct
+    out = sparql_construct(graph, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?s ex:hasAge ?a . }} WHERE {{
+          ?s ex:name ?n .
+          OPTIONAL {{ ?s ex:age ?a }}
+        }}
+    """).collect()
+    assert sorted(r["subj"] for r in out) == [EX + "p1", EX + "p2"]
+
+
+def test_construct_composes_with_select(graph):
+    from kgforge.sparql import sparql_construct
+    derived = sparql_construct(graph, f"""
+        PREFIX ex: <{EX}>
+        CONSTRUCT {{ ?o ex:knownBy ?s . }} WHERE {{ ?s ex:knows ?o . }}
+    """)
+    out = sparql_select(derived, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?who WHERE {{ <{EX}p2> ex:knownBy ?who . }}
+    """).collect()
+    assert [r["who"] for r in out] == [EX + "p1"]
+
+
+def test_isiri_uses_real_flag_not_shape(graph):
+    # p3's homepage literal LOOKS like an IRI; the real flag says it is not
+    out2 = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{ ?s ex:homepage ?o . FILTER (!isIRI(?o)) }}
+    """).collect()
+    assert [(r["s"], r["o"]) for r in out2] == [(EX + "p3", EX + "p2")]
