@@ -18,6 +18,12 @@ the common exploratory forms):
 - ``WHERE { … }`` with:
   - basic graph patterns, ``.``-separated, with ``;`` predicate-object
     lists and ``,`` object lists; ``a`` sugar for rdf:type
+  - property paths over constant predicates: ``^p`` (inverse), ``p1/p2``
+    (sequence), ``p1|p2`` (alternation), ``p+``/``p*`` (transitive
+    closure — a semi-naive iterated-DataFrame fixpoint, rounds bounded by
+    the path diameter; ``*`` adds the spec's zero-length identity over the
+    graph's terms), with parentheses — the ``rdf:rest*/rdf:first`` idiom
+    the reference's attributeOrder closure walks
   - ``OPTIONAL { … }`` groups (compiled to left joins)
   - ``{ … } UNION { … }`` alternatives (compiled to ``unionByName`` with
     null-padding for variables bound on one side only)
@@ -85,7 +91,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<KEYWORD>[A-Za-z][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|&&|\|\||[=<>!{}().;,*])
+  | (?P<OP><=|>=|!=|&&|\|\||[=<>!{}().;,*+/^|])
     """,
     re.VERBOSE,
 )
@@ -115,9 +121,19 @@ class Term:
 
 
 @dataclass
+class Path:
+    """Property-path expression over constant predicates.
+
+    op ∈ {"iri", "inv", "seq", "alt", "plus", "star"}; args are child
+    Paths ("iri" carries the IRI string instead)."""
+    op: str
+    args: list
+
+
+@dataclass
 class Pattern:
     s: Term
-    p: Term
+    p: Term | Path
     o: Term
 
 
@@ -223,6 +239,8 @@ class _Parser:
             if template.optionals or template.filters or template.unions \
                     or template.values:
                 raise SparqlError("CONSTRUCT template must be plain triples")
+            if any(isinstance(p.p, Path) for p in template.patterns):
+                raise SparqlError("property paths are not valid in a CONSTRUCT template")
             if not template.patterns:
                 raise SparqlError("empty CONSTRUCT template")
             if not self.kw("WHERE"):
@@ -364,7 +382,7 @@ class _Parser:
             # triple pattern with ; and , lists
             s = self.term()
             while True:
-                p = self.term()
+                p = self.path()
                 while True:
                     o = self.term()
                     g.patterns.append(Pattern(s, p, o))
@@ -380,6 +398,53 @@ class _Parser:
                 break
             if self.peek()[1] == ".":
                 self.next()
+
+    # -- property paths: alt → seq → step → primary --
+    def path(self) -> Term | Path:
+        """Predicate position: a variable, a plain IRI, or a property path
+        (``^p``, ``p1/p2``, ``p1|p2``, ``p+``, ``p*``, parentheses)."""
+        if self.peek()[0] == "VAR":
+            return self.term()  # a var predicate admits no path operators
+        node = self._path_seq()
+        while self.peek()[1] == "|":
+            self.next()
+            node = Path("alt", [node, self._path_seq()])
+        if isinstance(node, Path) and node.op == "iri":
+            return Term("iri", node.args[0])  # plain predicate fast path
+        return node
+
+    def _path_seq(self) -> Path:
+        node = self._path_step()
+        while self.peek()[1] == "/":
+            self.next()
+            node = Path("seq", [node, self._path_step()])
+        return node
+
+    def _path_step(self) -> Path:
+        inv = False
+        if self.peek()[1] == "^":
+            self.next()
+            inv = True
+        if self.peek()[1] == "(":
+            self.next()
+            node = self.path()
+            if isinstance(node, Term):
+                if node.kind != "iri":
+                    raise SparqlError("variables cannot appear inside a path")
+                node = Path("iri", [node.value])
+            self.expect(")")
+        else:
+            t = self.term()
+            if t.kind != "iri":
+                raise SparqlError(f"property path expects an IRI, got {t!r}")
+            node = Path("iri", [t.value])
+        if inv:
+            node = Path("inv", [node])
+        nxt = self.peek()[1]
+        if nxt in ("+", "*"):
+            self.next()
+            node = Path("plus" if nxt == "+" else "star", [node])
+        return node
 
     def values_block(self) -> tuple[list[str], list[list]]:
         """``VALUES ?v { t … }`` or ``VALUES (?a ?b) { (t t) … }``."""
@@ -494,6 +559,130 @@ def _m_dt(v: str) -> str:
     return f"__m_{v}_dt"
 
 
+_REL_COLS = ["_ps", "_ps_iri", "_ps_dt", "_po", "_po_iri", "_po_dt"]
+
+
+def _path_rel(triples: DataFrame, path: Path, max_iter: int = 64) -> DataFrame:
+    """Compile a property path to its binary relation: columns ``_ps … _po``
+    with the endpoints' IRI-ness/datatype companions.
+
+    ``seq``/``alt``/``inv`` are joins/unions/column swaps.  ``plus``/``star``
+    run a semi-naive transitive-closure loop — per round one equi-join of the
+    frontier against the base edges, a distinct, and an anti-join against
+    what's already reached; rounds are bounded by the path's diameter, and
+    each round ``localCheckpoint``s to keep the plan flat (the same shape as
+    ``kgforge/kg/components.py``'s hash-min loop).  ``star`` adds zero-length
+    paths: per the SPARQL spec those connect every term IN THE GRAPH to
+    itself, so the identity relation is built from the graph's subjects and
+    objects."""
+    if path.op == "iri":
+        return triples.filter(F.col("pred") == path.args[0]).select(
+            F.col("subj").alias("_ps"),
+            F.lit(True).alias("_ps_iri"),
+            F.lit("iri").alias("_ps_dt"),
+            F.col("obj_value").alias("_po"),
+            F.col("obj_is_iri").alias("_po_iri"),
+            F.col("obj_dtype").alias("_po_dt"),
+        )
+    if path.op == "inv":
+        r = _path_rel(triples, path.args[0], max_iter)
+        return r.select(
+            F.col("_po").alias("_ps"), F.col("_po_iri").alias("_ps_iri"),
+            F.col("_po_dt").alias("_ps_dt"), F.col("_ps").alias("_po"),
+            F.col("_ps_iri").alias("_po_iri"), F.col("_ps_dt").alias("_po_dt"),
+        )
+    if path.op == "seq":
+        r1 = _path_rel(triples, path.args[0], max_iter)
+        r2 = _path_rel(triples, path.args[1], max_iter).select(
+            *[F.col(c).alias(f"{c}__r") for c in _REL_COLS]
+        )
+        return r1.join(r2, F.col("_po") == F.col("_ps__r")).select(
+            "_ps", "_ps_iri", "_ps_dt",
+            F.col("_po__r").alias("_po"), F.col("_po_iri__r").alias("_po_iri"),
+            F.col("_po_dt__r").alias("_po_dt"),
+        )
+    if path.op == "alt":
+        r1 = _path_rel(triples, path.args[0], max_iter)
+        return r1.unionByName(_path_rel(triples, path.args[1], max_iter)).distinct()
+    if path.op in ("plus", "star"):
+        base = _path_rel(triples, path.args[0], max_iter).distinct()
+        step = base.select(*[F.col(c).alias(f"{c}__r") for c in _REL_COLS])
+        reach = base.localCheckpoint(eager=True)
+        frontier = reach
+        for _ in range(max_iter):
+            nxt = (
+                frontier.join(step, F.col("_po") == F.col("_ps__r"))
+                .select(
+                    "_ps", "_ps_iri", "_ps_dt",
+                    F.col("_po__r").alias("_po"),
+                    F.col("_po_iri__r").alias("_po_iri"),
+                    F.col("_po_dt__r").alias("_po_dt"),
+                )
+                .distinct()
+                .join(reach, ["_ps", "_po"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not nxt.limit(1).count():
+                break
+            frontier = nxt
+            reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        else:
+            raise SparqlError(
+                f"property path closure did not converge in {max_iter} rounds"
+            )
+        if path.op == "plus":
+            return reach
+        terms = triples.select(
+            F.col("subj").alias("_t"), F.lit(True).alias("_t_iri"),
+            F.lit("iri").alias("_t_dt"),
+        ).unionByName(
+            triples.select(
+                F.col("obj_value").alias("_t"),
+                F.col("obj_is_iri").alias("_t_iri"),
+                F.col("obj_dtype").alias("_t_dt"),
+            )
+        ).distinct()
+        ident = terms.select(
+            F.col("_t").alias("_ps"), F.col("_t_iri").alias("_ps_iri"),
+            F.col("_t_dt").alias("_ps_dt"), F.col("_t").alias("_po"),
+            F.col("_t_iri").alias("_po_iri"), F.col("_t_dt").alias("_po_dt"),
+        )
+        return reach.unionByName(ident).distinct()
+    raise SparqlError(f"unsupported path operator {path.op!r}")
+
+
+def _path_pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
+    """A triple pattern whose predicate is a property path: endpoints bind
+    against the path's compiled relation (either endpoint may be a literal —
+    an inverse path puts the original object on the left)."""
+    df = _path_rel(triples, pat.p)
+    out_cols: list[Column] = []
+    bound: set[str] = set()
+    seen: dict[str, str] = {}
+    for (vcol, icol, dcol), term in (
+        (("_ps", "_ps_iri", "_ps_dt"), pat.s),
+        (("_po", "_po_iri", "_po_dt"), pat.o),
+    ):
+        if term.kind == "var":
+            if term.value in seen:
+                df = df.filter(F.col(vcol) == F.col(seen[term.value]))
+            else:
+                seen[term.value] = vcol
+                out_cols.append(F.col(vcol).alias(term.value))
+                out_cols.append(F.col(icol).alias(_m_iri(term.value)))
+                out_cols.append(F.col(dcol).alias(_m_dt(term.value)))
+                bound.add(term.value)
+        elif term.kind == "iri":
+            df = df.filter((F.col(vcol) == term.value) & F.col(icol))
+        elif term.kind in ("str", "bool"):
+            df = df.filter((F.col(vcol) == term.value) & (~F.col(icol)))
+        elif term.kind == "num":
+            df = df.filter(
+                F.expr(f"try_cast({vcol} AS DOUBLE)") == float(term.value)
+            )
+    return df.select(*out_cols), bound
+
+
 def _pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
     """One triple pattern → a filtered scan projected to its variables.
 
@@ -502,6 +691,8 @@ def _pattern_df(triples: DataFrame, pat: Pattern) -> tuple[DataFrame, set]:
     Subject/predicate bindings are IRIs by RDF definition; object bindings
     copy the triple's ``obj_is_iri``/``obj_dtype``.  CONSTRUCT templates and
     ``isIRI()`` read these instead of guessing from the lexical shape."""
+    if isinstance(pat.p, Path):
+        return _path_pattern_df(triples, pat)
     df = triples
     out_cols: list[Column] = []
     bound: set[str] = set()

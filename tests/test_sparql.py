@@ -336,3 +336,107 @@ def test_isiri_uses_real_flag_not_shape(graph):
         SELECT ?s ?o WHERE {{ ?s ex:homepage ?o . FILTER (!isIRI(?o)) }}
     """).collect()
     assert [(r["s"], r["o"]) for r in out2] == [(EX + "p3", EX + "p2")]
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """a→b→c→d 'next' chain plus an rdf:rest/rdf:first linked list."""
+    from kgforge.triples import triples_df
+    rows = [
+        (EX + "a", EX + "next", EX + "b", "iri", True),
+        (EX + "b", EX + "next", EX + "c", "iri", True),
+        (EX + "c", EX + "next", EX + "d", "iri", True),
+        # cyclic ring to prove the closure terminates on cycles
+        (EX + "r1", EX + "loop", EX + "r2", "iri", True),
+        (EX + "r2", EX + "loop", EX + "r1", "iri", True),
+        # cons-list: l1 -first-> "one", -rest-> l2 ... (the reference's
+        # attributeOrder shape, reference data/OntologyService walk)
+        (EX + "l1", EX + "first", "one", "string", False),
+        (EX + "l1", EX + "rest", EX + "l2", "iri", True),
+        (EX + "l2", EX + "first", "two", "string", False),
+        (EX + "l2", EX + "rest", EX + "l3", "iri", True),
+        (EX + "l3", EX + "first", "three", "string", False),
+    ]
+    return triples_df(spark, rows).persist()
+
+
+def test_path_inverse(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?o ?s WHERE {{ ?o ^ex:knows ?s . }}
+    """).collect()
+    assert [(r["o"], r["s"]) for r in out] == [(EX + "p2", EX + "p1")]
+
+
+def test_path_sequence(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?s ex:knows/ex:name ?n . }}
+    """).collect()
+    assert [r["n"] for r in out] == ["Grace"]
+
+
+def test_path_alternation(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?v WHERE {{ <{EX}p1> (ex:name|ex:age) ?v . }} ORDER BY ?v
+    """).collect()
+    assert [r["v"] for r in out] == ["36", "Ada"]
+
+
+def test_path_plus(chain):
+    out = sparql_select(chain, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}a> ex:next+ ?x . }} ORDER BY ?x
+    """).collect()
+    assert [r["x"] for r in out] == [EX + "b", EX + "c", EX + "d"]
+
+
+def test_path_plus_terminates_on_cycle(chain):
+    out = sparql_select(chain, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}r1> ex:loop+ ?x . }} ORDER BY ?x
+    """).collect()
+    assert [r["x"] for r in out] == [EX + "r1", EX + "r2"]
+
+
+def test_path_star_includes_zero_length(chain):
+    out = sparql_select(chain, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?x WHERE {{ <{EX}b> ex:next* ?x . }} ORDER BY ?x
+    """).collect()
+    assert [r["x"] for r in out] == [EX + "b", EX + "c", EX + "d"]
+
+
+def test_path_rest_star_first_list_walk(chain):
+    # the cons-list idiom: every item reachable from the list head
+    out = sparql_select(chain, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?item WHERE {{ <{EX}l1> ex:rest*/ex:first ?item . }} ORDER BY ?item
+    """).collect()
+    assert [r["item"] for r in out] == ["one", "three", "two"]
+
+
+def test_path_joins_with_patterns_and_metadata(chain, graph):
+    # path endpoint joins a plain pattern; companions flow (isIRI works)
+    out = sparql_select(chain, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?cell ?item WHERE {{
+          <{EX}l1> ex:rest+ ?cell .
+          ?cell ex:first ?item .
+          FILTER (!isIRI(?item))
+        }} ORDER BY ?item
+    """).collect()
+    assert [(r["cell"], r["item"]) for r in out] == [
+        (EX + "l3", "three"), (EX + "l2", "two")]
+
+
+def test_path_errors(graph):
+    with pytest.raises(SparqlError):
+        sparql_select(graph, "SELECT ?s WHERE { ?s ?p+ ?o }")
+    from kgforge.sparql import sparql_construct
+    with pytest.raises(SparqlError):
+        sparql_construct(graph, f"""
+            PREFIX ex: <{EX}>
+            CONSTRUCT {{ ?s ex:a/ex:b ?o }} WHERE {{ ?s ex:name ?o }}
+        """)
