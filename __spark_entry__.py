@@ -2283,6 +2283,39 @@ def _sparql_construct_kg(spark, sf_dir):
     return out.orderBy("subj", "pred", "obj_value")
 
 
+def _sparql_path(spark, sf_dir):
+    """SPARQL property-path transitive closure (``ex:reportsTo+``) over a
+    synthesized reporting chain: every customer reports to ``custkey div 2``
+    (a binary tree, so the semi-naive closure loop in
+    ``kgforge.sparql._path_rel`` converges in O(log n) frontier rounds —
+    each round one equi-join + anti-join, no pair blow-up).  Per-employee
+    ancestor counts, oracle-mirrored by a DuckDB recursive CTE."""
+    from kgforge.sparql import sparql_select
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    triples = cust.filter(F.col("c_custkey") >= 2).select(
+        F.concat(
+            F.lit("http://ex.org/c"), F.col("c_custkey").cast("string")
+        ).alias("subj"),
+        F.lit("http://ex.org/reportsTo").alias("pred"),
+        F.concat(
+            F.lit("http://ex.org/c"),
+            F.expr("CAST(c_custkey AS BIGINT) div 2").cast("string"),
+        ).alias("obj_value"),
+        F.lit("iri").alias("obj_dtype"),
+        F.lit(True).alias("obj_is_iri"),
+    )
+    out = sparql_select(triples, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a (COUNT(?b) AS ?n) WHERE {
+          ?a ex:reportsTo+ ?b .
+        } GROUP BY ?a ORDER BY ?a
+    """)
+    return out.select(
+        F.col("a").alias("emp"), F.col("n").cast("bigint").alias("n_ancestors")
+    )
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2828,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_kg": _sparql_kg,
         "sparql_agg": _sparql_agg,
         "sparql_construct_kg": _sparql_construct_kg,
+        "sparql_path": _sparql_path,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4318,6 +4352,19 @@ def oracle_sql() -> dict[str, str]:
                  'http://ex.org/PopularEntity' AS obj_value,
                  'iri' AS obj_dtype, TRUE AS obj_is_iri FROM pop
         ) ORDER BY subj, pred, obj_value
+        """,
+        "sparql_path": """
+        WITH RECURSIVE edges AS (
+          SELECT 'http://ex.org/c' || CAST(c_custkey AS VARCHAR) AS a,
+                 'http://ex.org/c' || CAST(c_custkey // 2 AS VARCHAR) AS b
+          FROM customer WHERE c_custkey >= 2
+        ), reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS emp, CAST(COUNT(b) AS BIGINT) AS n_ancestors
+        FROM reach GROUP BY a ORDER BY emp
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
