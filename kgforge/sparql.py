@@ -27,6 +27,16 @@ the common exploratory forms):
   - ``OPTIONAL { … }`` groups (compiled to left joins)
   - ``{ … } UNION { … }`` alternatives (compiled to ``unionByName`` with
     null-padding for variables bound on one side only)
+  - negation: ``MINUS { … }`` and ``FILTER NOT EXISTS { … }`` compile to
+    LEFT ANTI joins on the shared variables, ``FILTER EXISTS { … }`` to a
+    LEFT SEMI join — the Spark-native forms (no row multiplication, AQE
+    broadcasts the probe side when small).  Spec divergences kept: with NO
+    shared variables MINUS removes nothing while (NOT) EXISTS tests the
+    inner group's mere non-emptiness, both per spec; the inner group is
+    compiled standalone, so correlated FILTERs that reference *outer*
+    variables are not supported, and rows whose shared variable is unbound
+    (from OPTIONAL) follow anti-join null semantics (kept) rather than the
+    spec's unbound-is-compatible rule
   - ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (…) … }`` inline data
     (``UNDEF`` → null), compiled to a literal DataFrame join — at scale
     this is the broadcast-join idiom for "restrict to this ID list"
@@ -144,6 +154,14 @@ class Group:
     filters: list = field(default_factory=list)    # expr AST tuples
     unions: list = field(default_factory=list)     # list[list[Group]]
     values: list = field(default_factory=list)     # (vars, rows) blocks
+    minuses: list = field(default_factory=list)    # Group (MINUS)
+    exists: list = field(default_factory=list)     # Group (FILTER EXISTS)
+    not_exists: list = field(default_factory=list)  # Group (FILTER NOT EXISTS)
+
+    def is_plain_triples(self) -> bool:
+        return not (self.optionals or self.filters or self.unions
+                    or self.values or self.minuses or self.exists
+                    or self.not_exists)
 
 
 @dataclass
@@ -236,8 +254,7 @@ class _Parser:
             return Query([], False, where, [], [], [], None, form="ask")
         if self.kw("CONSTRUCT"):
             template = self.group()
-            if template.optionals or template.filters or template.unions \
-                    or template.values:
+            if not template.is_plain_triples():
                 raise SparqlError("CONSTRUCT template must be plain triples")
             if any(isinstance(p.p, Path) for p in template.patterns):
                 raise SparqlError("property paths are not valid in a CONSTRUCT template")
@@ -361,8 +378,23 @@ class _Parser:
                 self.next()
                 g.optionals.append(self.group())
                 continue
+            if k == "KEYWORD" and v.upper() == "MINUS":
+                self.next()
+                g.minuses.append(self.group())
+                continue
             if k == "KEYWORD" and v.upper() == "FILTER":
                 self.next()
+                nk, nv = self.peek()
+                if nk == "KEYWORD" and nv.upper() == "EXISTS":
+                    self.next()
+                    g.exists.append(self.group())
+                    continue
+                if nk == "KEYWORD" and nv.upper() == "NOT":
+                    self.next()
+                    if not self.kw("EXISTS"):
+                        raise SparqlError("expected EXISTS after FILTER NOT")
+                    g.not_exists.append(self.group())
+                    continue
                 self.expect("(")
                 g.filters.append(self.expr())
                 self.expect(")")
@@ -804,6 +836,24 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
     for og in g.optionals:
         odf, ovars = _join_group(triples, og)
         acc, bound = _merge(acc, bound, odf, ovars, how="left")
+    for mg in g.minuses:
+        mdf, mvars = _join_group(triples, mg)
+        shared = sorted(bound & mvars)
+        # spec: MINUS with disjoint variable domains removes nothing
+        if shared:
+            acc = acc.join(mdf.select(*shared), on=shared, how="left_anti")
+    for eg, how in [(x, "left_semi") for x in g.exists] + \
+                   [(x, "left_anti") for x in g.not_exists]:
+        edf, evars = _join_group(triples, eg)
+        shared = sorted(bound & evars)
+        if shared:
+            acc = acc.join(edf.select(*shared), on=shared, how=how)
+        else:
+            # no shared variables: (NOT) EXISTS tests mere non-emptiness
+            probe = edf.select(F.lit(1).alias("__k_exists")).limit(1)
+            acc = acc.withColumn("__k_exists", F.lit(1)).join(
+                probe, on="__k_exists", how=how
+            ).drop("__k_exists")
     for fexpr in g.filters:
         acc = acc.filter(_compile_expr(fexpr, bound, set(acc.columns)))
     return acc, bound

@@ -440,3 +440,97 @@ def test_path_errors(graph):
             PREFIX ex: <{EX}>
             CONSTRUCT {{ ?s ex:a/ex:b ?o }} WHERE {{ ?s ex:name ?o }}
         """)
+
+
+def test_not_exists_anti_join(graph):
+    # people (any subject with a name) that have NO age — the q22 shape
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER NOT EXISTS {{ ?s ex:age ?a . }}
+        }} ORDER BY ?n
+    """).collect()
+    assert [r["n"] for r in out] == ["Linus"]
+
+
+def test_exists_semi_join(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER EXISTS {{ ?s ex:age ?a . }}
+        }} ORDER BY ?n
+    """).collect()
+    assert [r["n"] for r in out] == ["Ada", "Grace"]
+
+
+def test_minus_shared_vars(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          MINUS {{ ?s a ex:Robot . }}
+        }} ORDER BY ?n
+    """).collect()
+    assert [r["n"] for r in out] == ["Ada", "Grace"]
+
+
+def test_minus_disjoint_domain_removes_nothing(graph):
+    # spec corner: MINUS group binding only fresh variables is a no-op
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          MINUS {{ ?x ex:age ?y . }}
+        }} ORDER BY ?n
+    """).collect()
+    assert [r["n"] for r in out] == ["Ada", "Grace", "Linus"]
+
+
+def test_not_exists_disjoint_nonempty_removes_all(graph):
+    # spec corner: NOT EXISTS with no shared vars tests mere non-emptiness
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER NOT EXISTS {{ ?x ex:age ?y . }}
+        }}
+    """).collect()
+    assert out == []
+
+
+def test_exists_disjoint_empty_removes_all(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER EXISTS {{ ?x ex:nosuchpred ?y . }}
+        }}
+    """).collect()
+    assert out == []
+
+
+def test_negation_compiles_to_semi_anti_joins(graph):
+    plan = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          FILTER NOT EXISTS {{ ?s ex:age ?a . }}
+          FILTER EXISTS {{ ?s a ex:Robot . }}
+        }}
+    """)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_not_exists_after_optional_and_filter_interplay(graph):
+    # negation composes with OPTIONAL: keep nameless-age rows intact
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?a WHERE {{
+          ?s ex:name ?n .
+          OPTIONAL {{ ?s ex:age ?a . }}
+          FILTER NOT EXISTS {{ ?s ex:homepage ?h . }}
+        }} ORDER BY ?n
+    """).collect()
+    assert [(r["n"], r["a"]) for r in out] == [("Ada", "36"), ("Grace", "41")]
