@@ -2316,6 +2316,43 @@ def _sparql_path(spark, sf_dir):
     )
 
 
+def _sparql_negation(spark, sf_dir):
+    """SPARQL negation through the driver gate: well-funded customers with
+    NO urgent order (``FILTER NOT EXISTS`` over a two-pattern inner group),
+    evaluated over flat-ingested customer+orders triples.  Compiles to one
+    LEFT ANTI join on the shared key variable — the Spark-native negation
+    plan (no row multiplication; AQE broadcasts the probe side)."""
+    from kgforge.ingest import flat_df_to_triples
+    from kgforge.sparql import sparql_select
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    t = flat_df_to_triples(cust, "http://ex.org/c/").unionByName(
+        flat_df_to_triples(orders, "http://ex.org/o/")
+    )
+    out = sparql_select(t, """
+        PREFIX c: <http://ex.org/c/>
+        PREFIX o: <http://ex.org/o/>
+        SELECT ?n ?b WHERE {
+          ?s c:c_custkey ?k .
+          ?s c:c_name ?n .
+          ?s c:c_acctbal ?b .
+          FILTER (?b > 8000)
+          FILTER NOT EXISTS {
+            ?ord o:o_custkey ?k .
+            ?ord o:o_orderpriority "1-URGENT" .
+          }
+        } ORDER BY ?n
+    """)
+    return out.select(
+        F.col("n").alias("name"), F.col("b").cast("double").alias("balance")
+    )
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2862,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg": _sparql_agg,
         "sparql_construct_kg": _sparql_construct_kg,
         "sparql_path": _sparql_path,
+        "sparql_negation": _sparql_negation,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4365,6 +4403,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a AS emp, CAST(COUNT(b) AS BIGINT) AS n_ancestors
         FROM reach GROUP BY a ORDER BY emp
+        """,
+        "sparql_negation": """
+        SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS balance
+        FROM customer
+        WHERE CAST(c_acctbal AS DOUBLE) > 8000
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = customer.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+        ORDER BY name
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
