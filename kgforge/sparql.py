@@ -12,9 +12,22 @@ Supported subset (covers every shape the reference's templates use, plus
 the common exploratory forms):
 
 - ``PREFIX pfx: <iri>`` declarations
-- ``SELECT [DISTINCT] ?a ?b …``, ``SELECT *``, or aggregate projections
+- ``SELECT [DISTINCT] ?a ?b …``, ``SELECT *``, aggregate projections
   ``(COUNT(?v) AS ?alias)`` / ``COUNT(*)`` / ``COUNT(DISTINCT ?v)`` /
-  ``SUM`` / ``AVG`` / ``MIN`` / ``MAX``
+  ``SUM`` / ``AVG`` / ``MIN`` / ``MAX`` /
+  ``GROUP_CONCAT(?v; SEPARATOR="…")`` (operands SORTED before joining so
+  the result is partition-invariant — a documented divergence from Jena's
+  encounter order, which is undefined under distribution), and projected
+  ``(EXISTS { … } AS ?flag)`` (a LEFT join against the inner group's
+  distinct shared variables, flag coalesced to false — lexical
+  ``"true"``/``"false"`` bindings)
+- ``DELETE { … } WHERE { … }`` updates via :func:`sparql_delete` — the
+  template instantiates like CONSTRUCT and the graph is LEFT ANTI joined
+  against it (the reference's delete-originals query runs verbatim)
+- every SPARQL template the reference builds in
+  ``data/QueryBuildingService.java`` parses and runs UNCHANGED after
+  Jena's ``ParameterizedSparqlString`` parameter substitution
+  (``tests/test_sparql_reference_templates.py`` executes all of them)
 - ``WHERE { … }`` with:
   - basic graph patterns, ``.``-separated, with ``;`` predicate-object
     lists and ``,`` object lists; ``a`` sugar for rdf:type
@@ -41,7 +54,11 @@ the common exploratory forms):
     (``UNDEF`` → null), compiled to a literal DataFrame join — at scale
     this is the broadcast-join idiom for "restrict to this ID list"
   - ``FILTER ( expr )`` with ``= != < <= > >= && || !``, ``regex(?v,
-    "pat")``, ``bound(?v)``, ``isIRI(?v)``, ``str(?v)``
+    "pat")``, ``bound(?v)``, ``isIRI(?v)``, ``isLiteral(?v)``, ``str(?v)``
+  - a group of only OPTIONALs extends the spec's unit solution (one empty
+    mapping), and an OPTIONAL sharing no variables is a true left join —
+    the left row survives an empty inner group (both shapes appear in the
+    reference's KPI-data template)
 - ``GROUP BY ?a ?b`` + ``HAVING ( expr )`` (expr over aliases/keys)
 - ``ORDER BY [ASC|DESC](?v) …`` and ``LIMIT n``
 
@@ -166,9 +183,20 @@ class Group:
 
 @dataclass
 class Agg:
-    fn: str            # count | sum | avg | min | max
+    fn: str            # count | sum | avg | min | max | group_concat
     arg: str | None    # variable name, or None for COUNT(*)
     distinct: bool
+    alias: str
+    sep: str = " "     # GROUP_CONCAT separator (spec default: single space)
+
+
+@dataclass
+class ExistsProj:
+    """``(EXISTS { … } AS ?alias)`` in a SELECT projection — evaluated as a
+    LEFT join of the solutions against the inner group's distinct shared
+    variables, flag coalesced to false (the Spark-native correlated-EXISTS
+    plan; with no shared variables it degrades to a non-emptiness probe)."""
+    group: Group
     alias: str
 
 
@@ -274,8 +302,26 @@ class _Parser:
                 raise SparqlError(f"trailing input at {v!r}")
             return Query([], False, where, [], [], [], limit,
                          form="construct", template=template)
+        if self.kw("DELETE"):
+            template = self.group()
+            if not template.is_plain_triples():
+                raise SparqlError("DELETE template must be plain triples")
+            if any(isinstance(p.p, Path) for p in template.patterns):
+                raise SparqlError("property paths are not valid in a DELETE template")
+            if not template.patterns:
+                raise SparqlError("empty DELETE template")
+            if not self.kw("WHERE"):
+                raise SparqlError("DELETE needs a WHERE clause")
+            where = self.group()
+            k, v = self.next()
+            if k != "EOF":
+                raise SparqlError(f"trailing input at {v!r}")
+            return Query([], False, where, [], [], [], None,
+                         form="delete", template=template)
         if not self.kw("SELECT"):
-            raise SparqlError("only SELECT/ASK/CONSTRUCT queries are supported")
+            raise SparqlError(
+                "only SELECT/ASK/CONSTRUCT/DELETE queries are supported"
+            )
         distinct = self.kw("DISTINCT")
         select: list = []
         while True:
@@ -284,7 +330,19 @@ class _Parser:
                 select.append(self.next()[1][1:])
             elif v == "(":
                 self.next()
-                select.append(self.agg_item())
+                nk, nv = self.peek()
+                if nk == "KEYWORD" and nv.upper() == "EXISTS":
+                    self.next()
+                    eg = self.group()
+                    if not self.kw("AS"):
+                        raise SparqlError("EXISTS projection needs AS ?alias")
+                    a = self.term()
+                    if a.kind != "var":
+                        raise SparqlError("AS expects a variable")
+                    self.expect(")")
+                    select.append(ExistsProj(eg, a.value))
+                else:
+                    select.append(self.agg_item())
             elif v == "*":
                 self.next()
                 select = ["*"]
@@ -339,10 +397,13 @@ class _Parser:
         return Query(select, distinct, where, group_by, having, order_by, limit)
 
     def agg_item(self) -> Agg:
-        """``AGG([DISTINCT] ?v | *) AS ?alias`` — the '(' is consumed."""
+        """``AGG([DISTINCT] ?v | *) AS ?alias`` — the '(' is consumed.
+        ``GROUP_CONCAT`` additionally accepts ``; SEPARATOR="…"``."""
         k, v = self.next()
         fn = v.lower()
-        if k != "KEYWORD" or fn not in ("count", "sum", "avg", "min", "max"):
+        if k != "KEYWORD" or fn not in (
+            "count", "sum", "avg", "min", "max", "group_concat"
+        ):
             raise SparqlError(f"expected aggregate function, got {v!r}")
         self.expect("(")
         distinct = self.kw("DISTINCT")
@@ -357,6 +418,18 @@ class _Parser:
             if t.kind != "var":
                 raise SparqlError("aggregate argument must be a variable")
             arg = t.value
+        sep = " "
+        if self.peek()[1] == ";":
+            if fn != "group_concat":
+                raise SparqlError("only GROUP_CONCAT takes a SEPARATOR")
+            self.next()
+            if not self.kw("SEPARATOR"):
+                raise SparqlError("expected SEPARATOR after ';'")
+            self.expect("=")
+            sk, sv = self.next()
+            if sk != "STRING":
+                raise SparqlError("SEPARATOR expects a string literal")
+            sep = _unescape(sv[1:-1])
         self.expect(")")
         if not self.kw("AS"):
             raise SparqlError("aggregate projection needs AS ?alias")
@@ -364,7 +437,7 @@ class _Parser:
         if a.kind != "var":
             raise SparqlError("AS expects a variable")
         self.expect(")")
-        return Agg(fn, arg, distinct, a.value)
+        return Agg(fn, arg, distinct, a.value, sep)
 
     def group(self) -> Group:
         self.expect("{")
@@ -556,7 +629,9 @@ class _Parser:
 
     def primary(self):
         k, v = self.peek()
-        if k == "KEYWORD" and v.lower() in ("regex", "bound", "isiri", "str"):
+        if k == "KEYWORD" and v.lower() in (
+            "regex", "bound", "isiri", "isliteral", "str"
+        ):
             fn = self.next()[1].lower()
             self.expect("(")
             args = [self.expr() if fn == "str" else ("term", self.term())]
@@ -815,7 +890,9 @@ def _merge(acc, bound, pdf, pvars, how: str = "inner"):
     elif how == "inner":
         acc = acc.crossJoin(pdf)
     else:
-        raise SparqlError("OPTIONAL group shares no variables")
+        # SPARQL leftjoin with no shared variables: cross product, but the
+        # left row survives when the inner group is empty
+        acc = acc.join(pdf, F.lit(True), how="left")
     return acc, bound | pvars
 
 
@@ -832,7 +909,13 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
         vdf = _values_df(triples.sparkSession, vars_, rows)
         acc, bound = _merge(acc, bound, vdf, set(vars_))
     if acc is None:
-        raise SparqlError("empty graph pattern")
+        if not (g.optionals or g.exists or g.not_exists):
+            raise SparqlError("empty graph pattern")
+        # the spec's unit solution: a group of only OPTIONALs/negation
+        # extends one empty mapping (the reference's KPI-data query shape)
+        acc = triples.sparkSession.range(1).select(
+            F.lit(True).alias("__unit")
+        )
     for og in g.optionals:
         odf, ovars = _join_group(triples, og)
         acc, bound = _merge(acc, bound, odf, ovars, how="left")
@@ -903,17 +986,23 @@ def _compile_expr(node, bound: set, meta: set = frozenset()) -> Column:
             return v.rlike(pat.value)
         if fn == "bound":
             return _compile_operand(args[0], bound, False, meta).isNotNull()
-        if fn == "isiri":
+        if fn in ("isiri", "isliteral"):
             t = args[0][1] if args[0][0] == "term" else None
             if t is not None and t.kind == "var" and _m_iri(t.value) in meta:
-                # the binding's real IRI flag, carried from the scan
-                return F.coalesce(F.col(_m_iri(t.value)), F.lit(False))
+                # the binding's real IRI flag, carried from the scan;
+                # unbound (null) is neither an IRI nor a literal
+                flag = F.col(_m_iri(t.value))
+                c = flag if fn == "isiri" else ~flag
+                return F.coalesce(c, F.lit(False))
             if t is not None and t.kind == "iri":
-                return F.lit(True)
+                return F.lit(fn == "isiri")
+            if t is not None and t.kind in ("str", "num", "bool"):
+                return F.lit(fn == "isliteral")
             # fallback (e.g. HAVING scope): approximate by lexical shape
-            return _compile_operand(args[0], bound, False, meta).rlike(
+            shaped = _compile_operand(args[0], bound, False, meta).rlike(
                 "^[a-z][a-z0-9+.-]*:"
             )
+            return shaped if fn == "isiri" else ~shaped
         if fn == "str":
             return _compile_operand(args[0], bound, False, meta).cast("string")
     if op == "term":
@@ -956,6 +1045,14 @@ def _aggregate(acc: DataFrame, bound: set, q: Query) -> DataFrame:
                 col = F.expr(f"try_cast({a.arg} AS DOUBLE)")
             if a.fn == "count":
                 c = F.countDistinct(col) if a.distinct else F.count(col)
+            elif a.fn == "group_concat":
+                # Jena concatenates in encounter order, which is not a
+                # well-defined order under distribution; sort the operands
+                # so the result is partition-invariant (documented
+                # divergence — the reference's consumer splits and counts,
+                # so order never matters to it)
+                lst = F.collect_set(col) if a.distinct else F.collect_list(col)
+                c = F.array_join(F.array_sort(lst), a.sep)
             elif a.distinct and a.fn in ("sum", "avg"):
                 # SPARQL set semantics: dedup the numeric operand first
                 c = F.expr(f"{a.fn}(DISTINCT try_cast({a.arg} AS DOUBLE))")
@@ -985,6 +1082,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         )
     acc, bound = _join_group(triples, q.where)
     aggs = [s for s in q.select if isinstance(s, Agg)]
+    eprojs = [s for s in q.select if isinstance(s, ExistsProj)]
+    if eprojs and (aggs or q.group_by):
+        raise SparqlError("EXISTS projections cannot mix with aggregates")
+    for ep in eprojs:
+        edf, evars = _join_group(triples, ep.group)
+        shared = sorted(bound & evars)
+        flag = f"__e_{ep.alias}"
+        if shared:
+            probe = edf.select(*shared).distinct().withColumn(flag, F.lit(True))
+            acc = acc.join(probe, on=shared, how="left")
+        else:
+            probe = edf.select(F.lit(True).alias(flag)).limit(1)
+            acc = acc.join(probe, F.lit(True), how="left")
+        acc = acc.withColumn(
+            ep.alias,
+            F.when(F.coalesce(F.col(flag), F.lit(False)), "true")
+            .otherwise("false"),
+        )
+        bound = bound | {ep.alias}
     if aggs or q.group_by:
         out = _aggregate(acc, bound, q)
     elif q.having:
@@ -992,10 +1108,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     elif q.select == ["*"]:
         out = acc.select(*sorted(bound))
     else:
-        missing = [v for v in q.select if v not in bound]
+        names = [s if isinstance(s, str) else s.alias for s in q.select]
+        missing = [v for v in names if v not in bound]
         if missing:
             raise SparqlError(f"SELECT references unbound variables: {missing}")
-        out = acc.select(*q.select)
+        out = acc.select(*names)
     if q.distinct:
         out = out.distinct()
     if q.order_by:
@@ -1060,8 +1177,15 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     acc, bound = _join_group(triples, q.where)
     if q.limit is not None:
         acc = acc.limit(q.limit)
+    return _instantiate(acc, bound, q.template)
+
+
+def _instantiate(acc: DataFrame, bound: set, template: Group) -> DataFrame:
+    """Project a solution set through a plain-triples template: one triple
+    family per template pattern, unioned, set semantics.  Rows where any
+    slot is unbound (an OPTIONAL variable) emit no triple, per spec."""
     fams = []
-    for pat in q.template.patterns:
+    for pat in template.patterns:
         sv, _, _ = _template_term(pat.s, "subject", bound)
         pv, _, _ = _template_term(pat.p, "predicate", bound)
         ov, od, oi = _template_term(pat.o, "obj", bound)
@@ -1082,3 +1206,28 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     for f in fams[1:]:
         out = out.unionByName(f)
     return out.distinct()
+
+
+def sparql_delete(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate a SPARQL UPDATE ``DELETE { … } WHERE { … }`` against the
+    triple DataFrame and return the surviving graph.
+
+    The template instantiates over the WHERE solutions exactly like
+    CONSTRUCT (unbound slots — e.g. the reference's ``OPTIONAL { ?value ?p
+    ?o }`` one-hop cascade — emit nothing for that solution), and the
+    original graph is LEFT ANTI joined against the doomed set on
+    ``(subj, pred, obj_value, obj_is_iri)`` — node identity is lexical form
+    + IRI-ness, the same identity the anonymization engine's own delete
+    path uses.  One shuffle, no driver materialization; covers the
+    reference's ``deleteOriginalPropertyQuery`` (M3 delete-originals +
+    one-hop) verbatim."""
+    q = _Parser(query).parse()
+    if q.form != "delete":
+        raise SparqlError("sparql_delete() expects a DELETE WHERE update")
+    acc, bound = _join_group(triples, q.where)
+    doomed = _instantiate(acc, bound, q.template).select(
+        "subj", "pred", "obj_value", "obj_is_iri"
+    )
+    return triples.join(
+        doomed, on=["subj", "pred", "obj_value", "obj_is_iri"], how="left_anti"
+    )
