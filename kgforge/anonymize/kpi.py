@@ -131,7 +131,25 @@ def k_anonymity(
     subjects = subjects_of_type(triples, type_iri)
     ent = subjects
     gcols: list[str] = []
+    # one cheap pred-distinct probe (partition-pruning scan on the
+    # pred-partitioned sink): an attribute with NO _generalized triples
+    # would only contribute a constant-null field to the group key — it
+    # cannot change group membership — so skip its subject-spine join
+    # entirely instead of dragging a null column through every downstream
+    # shuffle (the all-randomized config is the common KPI shape)
+    gen_preds = [a + "_generalized" for a in used_attrs]
+    present = (
+        {
+            r["pred"]
+            for r in triples.filter(F.col("pred").isin(gen_preds))
+            .select("pred").distinct().collect()
+        }
+        if gen_preds
+        else set()
+    )
     for i, attr in enumerate(used_attrs):
+        if attr + "_generalized" not in present:
+            continue
         gp = (
             triples.filter(F.col("pred") == attr + "_generalized")
             .select("subj", F.col("obj_value").alias(f"_g{i}"))
@@ -303,7 +321,9 @@ def _with_group_struct(ent, gcols):
     return ent.withColumn("_gs", key)
 
 
-def _counts_1d(stratum, bench, cleanup: list | None = None) -> "DataFrame":
+def _counts_1d(
+    stratum, bench, cleanup: list | None = None, keep_subj: bool = True
+) -> "DataFrame":
     """(subj, _cnt) interval counts within a (_gs, subj, _o, _r) stratum —
     the distributed subMap event/prefix-sum core.
 
@@ -318,45 +338,66 @@ def _counts_1d(stratum, bench, cleanup: list | None = None) -> "DataFrame":
     The three event kinds come from ONE explode over a 3-struct array — a
     single pass over the stratum instead of a 3-way self-union (one scan of
     the upstream cache, narrower stage graph at low parallelism).
+
+    The lo/hi bound pair is keyed by a synthesized LONG row id, not the
+    subject string: both events of a pair come from the SAME input row's
+    explode, so ``monotonically_increasing_id`` pairs them with no
+    cross-row stability requirement — and the event shuffle + pairing
+    hash-aggregate move 8-byte longs instead of IRI strings.  This job is
+    memory-bandwidth-bound, not CPU-bound, on wide executors (profiled:
+    every phase scaled ~0.62 from 2→8 cores while pure-CPU work scaled
+    0.93), so bytes-per-row is exactly what the N→4N efficiency buys back.
+    Callers that only take ``min(_cnt)`` downstream pass
+    ``keep_subj=False`` and strings leave the event stream entirely; with
+    ``keep_subj=True`` the subject rides only the single hi event.
     """
     from kgforge.rank import with_global_running_sum
 
     if bench is None:
-        return stratum.select("subj", F.lit(0).cast("long").alias("_cnt"))
+        cnt0 = F.lit(0).cast("long").alias("_cnt")
+        if keep_subj:
+            return stratum.select("subj", cnt0)
+        return stratum.select(cnt0)
+    subj_hi = F.col("subj") if keep_subj else F.lit(None).cast("string")
     events = F.array(
         F.struct(
             F.col("_o").alias("_val"), F.lit(1).alias("_typ"),
             F.lit(1).cast("long").alias("_delta"),
-            F.lit(None).cast("string").alias("_q"),
+            F.lit(None).cast("long").alias("_q"),
+            F.lit(None).cast("string").alias("_s"),
         ),
         F.struct(
             (F.col("_r") - F.lit(bench)).alias("_val"), F.lit(0).alias("_typ"),
-            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+            F.lit(0).cast("long").alias("_delta"), F.col("_rid").alias("_q"),
+            F.lit(None).cast("string").alias("_s"),
         ),
         F.struct(
             (F.col("_r") + F.lit(bench)).alias("_val"), F.lit(2).alias("_typ"),
-            F.lit(0).cast("long").alias("_delta"), F.col("subj").alias("_q"),
+            F.lit(0).cast("long").alias("_delta"), F.col("_rid").alias("_q"),
+            subj_hi.alias("_s"),
         ),
     )
-    ev = stratum.select("_gs", F.explode(events).alias("_e")).select(
-        "_gs", F.col("_e._val").alias("_val"), F.col("_e._typ").alias("_typ"),
-        F.col("_e._delta").alias("_delta"), F.col("_e._q").alias("_q"),
+    ev = (
+        stratum.withColumn("_rid", F.monotonically_increasing_id())
+        .select("_gs", F.explode(events).alias("_e"))
+        .select(
+            "_gs", F.col("_e._val").alias("_val"), F.col("_e._typ").alias("_typ"),
+            F.col("_e._delta").alias("_delta"), F.col("_e._q").alias("_q"),
+            F.col("_e._s").alias("_s"),
+        )
     )
     rs = with_global_running_sum(
         ev, [F.col("_gs"), F.col("_val"), F.col("_typ")], "_delta", out="_rs",
         cleanup=cleanup,
     )
-    return (
-        rs.filter(F.col("_q").isNotNull())
-        .groupBy("_q")
-        .agg(
-            (
-                F.max(F.when(F.col("_typ") == 2, F.col("_rs")))
-                - F.max(F.when(F.col("_typ") == 0, F.col("_rs")))
-            ).alias("_cnt")
-        )
-        .select(F.col("_q").alias("subj"), "_cnt")
-    )
+    grouped = rs.filter(F.col("_q").isNotNull()).groupBy("_q")
+    cnt = (
+        F.max(F.when(F.col("_typ") == 2, F.col("_rs")))
+        - F.max(F.when(F.col("_typ") == 0, F.col("_rs")))
+    ).alias("_cnt")
+    if keep_subj:
+        return grouped.agg(cnt, F.max("_s").alias("subj")).select("subj", "_cnt")
+    return grouped.agg(cnt).select("_cnt")
 
 
 def _stratum_size_counts(stratum) -> "DataFrame":
@@ -370,22 +411,53 @@ def _k_ranges(subjects, ent, gcols, attr_datum, both=None) -> int:
     """Distributed subMap counting for ONE randomized attribute (see
     :func:`_counts_1d` for the event/prefix-sum core)."""
     _, orig, rand, bench = attr_datum
+    if both is not None and not gcols:
+        # no generalization groups anywhere: every subject is in the one
+        # group, so the null stratum's count is a single number (subjects
+        # minus non-null-_o rows) and the event stream runs straight off
+        # the fused frame — the subject-spine string join disappears from
+        # the job entirely (this path is memory-bandwidth-bound; see
+        # _counts_1d)
+        cleanup: list = []
+        nonnull = both.filter(F.col("_o").isNotNull())
+        n_subj = subjects.count()
+        n_nonnull = nonnull.count()
+        cnt_nonnull = _counts_1d(
+            nonnull.select(F.lit(0).alias("_gs"), "_o", "_r"),
+            bench, cleanup, keep_subj=False,
+        )
+        row = cnt_nonnull.select(F.min("_cnt").alias("k")).collect()[0]
+        for d in cleanup:
+            d.unpersist()
+        n_null = n_subj - n_nonnull
+        cands = [v for v in (row["k"], n_null if n_null > 0 else None)
+                 if v is not None]
+        return int(min(cands)) if cands else 0
     if both is not None:
         # the fused (subj, _o, _r) frame — ONE left join off the subject
         # spine instead of two (orig/rand are both slices of it; a null _o
         # or _r lands identically either way)
         vals = both.select("subj", "_o", "_r")
-        base = _with_group_struct(ent.join(vals, "subj", "left"), gcols).persist()
+        joined = ent.join(vals, "subj", "left")
     else:
-        base = _with_group_struct(
-            ent.join(orig, "subj", "left").join(rand, "subj", "left"), gcols
-        ).persist()
+        joined = ent.join(orig, "subj", "left").join(rand, "subj", "left")
+    if gcols:
+        base = _with_group_struct(joined, gcols).persist()
+    else:
+        # no generalization groups: a constant int sort key beats carrying
+        # a constant struct through the 3n-row range shuffle
+        base = joined.withColumn("_gs", F.lit(0)).persist()
 
     cleanup: list = []
     cnt_null = _stratum_size_counts(
         base.filter(F.col("_o").isNull()).select("subj", "_gs")
+    ).select("_cnt")
+    # only min(_cnt) survives this function, so subject identity never
+    # needs to come back out of the event stream (keep_subj=False: the
+    # lo/hi pairing runs on longs, no strings in the big shuffle)
+    cnt_nonnull = _counts_1d(
+        base.filter(F.col("_o").isNotNull()), bench, cleanup, keep_subj=False
     )
-    cnt_nonnull = _counts_1d(base.filter(F.col("_o").isNotNull()), bench, cleanup)
 
     # the two strata partition `base`, and `base` keeps every subject (left
     # joins off the subject spine), so cnts already covers all subjects —
