@@ -2353,6 +2353,61 @@ def _sparql_negation(spark, sf_dir):
     )
 
 
+def _ntriples_triples(spark, sf_dir):
+    """Deterministic customer triples for the N-Triples queries — subjects
+    minted from c_custkey (not a row counter) so the serialized lines are
+    value-stable across partitionings and engines."""
+    cust = _read(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("http://ex.org/c/"), F.col("c_custkey").cast("string"))
+
+    def t(pred, val, dtype, iri):
+        return cust.select(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            val.alias("obj_value"),
+            F.lit(dtype).alias("obj_dtype"),
+            F.lit(iri).alias("obj_is_iri"),
+        )
+
+    return (
+        t(
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            F.lit("http://ex.org/Customer"),
+            "iri",
+            True,
+        )
+        .unionByName(t("http://ex.org/name", F.col("c_name"), "string", False))
+        .unionByName(
+            t(
+                "http://ex.org/acctbal",
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                "xsd:double",
+                False,
+            )
+        )
+    )
+
+
+def _ntriples_out(spark, sf_dir):
+    """Triple table → N-Triples export (kgforge.ntriples.to_ntriples): the
+    line-per-triple RDF interchange a Jena user round-trips through
+    RDFDataMgr.  Pure codegen projection, zero shuffle — at 100 TB the
+    export streams straight from the pred-partitioned sink."""
+    from kgforge.ntriples import to_ntriples
+
+    return to_ntriples(_ntriples_triples(spark, sf_dir)).orderBy("line")
+
+
+def _ntriples_roundtrip(spark, sf_dir):
+    """Parse∘serialize identity on real table data: the same triples pushed
+    through to_ntriples then from_ntriples must reproduce the canonical
+    rows exactly (the oracle is the direct SQL construction)."""
+    from kgforge.ntriples import from_ntriples, to_ntriples
+
+    t = _ntriples_triples(spark, sf_dir)
+    return from_ntriples(to_ntriples(t)).orderBy("subj", "pred", "obj_value")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2900,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct_kg": _sparql_construct_kg,
         "sparql_path": _sparql_path,
         "sparql_negation": _sparql_negation,
+        "ntriples_out": _ntriples_out,
+        "ntriples_roundtrip": _ntriples_roundtrip,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4413,6 +4470,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey = customer.c_custkey
               AND o.o_orderpriority = '1-URGENT')
         ORDER BY name
+        """,
+        "ntriples_out": """
+        WITH t AS (
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR)
+                 || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> '
+                 || '<http://ex.org/Customer> .' AS line FROM customer
+          UNION ALL
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR)
+                 || '> <http://ex.org/name> "'
+                 || replace(replace(c_name, '\\', '\\\\'), '"', '\\"')
+                 || '" .' FROM customer
+          UNION ALL
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR)
+                 || '> <http://ex.org/acctbal> "'
+                 || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                 || '"^^<http://www.w3.org/2001/XMLSchema#double> .'
+          FROM customer
+        )
+        SELECT line FROM t ORDER BY line
+        """,
+        "ntriples_roundtrip": """
+        WITH t AS (
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR) AS subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 'http://ex.org/Customer' AS obj_value,
+                 'iri' AS obj_dtype, TRUE AS obj_is_iri FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/name', c_name, 'string', FALSE FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/acctbal',
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+                 'xsd:double', FALSE FROM customer
+        )
+        SELECT subj, pred, obj_value, obj_dtype, obj_is_iri
+        FROM t ORDER BY subj, pred, obj_value
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
