@@ -2408,6 +2408,28 @@ def _ntriples_roundtrip(spark, sf_dir):
     return from_ntriples(to_ntriples(t)).orderBy("subj", "pred", "obj_value")
 
 
+def _turtle_out(spark, sf_dir):
+    """Triple table → Turtle blocks (kgforge.turtle.to_turtle): subject-
+    grouped, prefix-compacted pretty output — Jena's default diff format.
+    One groupBy(subj) shuffle; statements sorted within each block so the
+    serialization is deterministic under any partitioning."""
+    from kgforge.turtle import to_turtle
+
+    pfx = {"ex": "http://ex.org/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    return to_turtle(_ntriples_triples(spark, sf_dir), pfx).orderBy("block")
+
+
+def _turtle_roundtrip(spark, sf_dir):
+    """Parse∘serialize identity through the Turtle block dialect — same
+    contract as ntriples_roundtrip, proving the second interchange format
+    is lossless on real table data (prefix expansion included)."""
+    from kgforge.turtle import from_turtle, to_turtle
+
+    pfx = {"ex": "http://ex.org/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    t = _ntriples_triples(spark, sf_dir)
+    return from_turtle(to_turtle(t, pfx)).orderBy("subj", "pred", "obj_value")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2957,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation": _sparql_negation,
         "ntriples_out": _ntriples_out,
         "ntriples_roundtrip": _ntriples_roundtrip,
+        "turtle_out": _turtle_out,
+        "turtle_roundtrip": _turtle_roundtrip,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4491,6 +4515,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT line FROM t ORDER BY line
         """,
         "ntriples_roundtrip": """
+        WITH t AS (
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR) AS subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 'http://ex.org/Customer' AS obj_value,
+                 'iri' AS obj_dtype, TRUE AS obj_is_iri FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/name', c_name, 'string', FALSE FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/acctbal',
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+                 'xsd:double', FALSE FROM customer
+        )
+        SELECT subj, pred, obj_value, obj_dtype, obj_is_iri
+        FROM t ORDER BY subj, pred, obj_value
+        """,
+        "turtle_out": """
+        WITH po AS (
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>' AS s,
+                 'a ex:Customer' AS po FROM customer
+          UNION ALL
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+                 'ex:name "'
+                 || replace(replace(c_name, '\\', '\\\\'), '"', '\\"') || '"'
+          FROM customer
+          UNION ALL
+          SELECT '<http://ex.org/c/' || CAST(c_custkey AS VARCHAR) || '>',
+                 'ex:acctbal "'
+                 || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                 || '"^^xsd:double'
+          FROM customer
+        ), blocks AS (
+          SELECT s || ' '
+                 || string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po)
+                 || ' .' AS block
+          FROM po GROUP BY s
+          UNION ALL SELECT '@prefix ex: <http://ex.org/> .'
+          UNION ALL SELECT '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .'
+        )
+        SELECT block FROM blocks ORDER BY block
+        """,
+        "turtle_roundtrip": """
         WITH t AS (
           SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR) AS subj,
                  'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
