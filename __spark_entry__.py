@@ -2430,6 +2430,70 @@ def _turtle_roundtrip(spark, sf_dir):
     return from_turtle(to_turtle(t, pfx)).orderBy("subj", "pred", "obj_value")
 
 
+def _rdfs_entailed(spark, sf_dir):
+    """RDFS materialization (kgforge.kg.inference.rdfs_closure) — the Jena
+    InfModel surface a reference user gets from RDFSRuleReasoner, re-expressed
+    as TBox-closure + three broadcast joins so the 100-TB ABox is never
+    iterated.  Fixed 5-edge TBox over customer-derived instance triples;
+    returns the NOVEL (entailed-only) triples, which keeps the oracle
+    non-trivial.  Exercises every ρdf rule: rdfs7 (name⊑label), rdfs2
+    (domain typing), rdfs3 (range typing over the inNation IRI), rdfs9+11
+    (Customer⊑Person⊑Agent type walk), rdfs5/11 TBox closure emission."""
+    from kgforge.kg.inference import (
+        RDF_TYPE,
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+        rdfs_closure,
+    )
+    from kgforge.triples import triples_df
+
+    tbox = triples_df(
+        spark,
+        [
+            ("http://ex.org/Customer", RDFS_SUBCLASS, "http://ex.org/Person", "iri", True),
+            ("http://ex.org/Person", RDFS_SUBCLASS, "http://ex.org/Agent", "iri", True),
+            ("http://ex.org/name", RDFS_SUBPROP, "http://ex.org/label", "iri", True),
+            ("http://ex.org/name", RDFS_DOMAIN, "http://ex.org/Named", "iri", True),
+            ("http://ex.org/inNation", RDFS_RANGE, "http://ex.org/Nation", "iri", True),
+        ],
+    )
+    cust = _read(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("http://ex.org/c/"), F.col("c_custkey").cast("string"))
+    abox = (
+        cust.select(
+            subj.alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.lit("http://ex.org/Customer").alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+        .unionByName(
+            cust.select(
+                subj.alias("subj"),
+                F.lit("http://ex.org/name").alias("pred"),
+                F.col("c_name").alias("obj_value"),
+                F.lit("string").alias("obj_dtype"),
+                F.lit(False).alias("obj_is_iri"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                subj.alias("subj"),
+                F.lit("http://ex.org/inNation").alias("pred"),
+                F.concat(
+                    F.lit("http://ex.org/n/"), F.col("c_nationkey").cast("string")
+                ).alias("obj_value"),
+                F.lit("iri").alias("obj_dtype"),
+                F.lit(True).alias("obj_is_iri"),
+            )
+        )
+    )
+    out = rdfs_closure(tbox.unionByName(abox), include_asserted=False)
+    return out.orderBy("subj", "pred", "obj_value")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -2981,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip": _ntriples_roundtrip,
         "turtle_out": _turtle_out,
         "turtle_roundtrip": _turtle_roundtrip,
+        "rdfs_entailed": _rdfs_entailed,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4574,6 +4639,96 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT subj, pred, obj_value, obj_dtype, obj_is_iri
         FROM t ORDER BY subj, pred, obj_value
+        """,
+        "rdfs_entailed": """
+        WITH RECURSIVE tbox(s, p, o) AS (
+          SELECT * FROM (VALUES
+            ('http://ex.org/Customer','sc','http://ex.org/Person'),
+            ('http://ex.org/Person','sc','http://ex.org/Agent'),
+            ('http://ex.org/name','sp','http://ex.org/label'),
+            ('http://ex.org/name','dom','http://ex.org/Named'),
+            ('http://ex.org/inNation','rng','http://ex.org/Nation'))
+        ), sc(a, b) AS (
+          SELECT s, o FROM tbox WHERE p = 'sc'
+          UNION
+          SELECT sc.a, t.o FROM sc JOIN tbox t ON t.p = 'sc' AND sc.b = t.s
+          WHERE sc.a <> t.o
+        ), sp(a, b) AS (
+          SELECT s, o FROM tbox WHERE p = 'sp'
+          UNION
+          SELECT sp.a, t.o FROM sp JOIN tbox t ON t.p = 'sp' AND sp.b = t.s
+          WHERE sp.a <> t.o
+        ), abox(subj, pred, obj_value, obj_dtype, obj_is_iri) AS (
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'http://ex.org/Customer', 'iri', TRUE FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/name', c_name, 'string', FALSE FROM customer
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'http://ex.org/inNation',
+                 'http://ex.org/n/' || CAST(c_nationkey AS VARCHAR),
+                 'iri', TRUE FROM customer
+        ), asserted AS (
+          SELECT * FROM abox
+          UNION ALL
+          SELECT s,
+            CASE p
+              WHEN 'sc' THEN 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+              WHEN 'sp' THEN 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf'
+              WHEN 'dom' THEN 'http://www.w3.org/2000/01/rdf-schema#domain'
+              ELSE 'http://www.w3.org/2000/01/rdf-schema#range' END,
+            o, 'iri', TRUE FROM tbox
+        ), d7 AS (
+          SELECT f.subj, sp.b AS pred, f.obj_value, f.obj_dtype, f.obj_is_iri
+          FROM asserted f JOIN sp ON f.pred = sp.a
+        ), pf AS (
+          SELECT * FROM asserted UNION ALL SELECT * FROM d7
+        ), d2 AS (
+          SELECT f.subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 t.o AS obj_value, 'iri' AS obj_dtype, TRUE AS obj_is_iri
+          FROM pf f JOIN tbox t ON t.p = 'dom' AND f.pred = t.s
+        ), d3 AS (
+          SELECT f.obj_value AS subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 t.o AS obj_value, 'iri' AS obj_dtype, TRUE AS obj_is_iri
+          FROM pf f JOIN tbox t ON t.p = 'rng' AND f.pred = t.s
+          WHERE f.obj_is_iri
+        ), types AS (
+          SELECT * FROM pf
+          WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            AND obj_is_iri
+          UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+        ), d9 AS (
+          SELECT ty.subj,
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 sc.b AS obj_value, 'iri' AS obj_dtype, TRUE AS obj_is_iri
+          FROM types ty JOIN sc ON ty.obj_value = sc.a
+        ), tbx AS (
+          SELECT a AS subj,
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS pred,
+                 b AS obj_value, 'iri' AS obj_dtype, TRUE AS obj_is_iri FROM sc
+          UNION ALL
+          SELECT a, 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                 b, 'iri', TRUE FROM sp
+        ), ent AS (
+          SELECT DISTINCT * FROM (
+            SELECT * FROM d7 UNION ALL SELECT * FROM d2
+            UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d9
+            UNION ALL SELECT * FROM tbx)
+        ), novel AS (
+          -- EXCEPT is rejected inside a WITH RECURSIVE list by DuckDB;
+          -- NOT EXISTS is the same set difference (all columns non-null)
+          SELECT * FROM ent e WHERE NOT EXISTS (
+            SELECT 1 FROM asserted a
+            WHERE a.subj = e.subj AND a.pred = e.pred
+              AND a.obj_value = e.obj_value AND a.obj_dtype = e.obj_dtype
+              AND a.obj_is_iri = e.obj_is_iri)
+        )
+        SELECT subj, pred, obj_value, obj_dtype, obj_is_iri
+        FROM novel ORDER BY subj, pred, obj_value
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
