@@ -2494,6 +2494,97 @@ def _rdfs_entailed(spark, sf_dir):
     return out.orderBy("subj", "pred", "obj_value")
 
 
+def _shacl_report(spark, sf_dir):
+    """SHACL-core validation (kgforge.kg.shacl.shacl_validate) — the Jena
+    ShaclValidator surface as pred-slice scans + one groupBy per cardinality
+    constraint.  Customer triples with three injected violation families:
+    every 97th customer has no name (minCount), negative balances break
+    minInclusive 0, and nations ≥ 20 are left untyped so sh:class fires on
+    their inNation links.  datatype/pattern constraints run too (conformant
+    on this corpus) so every code path executes."""
+    from kgforge.kg.inference import RDF_TYPE
+    from kgforge.kg.shacl import shacl_validate
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://ex.org/c/"), F.col("c_custkey").cast("string"))
+
+    def t(df, s, pred, val, dtype, is_iri):
+        return df.select(
+            s.alias("subj"),
+            F.lit(pred).alias("pred"),
+            val.alias("obj_value"),
+            F.lit(dtype).alias("obj_dtype"),
+            F.lit(is_iri).alias("obj_is_iri"),
+        )
+
+    triples = (
+        t(cust, subj, RDF_TYPE, F.lit("http://ex.org/Customer"), "iri", True)
+        .unionByName(
+            t(
+                cust.filter(F.col("c_custkey") % 97 != 0),
+                subj,
+                "http://ex.org/name",
+                F.col("c_name"),
+                "string",
+                False,
+            )
+        )
+        .unionByName(
+            t(
+                cust,
+                subj,
+                "http://ex.org/acctbal",
+                F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+                "xsd:double",
+                False,
+            )
+        )
+        .unionByName(
+            t(
+                cust,
+                subj,
+                "http://ex.org/inNation",
+                F.concat(F.lit("http://ex.org/n/"), F.col("c_nationkey").cast("string")),
+                "iri",
+                True,
+            )
+        )
+        .unionByName(
+            t(
+                nation.filter(F.col("n_nationkey") < 20),
+                F.concat(F.lit("http://ex.org/n/"), F.col("n_nationkey").cast("string")),
+                RDF_TYPE,
+                F.lit("http://ex.org/Nation"),
+                "iri",
+                True,
+            )
+        )
+    )
+    shape = {
+        "shape": "CustomerShape",
+        "target_class": "http://ex.org/Customer",
+        "property": [
+            {
+                "path": "http://ex.org/name",
+                "min_count": 1,
+                "max_count": 1,
+                "datatype": "string",
+                "pattern": "^Customer#",
+            },
+            {"path": "http://ex.org/acctbal", "min_inclusive": 0.0},
+            {
+                "path": "http://ex.org/inNation",
+                "node_kind": "IRI",
+                "class": "http://ex.org/Nation",
+            },
+        ],
+    }
+    return shacl_validate(triples, [shape]).orderBy(
+        "focus", "path", "constraint", "value"
+    )
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -3046,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_out": _turtle_out,
         "turtle_roundtrip": _turtle_roundtrip,
         "rdfs_entailed": _rdfs_entailed,
+        "shacl_report": _shacl_report,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4729,6 +4821,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT subj, pred, obj_value, obj_dtype, obj_is_iri
         FROM novel ORDER BY subj, pred, obj_value
+        """,
+        "shacl_report": """
+        WITH viol AS (
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR) AS focus,
+                 'CustomerShape' AS shape, 'http://ex.org/name' AS path,
+                 'minCount' AS "constraint", '0' AS value
+          FROM customer WHERE c_custkey % 97 = 0
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'CustomerShape', 'http://ex.org/acctbal', 'minInclusive',
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+          FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) < 0
+          UNION ALL
+          SELECT 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR),
+                 'CustomerShape', 'http://ex.org/inNation', 'class',
+                 'http://ex.org/n/' || CAST(c_nationkey AS VARCHAR)
+          FROM customer WHERE c_nationkey >= 20
+        )
+        SELECT focus, shape, path, "constraint", value
+        FROM viol ORDER BY focus, path, "constraint", value
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
