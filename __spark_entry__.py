@@ -2585,6 +2585,31 @@ def _shacl_report(spark, sf_dir):
     )
 
 
+def _kg_shortest_paths(spark, sf_dir):
+    """Multi-round BFS distances (kgforge.kg.paths.shortest_paths) over a
+    synthesized DAG on customer keys: tree edges k div 2 → k plus chain
+    edges k-1 → k, so the shortest distance genuinely mixes both edge
+    families (node 3: chain 1→2→3 costs 2, tree 1→3 costs 1).  Diameter is
+    ~log2(n) thanks to the tree shortcuts, so the semi-naive loop converges
+    in a dozen rounds; the DuckDB mirror is a recursive CTE with a
+    dist<25 prune (safe: every shortest path is ≤ ⌊log2 max_key⌋+1 ≤ 21)."""
+    from kgforge.kg.paths import shortest_paths
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey").cast("bigint")
+    half = F.expr("CAST(c_custkey AS BIGINT) div 2")
+    tree = cust.filter(k >= 2).select(
+        half.cast("string").alias("src"), k.cast("string").alias("dst")
+    )
+    chain = cust.filter(k >= 2).select(
+        (k - 1).cast("string").alias("src"), k.cast("string").alias("dst")
+    )
+    out = shortest_paths(tree.unionByName(chain), ["1"])
+    return out.select(
+        F.col("id").cast("bigint").alias("node"), F.col("distance").alias("dist")
+    ).orderBy("node")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -3138,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_roundtrip": _turtle_roundtrip,
         "rdfs_entailed": _rdfs_entailed,
         "shacl_report": _shacl_report,
+        "kg_shortest_paths": _kg_shortest_paths,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4841,6 +4867,20 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT focus, shape, path, "constraint", value
         FROM viol ORDER BY focus, path, "constraint", value
+        """,
+        "kg_shortest_paths": """
+        WITH RECURSIVE r(id, dist) AS (
+          SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          UNION
+          SELECT CAST(c.c_custkey AS BIGINT), r.dist + 1
+          FROM r JOIN customer c
+            ON c.c_custkey >= 2
+           AND (CAST(c.c_custkey AS BIGINT) // 2 = r.id
+                OR CAST(c.c_custkey AS BIGINT) - 1 = r.id)
+          WHERE r.dist < 25
+        )
+        SELECT id AS node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM r GROUP BY id ORDER BY node
         """,
         "sparql_agg": """
         SELECT c_mktsegment AS segment,
