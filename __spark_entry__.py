@@ -2610,6 +2610,45 @@ def _kg_shortest_paths(spark, sf_dir):
     ).orderBy("node")
 
 
+def _owl_sameas_smush(spark, sf_dir):
+    """owl:sameAs smushing (kgforge.kg.sameas.smush_sameas): every third
+    customer gets a duplicate resource asserted sameAs, every ninth gets a
+    THIRD alias chained through the duplicate (transitive merge the
+    components loop must close), plus a hub→dup edge whose object must be
+    rewritten.  Representatives are min-IRI, so chains of length 3 pick
+    alt/<k> (lexicographically before c/<k>) — the oracle mirrors that
+    deterministic choice with a CASE."""
+    from kgforge.kg.inference import RDF_TYPE
+    from kgforge.kg.sameas import OWL_SAMEAS, smush_sameas
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    c_id = F.concat(F.lit("http://ex.org/c/"), k)
+    dup_id = F.concat(F.lit("http://ex.org/dup/"), k)
+    alt_id = F.concat(F.lit("http://ex.org/alt/"), k)
+
+    def t(df, s, pred, val, dtype, is_iri):
+        return df.select(
+            s.alias("subj"),
+            F.lit(pred).alias("pred"),
+            val.alias("obj_value"),
+            F.lit(dtype).alias("obj_dtype"),
+            F.lit(is_iri).alias("obj_is_iri"),
+        )
+
+    thirds = cust.filter(F.col("c_custkey") % 3 == 0)
+    ninths = cust.filter(F.col("c_custkey") % 9 == 0)
+    triples = (
+        t(cust, c_id, RDF_TYPE, F.lit("http://ex.org/Customer"), "iri", True)
+        .unionByName(t(cust, c_id, "http://ex.org/name", F.col("c_name"), "string", False))
+        .unionByName(t(thirds, dup_id, "http://ex.org/name", F.col("c_name"), "string", False))
+        .unionByName(t(thirds, F.lit("http://ex.org/hub"), "http://ex.org/knows", dup_id, "iri", True))
+        .unionByName(t(thirds, c_id, OWL_SAMEAS, dup_id, "iri", True))
+        .unionByName(t(ninths, dup_id, OWL_SAMEAS, alt_id, "iri", True))
+    )
+    return smush_sameas(triples).orderBy("subj", "pred", "obj_value")
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -3164,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entailed": _rdfs_entailed,
         "shacl_report": _shacl_report,
         "kg_shortest_paths": _kg_shortest_paths,
+        "owl_sameas_smush": _owl_sameas_smush,
         # — deduplication family —
         "dedup_exact": _dedup_exact,
         "minhash_clusters": _minhash_clusters,
@@ -4867,6 +4907,36 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT focus, shape, path, "constraint", value
         FROM viol ORDER BY focus, path, "constraint", value
+        """,
+        "owl_sameas_smush": """
+        WITH rep AS (
+          SELECT c_custkey AS k, c_name,
+                 CASE WHEN c_custkey % 9 = 0
+                      THEN 'http://ex.org/alt/' || CAST(c_custkey AS VARCHAR)
+                      ELSE 'http://ex.org/c/' || CAST(c_custkey AS VARCHAR)
+                 END AS r
+          FROM customer
+        ), out3 AS (
+          -- untouched customers keep c/<k>; merged clusters collapse on rep
+          SELECT r AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                 'http://ex.org/Customer' AS obj_value, 'iri' AS obj_dtype,
+                 TRUE AS obj_is_iri FROM rep
+          UNION ALL
+          SELECT r, 'http://ex.org/name', c_name, 'string', FALSE FROM rep
+          UNION ALL
+          SELECT 'http://ex.org/hub', 'http://ex.org/knows', r, 'iri', TRUE
+          FROM rep WHERE k % 3 = 0
+          UNION ALL
+          SELECT r, 'http://www.w3.org/2002/07/owl#sameAs',
+                 'http://ex.org/dup/' || CAST(k AS VARCHAR), 'iri', TRUE
+          FROM rep WHERE k % 3 = 0
+          UNION ALL
+          SELECT r, 'http://www.w3.org/2002/07/owl#sameAs',
+                 'http://ex.org/c/' || CAST(k AS VARCHAR), 'iri', TRUE
+          FROM rep WHERE k % 9 = 0
+        )
+        SELECT DISTINCT subj, pred, obj_value, obj_dtype, obj_is_iri
+        FROM out3 ORDER BY subj, pred, obj_value
         """,
         "kg_shortest_paths": """
         WITH RECURSIVE r(id, dist) AS (
