@@ -2649,6 +2649,68 @@ def _owl_sameas_smush(spark, sf_dir):
     return smush_sameas(triples).orderBy("subj", "pred", "obj_value")
 
 
+def _owl_entailed(spark, sf_dir):
+    """OWL-micro materialization (kgforge.kg.owl.owl_closure) — the Jena
+    OWL_MEM_MICRO_RULE_INF surface: property axioms on top of ρdf, as one
+    broadcast image-map join plus per-predicate semi-naive closures (the
+    100-TB ABox is scanned, never iterated).  Customer halving chains give a
+    log-depth ancestor forest; returns entailed-only triples.  Exercises
+    inverseOf (childOf swap), subPropertyOf into a transitive predicate
+    (ancestorOf closure over rdfs7-derived edges), SymmetricProperty (knows),
+    equivalentClass (Manager≡Boss type walk), and domain typing."""
+    from kgforge.kg.inference import RDF_TYPE, RDFS_DOMAIN, RDFS_SUBPROP
+    from kgforge.kg.owl import (
+        OWL_EQ_CLASS,
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        owl_closure,
+    )
+    from kgforge.triples import triples_df
+
+    tbox = triples_df(
+        spark,
+        [
+            ("http://ex.org/parentOf", OWL_INVERSE, "http://ex.org/childOf", "iri", True),
+            ("http://ex.org/parentOf", RDFS_SUBPROP, "http://ex.org/ancestorOf", "iri", True),
+            ("http://ex.org/ancestorOf", RDF_TYPE, OWL_TRANSITIVE, "iri", True),
+            ("http://ex.org/knows", RDF_TYPE, OWL_SYMMETRIC, "iri", True),
+            ("http://ex.org/Manager", OWL_EQ_CLASS, "http://ex.org/Boss", "iri", True),
+            ("http://ex.org/parentOf", RDFS_DOMAIN, "http://ex.org/Person", "iri", True),
+        ],
+    )
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    c = lambda key: F.concat(F.lit("http://ex.org/c/"), key.cast("string"))
+
+    def t(df, s, pred, o):
+        return df.select(
+            s.alias("subj"),
+            F.lit(pred).alias("pred"),
+            o.alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+
+    abox = (
+        t(cust.filter(k >= 2), c(k), "http://ex.org/parentOf", c(F.floor(k / 2)))
+        .unionByName(
+            t(cust.filter(k % 5 == 0), c(k), "http://ex.org/knows", c(k + 1))
+        )
+        .unionByName(
+            t(
+                cust.filter(k % 7 == 0),
+                c(k),
+                RDF_TYPE,
+                F.lit("http://ex.org/Manager"),
+            )
+        )
+    )
+    return owl_closure(tbox.unionByName(abox), include_asserted=False).orderBy(
+        "subj", "pred", "obj_value"
+    )
+
+
 def _kg_anon_mention_counts(spark, sf_dir):
     """Cross-layer composition — the north_rule sentence end to end: layer 1
     (KG mention detection) produces a per-document numeric attribute (its
@@ -3201,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turtle_out": _turtle_out,
         "turtle_roundtrip": _turtle_roundtrip,
         "rdfs_entailed": _rdfs_entailed,
+        "owl_entailed": _owl_entailed,
         "shacl_report": _shacl_report,
         "kg_shortest_paths": _kg_shortest_paths,
         "owl_sameas_smush": _owl_sameas_smush,
@@ -4937,6 +5000,58 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT DISTINCT subj, pred, obj_value, obj_dtype, obj_is_iri
         FROM out3 ORDER BY subj, pred, obj_value
+        """,
+        "owl_entailed": """
+        WITH RECURSIVE cust AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), par AS (
+          SELECT k, k // 2 AS m FROM cust WHERE k >= 2
+        ), anc AS (
+          SELECT k, m FROM par
+          UNION
+          SELECT a.k, p.m FROM anc a JOIN par p ON a.m = p.k
+        ), ent AS (
+          -- owl:inverseOf swap of every parentOf fact
+          SELECT 'http://ex.org/c/' || CAST(m AS VARCHAR) AS subj,
+                 'http://ex.org/childOf' AS pred,
+                 'http://ex.org/c/' || CAST(k AS VARCHAR) AS obj_value
+          FROM par
+          UNION ALL
+          -- rdfs7 into ancestorOf, then its transitive closure
+          SELECT 'http://ex.org/c/' || CAST(k AS VARCHAR),
+                 'http://ex.org/ancestorOf',
+                 'http://ex.org/c/' || CAST(m AS VARCHAR)
+          FROM anc
+          UNION ALL
+          -- SymmetricProperty swap of knows
+          SELECT 'http://ex.org/c/' || CAST(k + 1 AS VARCHAR),
+                 'http://ex.org/knows',
+                 'http://ex.org/c/' || CAST(k AS VARCHAR)
+          FROM cust WHERE k % 5 = 0
+          UNION ALL
+          -- rdfs2 domain typing of parentOf subjects
+          SELECT 'http://ex.org/c/' || CAST(k AS VARCHAR),
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'http://ex.org/Person'
+          FROM cust WHERE k >= 2
+          UNION ALL
+          -- equivalentClass -> subClassOf both ways -> rdfs9 type walk
+          SELECT 'http://ex.org/c/' || CAST(k AS VARCHAR),
+                 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                 'http://ex.org/Boss'
+          FROM cust WHERE k % 7 = 0
+          UNION ALL
+          SELECT 'http://ex.org/Manager',
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                 'http://ex.org/Boss'
+          UNION ALL
+          SELECT 'http://ex.org/Boss',
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                 'http://ex.org/Manager'
+        )
+        SELECT DISTINCT subj, pred, obj_value,
+               'iri' AS obj_dtype, TRUE AS obj_is_iri
+        FROM ent ORDER BY subj, pred, obj_value
         """,
         "kg_shortest_paths": """
         WITH RECURSIVE r(id, dist) AS (

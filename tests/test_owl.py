@@ -1,0 +1,254 @@
+"""OWL-micro materialization: rule-by-rule goldens, a brute-force python
+fixpoint equivalence on seeded random graphs (including the transitive
+feedback cycle corner), equivalence-axiom compilation, and the external
+schema / entailed-only modes."""
+
+import random
+
+import pytest
+
+from kgforge.kg.inference import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+)
+from kgforge.kg.owl import (
+    OWL_EQ_CLASS,
+    OWL_EQ_PROP,
+    OWL_INVERSE,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
+    owl_closure,
+)
+from kgforge.triples import triples_df
+
+EX = "http://ex.org/"
+
+
+def iri(s, p, o):
+    return (
+        EX + s if not s.startswith("http") else s,
+        p if p.startswith("http") else EX + p,
+        EX + o if not o.startswith("http") else o,
+        "iri",
+        True,
+    )
+
+
+def lit(s, p, v):
+    return (EX + s, EX + p, v, "string", False)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def py_fixpoint(facts):
+    """Brute-force OWL-micro fixpoint (naive iterate-to-saturation) — the
+    oracle the stratified broadcast plan must match."""
+    facts = set(facts)
+    while True:
+        new = set()
+        sc = {(s, o) for s, p, o, _, _ in facts if p == RDFS_SUBCLASS}
+        sp = {(s, o) for s, p, o, _, _ in facts if p == RDFS_SUBPROP}
+        dom = {(s, o) for s, p, o, _, _ in facts if p == RDFS_DOMAIN}
+        rng = {(s, o) for s, p, o, _, _ in facts if p == RDFS_RANGE}
+        eqc = {(s, o) for s, p, o, _, _ in facts if p == OWL_EQ_CLASS}
+        eqp = {(s, o) for s, p, o, _, _ in facts if p == OWL_EQ_PROP}
+        inv = {(s, o) for s, p, o, _, _ in facts if p == OWL_INVERSE}
+        inv |= {(b, a) for a, b in inv}
+        sym = {s for s, p, o, _, _ in facts if p == RDF_TYPE and o == OWL_SYMMETRIC}
+        trans = {s for s, p, o, _, _ in facts if p == RDF_TYPE and o == OWL_TRANSITIVE}
+        inv |= {(p, p) for p in sym}
+        for a, b in eqc:
+            new.add((a, RDFS_SUBCLASS, b, "iri", True))
+            new.add((b, RDFS_SUBCLASS, a, "iri", True))
+        for a, b in eqp:
+            new.add((a, RDFS_SUBPROP, b, "iri", True))
+            new.add((b, RDFS_SUBPROP, a, "iri", True))
+        for a, b in sc:
+            for c, d in sc:
+                if b == c and a != d:
+                    new.add((a, RDFS_SUBCLASS, d, "iri", True))
+        for a, b in sp:
+            for c, d in sp:
+                if b == c and a != d:
+                    new.add((a, RDFS_SUBPROP, d, "iri", True))
+        by_pred = {}
+        for s, p, o, dt, is_iri in facts:
+            by_pred.setdefault(p, set()).add((s, o, dt, is_iri))
+        for s, p, o, dt, is_iri in list(facts):
+            for a, b in sp:
+                if p == a:
+                    new.add((s, b, o, dt, is_iri))
+            for a, b in inv:
+                if p == a and is_iri:
+                    new.add((o, b, s, "iri", True))
+            for a, b in dom:
+                if p == a:
+                    new.add((s, RDF_TYPE, b, "iri", True))
+            for a, b in rng:
+                if p == a and is_iri:
+                    new.add((o, RDF_TYPE, b, "iri", True))
+            if p == RDF_TYPE and is_iri:
+                for a, b in sc:
+                    if o == a:
+                        new.add((s, RDF_TYPE, b, "iri", True))
+        for t in trans:
+            pairs = {(s, o) for s, o, _, ii in by_pred.get(t, ()) if ii}
+            for a, b in pairs:
+                for c, d in pairs:
+                    if b == c and a != d:
+                        new.add((a, t, d, "iri", True))
+        if new <= facts:
+            return facts
+        facts |= new
+
+
+TBOX = [
+    iri("parentOf", OWL_INVERSE, "childOf"),
+    iri("parentOf", RDFS_SUBPROP, "ancestorOf"),
+    iri("ancestorOf", RDF_TYPE, OWL_TRANSITIVE),
+    iri("knows", RDF_TYPE, OWL_SYMMETRIC),
+    iri("Manager", OWL_EQ_CLASS, "Boss"),
+    iri("parentOf", RDFS_DOMAIN, "Person"),
+]
+ABOX = [
+    iri("a", "parentOf", "b"),
+    iri("b", "parentOf", "c"),
+    iri("a", "knows", "d"),
+    iri("d", RDF_TYPE, "Manager"),
+    lit("a", "name", "Alice"),
+]
+
+
+def test_matches_python_fixpoint_on_demo_graph(spark):
+    out = rows(owl_closure(triples_df(spark, TBOX + ABOX)))
+    assert out == py_fixpoint(TBOX + ABOX)
+
+
+def test_each_owl_rule_fires(spark):
+    out = rows(owl_closure(triples_df(spark, TBOX + ABOX)))
+    # inverseOf swap
+    assert iri("b", "childOf", "a") in out
+    # symmetric swap
+    assert iri("d", "knows", "a") in out
+    # rdfs7 up into the transitive property, then its closure
+    assert iri("a", "ancestorOf", "b") in out
+    assert iri("a", "ancestorOf", "c") in out
+    # equivalentClass → both subClassOf directions → rdfs9
+    assert iri("d", RDF_TYPE, "Boss") in out
+    assert iri("Manager", RDFS_SUBCLASS, "Boss") in out
+    assert iri("Boss", RDFS_SUBCLASS, "Manager") in out
+    # domain typing still applies (ρdf core intact)
+    assert iri("a", RDF_TYPE, "Person") in out
+
+
+def test_entailed_only_excludes_asserted(spark):
+    ent = rows(
+        owl_closure(triples_df(spark, TBOX + ABOX), include_asserted=False)
+    )
+    for t in TBOX + ABOX:
+        assert t not in ent
+    assert iri("a", "ancestorOf", "c") in ent
+
+
+def test_equivalent_property_bridges_facts(spark):
+    tb = [iri("p", OWL_EQ_PROP, "q"), iri("q", RDF_TYPE, OWL_TRANSITIVE)]
+    ab = [iri("x", "p", "y"), iri("y", "q", "z")]
+    out = rows(owl_closure(triples_df(spark, tb + ab)))
+    assert out == py_fixpoint(tb + ab)
+    # p-facts become q-facts, q's closure chains through them, and the
+    # derived q-facts flow back to p through the other equivalence leg.
+    assert iri("x", "q", "z") in out
+    assert iri("x", "p", "z") in out
+
+
+def test_transitive_inverse_feedback_cycle(spark):
+    # two transitive predicates declared inverses of each other: each
+    # closure feeds the other — the driver analysis must detect the cycle
+    # and iterate to the true fixpoint.
+    tb = [
+        iri("before", OWL_INVERSE, "after"),
+        iri("before", RDF_TYPE, OWL_TRANSITIVE),
+        iri("after", RDF_TYPE, OWL_TRANSITIVE),
+    ]
+    ab = [
+        iri("t1", "before", "t2"),
+        iri("t3", "after", "t2"),  # i.e. t2 before t3
+        iri("t3", "before", "t4"),
+    ]
+    out = rows(owl_closure(triples_df(spark, tb + ab)))
+    assert out == py_fixpoint(tb + ab)
+    assert iri("t1", "before", "t4") in out
+    assert iri("t4", "after", "t1") in out
+
+
+def test_symmetric_transitive_connected_cluster(spark):
+    tb = [
+        iri("near", RDF_TYPE, OWL_SYMMETRIC),
+        iri("near", RDF_TYPE, OWL_TRANSITIVE),
+    ]
+    ab = [iri("p1", "near", "p2"), iri("p3", "near", "p2")]
+    out = rows(owl_closure(triples_df(spark, tb + ab)))
+    assert out == py_fixpoint(tb + ab)
+    # symmetric+transitive ⇒ the component saturates (minus reflexive)
+    assert iri("p1", "near", "p3") in out
+    assert iri("p3", "near", "p1") in out
+
+
+def test_external_schema_leaves_tbox_out(spark):
+    sch = triples_df(spark, TBOX)
+    data = triples_df(spark, ABOX)
+    out = rows(owl_closure(data, schema=sch))
+    assert iri("b", "childOf", "a") in out
+    assert iri("Manager", RDFS_SUBCLASS, "Boss") not in out
+    assert iri("parentOf", OWL_INVERSE, "childOf") not in out
+
+
+def test_meta_subproperty_rejected(spark):
+    bad = [iri("p", RDFS_SUBPROP, OWL_INVERSE)]
+    with pytest.raises(ValueError, match="schema vocabulary"):
+        owl_closure(triples_df(spark, bad + ABOX)).collect()
+
+
+def test_literal_objects_never_swap(spark):
+    tb = [iri("alias", RDF_TYPE, OWL_SYMMETRIC)]
+    ab = [lit("a", "alias", "Bob")]
+    out = rows(owl_closure(triples_df(spark, tb + ab)))
+    assert out == py_fixpoint(tb + ab)
+    assert not any(s == "Bob" for s, *_ in out)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_random_graph_equivalence(spark, seed):
+    rnd = random.Random(seed)
+    preds = [f"p{i}" for i in range(6)]
+    classes = [f"C{i}" for i in range(5)]
+    nodes = [f"n{i}" for i in range(12)]
+    tb = []
+    for _ in range(4):
+        a, b = rnd.sample(preds, 2)
+        tb.append(iri(a, RDFS_SUBPROP, b))
+    for _ in range(2):
+        a, b = rnd.sample(preds, 2)
+        tb.append(iri(a, rnd.choice([OWL_INVERSE, OWL_EQ_PROP]), b))
+    for p in rnd.sample(preds, 3):
+        tb.append(iri(p, RDF_TYPE, rnd.choice([OWL_SYMMETRIC, OWL_TRANSITIVE])))
+    for _ in range(3):
+        a, b = rnd.sample(classes, 2)
+        tb.append(iri(a, rnd.choice([RDFS_SUBCLASS, OWL_EQ_CLASS]), b))
+    tb.append(iri(rnd.choice(preds), RDFS_DOMAIN, rnd.choice(classes)))
+    tb.append(iri(rnd.choice(preds), RDFS_RANGE, rnd.choice(classes)))
+    ab = []
+    for _ in range(25):
+        s, o = rnd.sample(nodes, 2)
+        ab.append(iri(s, rnd.choice(preds), o))
+    for _ in range(4):
+        ab.append(iri(rnd.choice(nodes), RDF_TYPE, rnd.choice(classes)))
+    for _ in range(3):
+        ab.append(lit(rnd.choice(nodes), rnd.choice(preds), f"v{rnd.randint(0, 5)}"))
+    facts = sorted(set(tb + ab))
+    assert rows(owl_closure(triples_df(spark, facts))) == py_fixpoint(facts)
