@@ -53,8 +53,18 @@ the common exploratory forms):
   - ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (…) … }`` inline data
     (``UNDEF`` → null), compiled to a literal DataFrame join — at scale
     this is the broadcast-join idiom for "restrict to this ID list"
-  - ``FILTER ( expr )`` with ``= != < <= > >= && || !``, ``regex(?v,
-    "pat")``, ``bound(?v)``, ``isIRI(?v)``, ``isLiteral(?v)``, ``str(?v)``
+  - ``FILTER ( expr )`` with ``= != < <= > >= && || !``, arithmetic
+    ``+ - * /`` (operands coerced to double), ``regex(?v, "pat")``,
+    ``bound(?v)``, ``isIRI(?v)``, ``isLiteral(?v)``, ``str(?v)``, and the
+    SPARQL 1.1 builtins ``STRLEN UCASE LCASE CONCAT SUBSTR STRSTARTS
+    STRENDS CONTAINS STRBEFORE STRAFTER REPLACE ABS CEIL FLOOR ROUND IF
+    COALESCE`` — all compiled to JVM expressions, no Python in the row path
+  - ``BIND ( expr AS ?var )`` — extends each solution with a computed
+    literal binding (stored lexically like every binding, datatype in the
+    companion column so CONSTRUCT emits a typed literal); applied after
+    the group's pattern joins and before FILTER/negation, rebinding a
+    bound variable is an error per spec, and a group of only BINDs
+    extends the unit solution
   - a group of only OPTIONALs extends the spec's unit solution (one empty
     mapping), and an OPTIONAL sharing no variables is a true left join —
     the left row survives an empty inner group (both shapes appear in the
@@ -118,7 +128,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<KEYWORD>[A-Za-z][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|&&|\|\||[=<>!{}().;,*+/^|])
+  | (?P<OP><=|>=|!=|&&|\|\||[=<>!{}().;,*+/^|-])
     """,
     re.VERBOSE,
 )
@@ -174,11 +184,12 @@ class Group:
     minuses: list = field(default_factory=list)    # Group (MINUS)
     exists: list = field(default_factory=list)     # Group (FILTER EXISTS)
     not_exists: list = field(default_factory=list)  # Group (FILTER NOT EXISTS)
+    binds: list = field(default_factory=list)      # (expr AST, var) pairs
 
     def is_plain_triples(self) -> bool:
         return not (self.optionals or self.filters or self.unions
                     or self.values or self.minuses or self.exists
-                    or self.not_exists)
+                    or self.not_exists or self.binds)
 
 
 @dataclass
@@ -476,6 +487,20 @@ class _Parser:
                 self.next()
                 g.values.append(self.values_block())
                 continue
+            if k == "KEYWORD" and v.upper() == "BIND":
+                self.next()
+                self.expect("(")
+                e = self.expr()
+                if not self.kw("AS"):
+                    raise SparqlError("expected AS in BIND(expr AS ?var)")
+                t = self.term()
+                if t.kind != "var":
+                    raise SparqlError("BIND target must be a variable")
+                self.expect(")")
+                g.binds.append((e, t.value))
+                if self.peek()[1] == ".":
+                    self.next()
+                continue
             if v == "{":  # { … } UNION { … } [UNION { … }]*
                 alts = [self.group()]
                 while self.kw("UNION"):
@@ -619,25 +644,44 @@ class _Parser:
         return self.expr_cmp()
 
     def expr_cmp(self):
-        left = self.primary()
+        left = self.expr_add()
         k, v = self.peek()
         if v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            right = self.primary()
+            right = self.expr_add()
             return ("cmp", v, left, right)
         return ("truthy", left)
 
+    def expr_add(self):
+        node = self.expr_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = ("arith", op, node, self.expr_mul())
+        return node
+
+    def expr_mul(self):
+        node = self.primary()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = ("arith", op, node, self.primary())
+        return node
+
+    _FUNCS = (
+        "regex", "bound", "isiri", "isliteral", "str",
+        "strlen", "ucase", "lcase", "concat", "substr",
+        "strstarts", "strends", "contains", "strbefore", "strafter",
+        "replace", "abs", "ceil", "floor", "round", "if", "coalesce",
+    )
+
     def primary(self):
         k, v = self.peek()
-        if k == "KEYWORD" and v.lower() in (
-            "regex", "bound", "isiri", "isliteral", "str"
-        ):
+        if k == "KEYWORD" and v.lower() in self._FUNCS:
             fn = self.next()[1].lower()
             self.expect("(")
-            args = [self.expr() if fn == "str" else ("term", self.term())]
+            args = [self.expr()]
             while self.peek()[1] == ",":
                 self.next()
-                args.append(("term", self.term()))
+                args.append(self.expr())
             self.expect(")")
             return ("fn", fn, args)
         if v == "(":
@@ -909,7 +953,7 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
         vdf = _values_df(triples.sparkSession, vars_, rows)
         acc, bound = _merge(acc, bound, vdf, set(vars_))
     if acc is None:
-        if not (g.optionals or g.exists or g.not_exists):
+        if not (g.optionals or g.exists or g.not_exists or g.binds):
             raise SparqlError("empty graph pattern")
         # the spec's unit solution: a group of only OPTIONALs/negation
         # extends one empty mapping (the reference's KPI-data query shape)
@@ -919,6 +963,21 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
     for og in g.optionals:
         odf, ovars = _join_group(triples, og)
         acc, bound = _merge(acc, bound, odf, ovars, how="left")
+    for bexpr, bvar in g.binds:
+        # BIND extends each solution with a computed literal binding.  It is
+        # applied after the group's pattern joins (so it may reference any
+        # variable the group binds) and before FILTER/negation; the value is
+        # stored lexically (string) like every binding, with its dtype in
+        # the companion column so CONSTRUCT emits a typed literal.
+        if bvar in bound:
+            raise SparqlError(f"BIND would rebind already-bound ?{bvar}")
+        col = _compile_expr(bexpr, bound, set(acc.columns))
+        acc = (
+            acc.withColumn(bvar, col.cast("string"))
+            .withColumn(_m_iri(bvar), F.lit(False))
+            .withColumn(_m_dt(bvar), F.lit(_expr_dtype(bexpr)))
+        )
+        bound = bound | {bvar}
     for mg in g.minuses:
         mdf, mvars = _join_group(triples, mg)
         shared = sorted(bound & mvars)
@@ -955,6 +1014,61 @@ def _compile_term(t: Term, bound: set, numeric: bool = False):
     return F.lit(t.value)
 
 
+_BOOL_FNS = ("regex", "bound", "isiri", "isliteral",
+             "strstarts", "strends", "contains")
+
+
+def _expr_dtype(node) -> str:
+    """Static datatype of a BIND expression for the companion column."""
+    if node[0] == "truthy":
+        return _expr_dtype(node[1])
+    if node[0] in ("or", "and", "not", "cmp"):
+        return "boolean"
+    if node[0] == "arith":
+        return "double"
+    if node[0] == "fn":
+        fn = node[1]
+        if fn in _BOOL_FNS:
+            return "boolean"
+        if fn in ("strlen", "ceil", "floor", "round"):
+            return "long"
+        if fn == "abs":
+            return "double"
+        if fn == "if":
+            return _expr_dtype(node[2][1])
+        if fn == "coalesce":
+            return _expr_dtype(node[2][0])
+        return "string"
+    if node[0] == "term":
+        t = node[1]
+        return {"num": "double", "bool": "boolean"}.get(t.kind, "string")
+    return "string"
+
+
+def _unwrap_term(node) -> Term | None:
+    """Peel ``truthy`` wrappers; return the underlying Term or None."""
+    while node[0] == "truthy":
+        node = node[1]
+    return node[1] if node[0] == "term" else None
+
+
+def _is_numeric_node(node) -> bool:
+    if node[0] == "truthy":
+        return _is_numeric_node(node[1])
+    if node[0] == "arith":
+        return True
+    if node[0] == "fn":
+        return node[1] in ("strlen", "abs", "ceil", "floor", "round")
+    return node[0] == "term" and node[1].kind == "num"
+
+
+def _lit_str(node, what: str) -> str:
+    t = _unwrap_term(node)
+    if t is None or t.kind != "str":
+        raise SparqlError(f"{what} must be a string literal")
+    return t.value
+
+
 def _compile_expr(node, bound: set, meta: set = frozenset()) -> Column:
     op = node[0]
     if op == "or":
@@ -967,27 +1081,35 @@ def _compile_expr(node, bound: set, meta: set = frozenset()) -> Column:
         return _compile_expr(node[1], bound, meta)
     if op == "cmp":
         _, sym, ln, rn = node
-        numeric = any(
-            n[0] == "term" and n[1].kind == "num" for n in (ln, rn)
-        )
+        numeric = any(_is_numeric_node(n) for n in (ln, rn))
         lc = _compile_operand(ln, bound, numeric, meta)
         rc = _compile_operand(rn, bound, numeric, meta)
         return {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[sym]
+    if op == "arith":
+        _, sym, ln, rn = node
+        lc = _compile_operand(ln, bound, True, meta)
+        rc = _compile_operand(rn, bound, True, meta)
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+        }[sym]
     if op == "fn":
         _, fn, args = node
+
+        def S(i):  # string-typed operand
+            return _compile_operand(args[i], bound, False, meta)
+
+        def N(i):  # numeric-typed operand
+            return _compile_operand(args[i], bound, True, meta)
+
         if fn == "regex":
-            v = _compile_operand(args[0], bound, False, meta)
-            pat = args[1][1]
-            if pat.kind != "str":
-                raise SparqlError("regex() pattern must be a string literal")
-            return v.rlike(pat.value)
+            return S(0).rlike(_lit_str(args[1], "regex() pattern"))
         if fn == "bound":
-            return _compile_operand(args[0], bound, False, meta).isNotNull()
+            return S(0).isNotNull()
         if fn in ("isiri", "isliteral"):
-            t = args[0][1] if args[0][0] == "term" else None
+            t = _unwrap_term(args[0])
             if t is not None and t.kind == "var" and _m_iri(t.value) in meta:
                 # the binding's real IRI flag, carried from the scan;
                 # unbound (null) is neither an IRI nor a literal
@@ -999,12 +1121,66 @@ def _compile_expr(node, bound: set, meta: set = frozenset()) -> Column:
             if t is not None and t.kind in ("str", "num", "bool"):
                 return F.lit(fn == "isliteral")
             # fallback (e.g. HAVING scope): approximate by lexical shape
-            shaped = _compile_operand(args[0], bound, False, meta).rlike(
-                "^[a-z][a-z0-9+.-]*:"
-            )
+            shaped = S(0).rlike("^[a-z][a-z0-9+.-]*:")
             return shaped if fn == "isiri" else ~shaped
         if fn == "str":
-            return _compile_operand(args[0], bound, False, meta).cast("string")
+            return S(0).cast("string")
+        if fn == "strlen":
+            return F.length(S(0))
+        if fn == "ucase":
+            return F.upper(S(0))
+        if fn == "lcase":
+            return F.lower(S(0))
+        if fn == "concat":
+            return F.concat(*[S(i) for i in range(len(args))])
+        if fn == "substr":
+            # SPARQL SUBSTR is 1-based like Spark substring
+            pos = _unwrap_term(args[1])
+            if pos is None or pos.kind != "num":
+                raise SparqlError("SUBSTR position must be a numeric literal")
+            if len(args) > 2:
+                ln = _unwrap_term(args[2])
+                if ln is None or ln.kind != "num":
+                    raise SparqlError("SUBSTR length must be a numeric literal")
+                return F.substring(S(0), int(float(pos.value)), int(float(ln.value)))
+            return F.substring(S(0), int(float(pos.value)), 2**31 - 1)
+        if fn == "strstarts":
+            return S(0).startswith(S(1))
+        if fn == "strends":
+            return S(0).endswith(S(1))
+        if fn == "contains":
+            return S(0).contains(S(1))
+        if fn in ("strbefore", "strafter"):
+            needle = _lit_str(args[1], f"{fn.upper()} needle")
+            s = S(0)
+            pos = F.locate(needle, s)
+            if fn == "strbefore":
+                hit = F.substring_index(s, needle, 1)
+            else:
+                # everything after the FIRST occurrence (spec)
+                hit = s.substr(pos + F.lit(len(needle)), F.length(s))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if fn == "replace":
+            return F.regexp_replace(
+                S(0),
+                _lit_str(args[1], "REPLACE pattern"),
+                _lit_str(args[2], "REPLACE replacement"),
+            )
+        if fn == "abs":
+            return F.abs(N(0))
+        if fn == "ceil":
+            return F.ceil(N(0))
+        if fn == "floor":
+            return F.floor(N(0))
+        if fn == "round":
+            return F.round(N(0), 0)
+        if fn == "if":
+            return F.when(
+                _compile_expr(args[0], bound, meta), S(1)
+            ).otherwise(S(2))
+        if fn == "coalesce":
+            return F.coalesce(*[S(i) for i in range(len(args))])
+        raise SparqlError(f"unsupported function {fn}()")
     if op == "term":
         return _compile_term(node[1], bound)
     raise SparqlError(f"unsupported filter expression {node!r}")

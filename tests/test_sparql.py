@@ -534,3 +534,129 @@ def test_not_exists_after_optional_and_filter_interplay(graph):
         }} ORDER BY ?n
     """).collect()
     assert [(r["n"], r["a"]) for r in out] == [("Ada", "36"), ("Grace", "41")]
+
+
+# --- BIND + expression functions ---------------------------------------------
+
+
+def test_bind_arithmetic_and_precedence(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?x WHERE {{
+          ?s ex:name ?n ; ex:age ?a .
+          BIND(?a * 2 + 1 AS ?x)
+        }} ORDER BY ?n
+    """).collect()
+    assert [(r["n"], r["x"]) for r in out] == [("Ada", "73.0"), ("Grace", "83.0")]
+
+
+def test_bind_string_functions(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?u ?l ?ln ?sub ?cat WHERE {{
+          ?s ex:name ?n .
+          FILTER(?n = "Grace")
+          BIND(UCASE(?n) AS ?u)
+          BIND(LCASE(?n) AS ?l)
+          BIND(STRLEN(?n) AS ?ln)
+          BIND(SUBSTR(?n, 2, 3) AS ?sub)
+          BIND(CONCAT(?n, "-", ?n) AS ?cat)
+        }}
+    """).collect()
+    r = out[0]
+    assert (r["u"], r["l"], r["ln"], r["sub"], r["cat"]) == (
+        "GRACE", "grace", "5", "rac", "Grace-Grace"
+    )
+
+
+def test_bind_conditional_and_tests(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?tag WHERE {{
+          ?s ex:name ?n .
+          BIND(IF(STRSTARTS(?n, "A"), "vowel", "other") AS ?tag)
+        }} ORDER BY ?n
+    """).collect()
+    assert [(r["n"], r["tag"]) for r in out] == [
+        ("Ada", "vowel"), ("Grace", "other"), ("Linus", "other")
+    ]
+
+
+def test_bind_strbefore_strafter_replace(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?b ?a ?r WHERE {{
+          ?s ex:name ?n .
+          FILTER(?n = "Grace")
+          BIND(STRBEFORE(?n, "ac") AS ?b)
+          BIND(STRAFTER(?n, "ac") AS ?a)
+          BIND(REPLACE(?n, "[aeiou]", "_") AS ?r)
+        }}
+    """).collect()
+    assert [(r["b"], r["a"], r["r"]) for r in out] == [("Gr", "e", "Gr_c_")]
+
+
+def test_strbefore_strafter_absent_needle_empty(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?b ?a WHERE {{
+          ?s ex:name ?n . FILTER(?n = "Ada")
+          BIND(STRBEFORE(?n, "zz") AS ?b)
+          BIND(STRAFTER(?n, "zz") AS ?a)
+        }}
+    """).collect()
+    assert [(r["b"], r["a"]) for r in out] == [("", "")]
+
+
+def test_filter_numeric_functions(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n ; ex:age ?a .
+          FILTER(FLOOR(?a / 10) = 4 && ABS(?a - 50) < 10)
+        }}
+    """).collect()
+    assert [r["n"] for r in out] == ["Grace"]
+
+
+def test_bind_coalesce_over_optional(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n ?aa WHERE {{
+          ?s ex:name ?n .
+          OPTIONAL {{ ?s ex:age ?a }}
+          BIND(COALESCE(?a, "unknown") AS ?aa)
+        }} ORDER BY ?n
+    """).collect()
+    assert [(r["n"], r["aa"]) for r in out] == [
+        ("Ada", "36"), ("Grace", "41"), ("Linus", "unknown")
+    ]
+
+
+def test_bind_var_usable_in_filter_and_isliteral(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{
+          ?s ex:name ?n .
+          BIND(STRLEN(?n) AS ?ln)
+          FILTER(?ln >= 5 && isLiteral(?ln))
+        }} ORDER BY ?n
+    """).collect()
+    assert [r["n"] for r in out] == ["Grace", "Linus"]
+
+
+def test_bind_rebinding_rejected(graph):
+    with pytest.raises(SparqlError, match="rebind"):
+        sparql_select(graph, f"""
+            PREFIX ex: <{EX}>
+            SELECT ?n WHERE {{
+              ?s ex:name ?n . BIND(UCASE(?n) AS ?n)
+            }}
+        """).collect()
+
+
+def test_bind_extends_unit_solution(graph):
+    out = sparql_select(graph, """
+        SELECT ?x WHERE { BIND(1 + 2 AS ?x) }
+    """).collect()
+    assert [r["x"] for r in out] == ["3.0"]
