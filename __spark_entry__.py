@@ -3120,6 +3120,125 @@ def _kg_pagerank(spark, sf_dir):
     )
 
 
+def _kg_ppr(spark, sf_dir):
+    """Personalized PageRank (kgforge.kg.pagerank.personalized_pagerank) —
+    random walk with restarts into a 2-entity seed set (the min- and
+    max-eid nodes of the co-mention graph: deterministic in both engines),
+    5 rounds over the same prominence-directed graph as kg_pagerank.
+    Teleport and dangling mass concentrate on the seed distribution, so the
+    oracle's unrolled iterations diverge from plain PageRank's from round
+    zero."""
+    from kgforge.kg.pagerank import personalized_pagerank
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    mc = links.groupBy("eid").agg(F.count(F.lit(1)).alias("mc"))
+    ma = mc.select(F.col("eid").alias("ea"), F.col("mc").alias("mca"))
+    mb = mc.select(F.col("eid").alias("eb"), F.col("mc").alias("mcb"))
+    lesser_first = (F.col("mca") < F.col("mcb")) | (
+        (F.col("mca") == F.col("mcb")) & (F.col("ea") < F.col("eb"))
+    )
+    edges = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .join(F.broadcast(ma), "ea")
+        .join(F.broadcast(mb), "eb")
+        .select(
+            F.when(lesser_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+            F.when(lesser_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    seeds = edges.select(
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
+        F.greatest(F.max("src"), F.max("dst")).alias("hi"),
+    ).collect()[0]
+    ranks = personalized_pagerank(
+        edges, [seeds["lo"], seeds["hi"]],
+        iterations=_PR_ITER, damping=_PR_DAMP,
+    )
+    links.unpersist()
+    counts.unpersist()
+    edges.unpersist()
+    return ranks.select(
+        F.col("node").alias("eid"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _kg_ppr_oracle() -> str:
+    d = _PR_DAMP
+    prev = "r0"
+    iters = []
+    for i in range(1, _PR_ITER + 1):
+        iters.append(f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {d}) * n.p
+         + {d} * (coalesce(s.inflow, 0)
+                  + (SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                     WHERE r.node NOT IN (SELECT src FROM deg)) * n.p) AS rank
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS inflow
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+mc AS MATERIALIZED (SELECT eid, count(*) AS mc FROM de GROUP BY eid),
+edges AS MATERIALIZED (
+  SELECT DISTINCT
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN ea ELSE eb END AS src,
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN eb ELSE ea END AS dst
+  FROM ecounts
+  JOIN mc ma ON ma.eid = ea
+  JOIN mc mb ON mb.eid = eb
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+seeds AS MATERIALIZED (
+  SELECT min(node) AS node FROM nodes UNION SELECT max(node) FROM nodes
+),
+pnodes AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT count(*) FROM seeds) END AS p
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, p AS rank FROM pnodes),
+{chain}
+SELECT node AS eid, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 def _kg_triangles(spark, sf_dir):
     """Triangle count (kg/triangles.py degree-oriented wedge join) over the
     above-mean co-mention graph — same kept pair set as kg_pagerank,
@@ -3250,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
@@ -5077,6 +5197,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY segment
         """,
         "kg_pagerank": _kg_pagerank_oracle(),
+        "kg_ppr": _kg_ppr_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker

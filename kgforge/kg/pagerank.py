@@ -142,3 +142,130 @@ def pagerank(
     e_deg.unpersist()
     e.unpersist()
     return ranks
+
+
+def _driver_ppr(rows, srcs, iterations: int, damping: float) -> list[tuple]:
+    """numpy mirror of the distributed personalized loop."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in rows} | {v for _, v in rows})
+    idx = {x: i for i, x in enumerate(nodes)}
+    n = len(nodes)
+    src = np.fromiter((idx[u] for u, _ in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[v] for _, v in rows), dtype=np.int64, count=len(rows))
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    present = [s for s in srcs if s in idx]
+    p = np.zeros(n)
+    for s in present:
+        p[idx[s]] = 1.0 / len(present)
+    r = p.copy()
+    dangling = outdeg == 0
+    for _ in range(iterations):
+        inflow = np.bincount(dst, weights=r[src] / outdeg[src], minlength=n)
+        dm = r[dangling].sum()
+        r = (1.0 - damping) * p + damping * (inflow + dm * p)
+    return [(nodes[i], float(r[i])) for i in range(n)]
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    driver_threshold: int = 0,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: random walk with restarts
+    into ``sources`` — rank' = (1-d)·p + d·(Σ_in rank/outdeg + dangling·p),
+    where p is uniform over the source set (Haveliwala 2002, public).  The
+    ranking a KG user runs to score entities by proximity to a seed set
+    (e.g. "entities related to these documents' topics").
+
+    ``sources`` is a list of node ids or a single-column DataFrame.  Sources
+    absent from the graph are ignored (p renormalizes over the present
+    ones); an empty intersection raises.  Same execution strategy and scale
+    shape as :func:`pagerank` — the only structural difference is that the
+    teleport and dangling terms concentrate on p instead of 1/N, which is a
+    broadcast flag join, not a new shuffle.
+    """
+    spark = edges.sparkSession
+    if isinstance(sources, DataFrame):
+        s_list = [r[0] for r in sources.distinct().collect()]
+    else:
+        s_list = list(dict.fromkeys(sources))
+    if not s_list:
+        raise ValueError("personalized_pagerank: empty source set")
+
+    if driver_threshold > 0 and (n_edges is None or n_edges <= driver_threshold):
+        fetched = edges.select(src, dst).limit(driver_threshold + 1).collect()
+        if len(fetched) <= driver_threshold:
+            rows = [(r[0], r[1]) for r in fetched]
+            dt = dict(edges.dtypes)[src]
+            if not rows:
+                return spark.createDataFrame([], f"node {dt}, rank double")
+            if not any(s in {u for u, _ in rows} | {v for _, v in rows} for s in s_list):
+                raise ValueError("personalized_pagerank: no source is in the graph")
+            return spark.createDataFrame(
+                _driver_ppr(rows, s_list, iterations, damping),
+                schema=f"node {dt}, rank double",
+            )
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    s_df = F.broadcast(
+        spark.createDataFrame([(s,) for s in s_list], ["node"]).distinct()
+    )
+    # p is a column on the node table: 1/|S∩V| on present sources, else 0
+    flagged = nodes.join(s_df.withColumn("_s", F.lit(True)), "node", "left")
+    n_s = flagged.filter(F.col("_s")).count()
+    if n_s == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("personalized_pagerank: no source is in the graph")
+    nodes_p = flagged.select(
+        "node",
+        F.when(F.col("_s"), F.lit(1.0 / n_s)).otherwise(F.lit(0.0)).alias("p"),
+    ).persist()
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    e_deg = e.join(outdeg, "src").persist()
+
+    ranks = nodes_p.select("node", F.col("p").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes_p.join(contrib, nodes_p["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.col("_dm") * F.col("p"))
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    nodes_p.unpersist()
+    outdeg.unpersist()
+    e_deg.unpersist()
+    e.unpersist()
+    return ranks

@@ -71,3 +71,93 @@ def test_driver_and_distributed_paths_agree(spark, graph):
     assert set(dist) == set(drv)
     for k in dist:
         assert drv[k] == pytest.approx(dist[k], abs=1e-9)
+
+
+# --- personalized PageRank ----------------------------------------------------
+
+
+def _numpy_ppr(edges, sources, iterations=5, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    present = [s for s in sources if s in idx]
+    p = np.zeros(n)
+    for s in present:
+        p[idx[s]] = 1.0 / len(present)
+    r = p.copy()
+    for _ in range(iterations):
+        inflow = np.zeros(n)
+        for u, v in edges:
+            inflow[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) * p + damping * (inflow + dangling * p)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_ppr_matches_numpy(spark, graph):
+    from kgforge.kg.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    srcs = [0, 5, 17]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, srcs, iterations=5).collect()
+    }
+    want = _numpy_ppr(graph, srcs, iterations=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_concentrates_near_sources(spark, graph):
+    from kgforge.kg.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [5], iterations=5).collect()
+    }
+    # the restart node itself dominates its own neighborhood walk
+    assert max(got, key=got.get) == 5
+
+
+def test_ppr_driver_and_distributed_agree(spark, graph):
+    from kgforge.kg.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    srcs = [3, 7]
+    dist = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, srcs, iterations=4).collect()
+    }
+    drv = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, srcs, iterations=4, driver_threshold=10**6
+        ).collect()
+    }
+    assert set(dist) == set(drv)
+    for k in dist:
+        assert dist[k] == pytest.approx(drv[k], abs=1e-12)
+
+
+def test_ppr_absent_sources_renormalize_and_empty_raises(spark, graph):
+    from kgforge.kg.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame(graph, "src bigint, dst bigint")
+    with_ghost = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [5, 10**9], iterations=3).collect()
+    }
+    only_real = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [5], iterations=3).collect()
+    }
+    for k in only_real:
+        assert with_ghost[k] == pytest.approx(only_real[k], abs=1e-12)
+    with pytest.raises(ValueError, match="source"):
+        personalized_pagerank(df, [10**9], iterations=2).collect()
