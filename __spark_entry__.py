@@ -3293,6 +3293,73 @@ JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
 """
 
 
+def _kg_nodesim(spark, sf_dir):
+    """Neighborhood-Jaccard node similarity (kg/nodesim.py) over the
+    above-mean co-mention graph — which canonical entities play the same
+    role (share co-mention neighborhoods) without ever materialising
+    zero-intersection pairs."""
+    from kgforge.kg.nodesim import node_similarity
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = node_similarity(kept).select(
+        "a", "b", "common", F.round("jaccard", 6).alias("jaccard")
+    )  # node_similarity localCheckpoints before returning
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_nodesim_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS w, b AS nb FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+cm AS MATERIALIZED (
+  SELECT l.nb AS a, r.nb AS b, count(*) AS c
+  FROM adj l JOIN adj r ON l.w = r.w AND l.nb < r.nb
+  GROUP BY 1, 2
+)
+SELECT cm.a, cm.b, CAST(cm.c AS BIGINT) AS common,
+       round(CAST(cm.c AS DOUBLE) / (da.deg + db.deg - cm.c), 6) AS jaccard
+FROM cm
+JOIN deg da ON da.w = cm.a
+JOIN deg db ON db.w = cm.b
+"""
+
+
 def _kg_pagerank_oracle() -> str:
     d = _PR_DAMP
     prev = "r0"
@@ -3371,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
+        "kg_nodesim": _kg_nodesim,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5199,6 +5267,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_oracle(),
         "kg_ppr": _kg_ppr_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
+        "kg_nodesim": _kg_nodesim_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
