@@ -3329,6 +3329,82 @@ def _kg_nodesim(spark, sf_dir):
     return result
 
 
+def _kg_communities(spark, sf_dir):
+    """Deterministic label-propagation communities (kg/communities.py) over
+    the above-mean co-mention graph — 4 synchronous self-vote rounds,
+    count-DESC/label-ASC tie-break; label = anchoring entity id."""
+    from kgforge.kg.communities import label_propagation
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = label_propagation(kept, iterations=4)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_communities_oracle(iterations: int = 4) -> str:
+    prev = "l0"
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""v{i} AS MATERIALIZED (
+  SELECT a.node, l.label FROM adj a JOIN {prev} l ON l.node = a.nbr
+  UNION ALL SELECT node, label FROM {prev}
+),
+c{i} AS MATERIALIZED (
+  SELECT node, label, count(*) AS c FROM v{i} GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+{chain}
+SELECT node, label FROM {prev}
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -3439,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
+        "kg_communities": _kg_communities,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5268,6 +5345,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _kg_ppr_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
+        "kg_communities": _kg_communities_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
