@@ -3405,6 +3405,79 @@ SELECT node, label FROM {prev}
 """
 
 
+def _kg_kcore(spark, sf_dir):
+    """2-core of the above-mean co-mention graph (kg/kcore.py iterative
+    peel to the fixpoint) — the dense backbone once pendant entities are
+    stripped; (node, deg) with within-core degrees."""
+    from kgforge.kg.kcore import k_core
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = k_core(kept, k=2)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    # R unrolled peel rounds; equals the Spark fixpoint whenever the peel
+    # converges within R (verified at the driver scales — the co-mention
+    # core stabilizes in <= 2 rounds; extra rounds are no-ops).
+    prev = "g0"
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY 1
+),
+g{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN d{i} da ON da.node = e.a
+  JOIN d{i} db ON db.node = e.b
+  WHERE da.deg >= {k} AND db.deg >= {k}
+)""")
+        prev = f"g{i}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+{chain}
+SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+) GROUP BY 1
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -3516,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
         "kg_communities": _kg_communities,
+        "kg_kcore": _kg_kcore,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5346,6 +5420,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_communities": _kg_communities_oracle(),
+        "kg_kcore": _kg_kcore_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
