@@ -3405,6 +3405,109 @@ SELECT node, label FROM {prev}
 """
 
 
+def _kg_hits(spark, sf_dir):
+    """HITS hubs & authorities (kg/hits.py, 5 L1-normalized rounds) over
+    the prominence-directed co-mention graph — same edge set as
+    kg_pagerank, so hub mass concentrates on low-prominence entities that
+    point at the heavily-mentioned authorities."""
+    from kgforge.kg.hits import hits
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    mc = links.groupBy("eid").agg(F.count(F.lit(1)).alias("mc"))
+    ma = mc.select(F.col("eid").alias("ea"), F.col("mc").alias("mca"))
+    mb = mc.select(F.col("eid").alias("eb"), F.col("mc").alias("mcb"))
+    lesser_first = (F.col("mca") < F.col("mcb")) | (
+        (F.col("mca") == F.col("mcb")) & (F.col("ea") < F.col("eb"))
+    )
+    edges = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .join(F.broadcast(ma), "ea")
+        .join(F.broadcast(mb), "eb")
+        .select(
+            F.when(lesser_first, F.col("ea")).otherwise(F.col("eb")).alias("src"),
+            F.when(lesser_first, F.col("eb")).otherwise(F.col("ea")).alias("dst"),
+        )
+        .distinct()
+    )
+    result = hits(edges, iterations=5)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result.select(
+        F.col("node").alias("eid"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
+def _kg_hits_oracle(iterations: int = 5) -> str:
+    prev_h = "h0"
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""a{i}raw AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS v
+  FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.v, 0) / (SELECT sum(v) FROM a{i}raw) AS auth
+  FROM nodes n LEFT JOIN a{i}raw r ON r.node = n.node
+),
+h{i}raw AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS v
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.v, 0) / (SELECT sum(v) FROM h{i}raw) AS hub
+  FROM nodes n LEFT JOIN h{i}raw r ON r.node = n.node
+)""")
+        prev_h = f"h{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+mc AS MATERIALIZED (SELECT eid, count(*) AS mc FROM de GROUP BY eid),
+edges AS MATERIALIZED (
+  SELECT DISTINCT
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN ea ELSE eb END AS src,
+    CASE WHEN ma.mc < mb.mc OR (ma.mc = mb.mc AND ea < eb)
+         THEN eb ELSE ea END AS dst
+  FROM ecounts
+  JOIN mc ma ON ma.eid = ea
+  JOIN mc mb ON mb.eid = eb
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS hub FROM nodes
+),
+{chain}
+SELECT h.node AS eid, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node
+"""
+
+
 def _kg_kcore(spark, sf_dir):
     """2-core of the above-mean co-mention graph (kg/kcore.py iterative
     peel to the fixpoint) — the dense backbone once pendant entities are
@@ -3590,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodesim": _kg_nodesim,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
+        "kg_hits": _kg_hits,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5421,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_communities": _kg_communities_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
+        "kg_hits": _kg_hits_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
