@@ -3581,6 +3581,94 @@ SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
 """
 
 
+def _kg_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (kg/walks.py) over the above-mean
+    co-mention graph — 2 hash-driven walks of 3 steps from every entity,
+    the node2vec/DeepWalk preprocessing output as a pure function of the
+    graph (exactly mirrorable in SQL)."""
+    from kgforge.kg.walks import random_walks
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = random_walks(kept, n_walks=2, length=3, seed=7)
+    result = result.localCheckpoint(eager=True)  # then release the caches
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_walks_oracle(n_walks: int = 2, length: int = 3, seed: int = 7) -> str:
+    code = _poly_sql("s.cur", 31)
+    parts = []
+    prev = "s0"
+    for i in range(1, length + 1):
+        parts.append(f"""s{i} AS MATERIALIZED (
+  SELECT s.start, s.walk, a.nbr AS cur
+  FROM {prev} s
+  JOIN deg d ON d.node = s.cur
+  JOIN adjn a ON a.node = s.cur
+   AND a.rn = ((({code}) * 1000003 + s.walk * 7777
+                + {i * 131 + seed}) % 2147483647) % d.deg
+)""")
+        prev = f"s{i}"
+    chain = ",\n".join(parts)
+    emits = "\nUNION ALL\n".join(
+        f"SELECT start, walk, CAST({i} AS BIGINT) AS step, cur AS node FROM s{i}"
+        for i in range(length + 1)
+    )
+    walk_ids = ", ".join(f"({w})" for w in range(n_walks))
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+adjn AS MATERIALIZED (
+  SELECT node, nbr,
+         CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) AS BIGINT) - 1
+           AS rn
+  FROM adj
+),
+s0 AS MATERIALIZED (
+  SELECT n.node AS start, CAST(w.walk AS BIGINT) AS walk, n.node AS cur
+  FROM (SELECT DISTINCT node FROM adj) n
+  CROSS JOIN (VALUES {walk_ids}) w(walk)
+),
+{chain}
+{emits}
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -3694,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
+        "kg_walks": _kg_walks,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5526,6 +5615,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _kg_communities_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),
+        "kg_walks": _kg_walks_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
