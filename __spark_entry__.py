@@ -3669,6 +3669,34 @@ s0 AS MATERIALIZED (
 """
 
 
+def _kg_void(spark, sf_dir):
+    """VoID-style property-partition profile (kg/voidstats.py) of the full
+    flagship triple table — per-predicate triple count + distinct
+    subject/object cardinalities, plus the '*' dataset total."""
+    from kgforge.kg.voidstats import void_statistics
+
+    return void_statistics(_kg_triples(spark, sf_dir))
+
+
+def _kg_void_oracle() -> str:
+    return f"""
+WITH allt AS (
+{_kg_triples_oracle()}
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj_value) AS BIGINT) AS n_objects
+FROM allt GROUP BY pred
+UNION ALL
+SELECT '*',
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT subj) AS BIGINT),
+       CAST(count(DISTINCT obj_value) AS BIGINT)
+FROM allt
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -3783,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
         "kg_walks": _kg_walks,
+        "kg_void": _kg_void,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5616,6 +5645,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "kg_void": _kg_void_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -50,6 +50,13 @@ the common exploratory forms):
     variables are not supported, and rows whose shared variable is unbound
     (from OPTIONAL) follow anti-join null semantics (kept) rather than the
     spec's unbound-is-compatible rule
+  - ``{ SELECT … }`` subqueries (SPARQL 1.1 §12): evaluated bottom-up,
+    only projected variables visible to the enclosing group (separate
+    scope for inner non-projected names per spec); aggregate /
+    DISTINCT / top-k (ORDER BY + LIMIT) subqueries all compile to the
+    same DataFrame shapes as top-level queries and merge into the outer
+    group as one more equi-join — the "join against a pre-aggregated
+    side" idiom Catalyst/AQE already plans well at scale
   - ``VALUES ?v { … }`` / ``VALUES (?a ?b) { (…) … }`` inline data
     (``UNDEF`` → null), compiled to a literal DataFrame join — at scale
     this is the broadcast-join idiom for "restrict to this ID list"
@@ -181,6 +188,7 @@ class Group:
     filters: list = field(default_factory=list)    # expr AST tuples
     unions: list = field(default_factory=list)     # list[list[Group]]
     values: list = field(default_factory=list)     # (vars, rows) blocks
+    subqueries: list = field(default_factory=list)  # Query ({ SELECT … })
     minuses: list = field(default_factory=list)    # Group (MINUS)
     exists: list = field(default_factory=list)     # Group (FILTER EXISTS)
     not_exists: list = field(default_factory=list)  # Group (FILTER NOT EXISTS)
@@ -189,7 +197,7 @@ class Group:
     def is_plain_triples(self) -> bool:
         return not (self.optionals or self.filters or self.unions
                     or self.values or self.minuses or self.exists
-                    or self.not_exists or self.binds)
+                    or self.not_exists or self.binds or self.subqueries)
 
 
 @dataclass
@@ -329,6 +337,16 @@ class _Parser:
                 raise SparqlError(f"trailing input at {v!r}")
             return Query([], False, where, [], [], [], None,
                          form="delete", template=template)
+        q = self.select_query()
+        k, v = self.next()
+        if k != "EOF":
+            raise SparqlError(f"trailing input at {v!r}")
+        return q
+
+    def select_query(self) -> Query:
+        """``SELECT … WHERE { … } [GROUP BY/HAVING/ORDER BY/LIMIT]`` — the
+        shared core of a top-level query and a ``{ SELECT … }`` subquery
+        (which stops at the enclosing ``}`` instead of EOF)."""
         if not self.kw("SELECT"):
             raise SparqlError(
                 "only SELECT/ASK/CONSTRUCT/DELETE queries are supported"
@@ -402,9 +420,6 @@ class _Parser:
             if k != "NUMBER":
                 raise SparqlError("LIMIT expects a number")
             limit = int(v)
-        k, v = self.next()
-        if k != "EOF":
-            raise SparqlError(f"trailing input at {v!r}")
         return Query(select, distinct, where, group_by, having, order_by, limit)
 
     def agg_item(self) -> Agg:
@@ -498,6 +513,16 @@ class _Parser:
                     raise SparqlError("BIND target must be a variable")
                 self.expect(")")
                 g.binds.append((e, t.value))
+                if self.peek()[1] == ".":
+                    self.next()
+                continue
+            if v == "{" and self.i + 1 < len(self.toks) and (
+                self.toks[self.i + 1][0] == "KEYWORD"
+                and self.toks[self.i + 1][1].upper() == "SELECT"
+            ):  # { SELECT … } subquery
+                self.next()
+                g.subqueries.append(self.select_query())
+                self.expect("}")
                 if self.peek()[1] == ".":
                     self.next()
                 continue
@@ -952,6 +977,9 @@ def _join_group(triples: DataFrame, g: Group) -> tuple[DataFrame, set]:
     for vars_, rows in g.values:
         vdf = _values_df(triples.sparkSession, vars_, rows)
         acc, bound = _merge(acc, bound, vdf, set(vars_))
+    for sq in g.subqueries:
+        sdf, svars = _subquery_df(triples, sq)
+        acc, bound = _merge(acc, bound, sdf, svars)
     if acc is None:
         if not (g.optionals or g.exists or g.not_exists or g.binds):
             raise SparqlError("empty graph pattern")
@@ -1193,7 +1221,8 @@ def _compile_operand(node, bound: set, numeric: bool, meta: set = frozenset()) -
     return c.cast("double") if numeric else c
 
 
-def _aggregate(acc: DataFrame, bound: set, q: Query) -> DataFrame:
+def _aggregate(acc: DataFrame, bound: set, q: Query,
+               with_companions: bool = False) -> DataFrame:
     """GROUP BY + aggregate projection → one hash-aggregate (map-side
     partials + one shuffle on the group keys — Catalyst's HashAggregate
     pair, the same physical shape a hand-written groupBy().agg() gets)."""
@@ -1235,13 +1264,70 @@ def _aggregate(acc: DataFrame, bound: set, q: Query) -> DataFrame:
             else:  # DISTINCT under min/max is a semantic no-op
                 c = getattr(F, a.fn)(col)
         exprs.append(c.alias(a.alias))
+    if with_companions:
+        # subquery exports: group keys keep their real companions (every
+        # row in a group shares the key's lexical form; first() resolves
+        # the rare same-lexical/different-type collision), aggregate
+        # aliases get derived ones (COUNT → xsd:integer, SUM/AVG →
+        # xsd:double, else string; never IRIs)
+        for kcol in keys:
+            exprs.append(F.first(F.col(_m_iri(kcol))).alias(_m_iri(kcol)))
+            exprs.append(F.first(F.col(_m_dt(kcol))).alias(_m_dt(kcol)))
     grouped = acc.groupBy(*keys) if keys else acc.groupBy()
     out = grouped.agg(*exprs)
+    if with_companions:
+        for a in (s for s in q.select if isinstance(s, Agg)):
+            dt = ("xsd:integer" if a.fn == "count"
+                  else "xsd:double" if a.fn in ("sum", "avg") else "string")
+            out = out.withColumn(_m_iri(a.alias), F.lit(False)).withColumn(
+                _m_dt(a.alias), F.lit(dt)
+            )
     out_cols = set(keys) | {a.alias for a in q.select if isinstance(a, Agg)}
     for h in q.having:
         out = out.filter(_compile_expr(h, out_cols))
     order = [s if isinstance(s, str) else s.alias for s in q.select]
+    if with_companions:
+        order = [c for v in order for c in (v, _m_iri(v), _m_dt(v))]
     return out.select(*order)
+
+
+def _subquery_df(triples: DataFrame, q: Query) -> tuple[DataFrame, set]:
+    """``{ SELECT … }`` subquery → (bindings DataFrame, exported vars).
+
+    Evaluated bottom-up per the SPARQL 1.1 spec: only PROJECTED variables
+    are visible to the enclosing group (inner non-projected variables,
+    even ones sharing a name with outer variables, are a separate scope —
+    the merge joins exclusively on exported names).  Exported bindings
+    carry companion columns so CONSTRUCT templates and isIRI() work on
+    subquery-bound variables.  ORDER BY inside a subquery matters only
+    with LIMIT (top-k per group of nothing — the solution SET is otherwise
+    order-free), so a bare ORDER BY is skipped rather than paying a global
+    sort the outer join would immediately destroy."""
+    if any(isinstance(s, ExistsProj) for s in q.select):
+        raise SparqlError("EXISTS projections are not supported in subqueries")
+    acc, bound = _join_group(triples, q.where)
+    aggs = [s for s in q.select if isinstance(s, Agg)]
+    if aggs or q.group_by:
+        out = _aggregate(acc, bound, q, with_companions=True)
+        names = [s if isinstance(s, str) else s.alias for s in q.select]
+    else:
+        if q.having:
+            raise SparqlError("HAVING requires GROUP BY or aggregates")
+        names = sorted(bound) if q.select == ["*"] else list(q.select)
+        missing = [v for v in names if v not in bound]
+        if missing:
+            raise SparqlError(f"SELECT references unbound variables: {missing}")
+        out = acc.select(*[c for v in names for c in (v, _m_iri(v), _m_dt(v))])
+    if q.distinct:
+        out = out.distinct()
+    if q.limit is not None:
+        if q.order_by:
+            out = out.orderBy(
+                *[F.col(v).asc() if asc else F.col(v).desc()
+                  for v, asc in q.order_by]
+            )
+        out = out.limit(q.limit)
+    return out, set(names)
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
