@@ -208,7 +208,7 @@ def _ivf_recall(spark, sf_dir: str, entrymod) -> float:
     return round(hit / tot, 4) if tot else 0.0
 
 
-def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
+def _anon_scale_run(spark, n: int = 1_000_000, kanon_only: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from kgforge.anonymize.buckets import calculate_number_of_buckets
@@ -242,6 +242,9 @@ def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
     k = k_anonymity(triples, T, [A], cfg, mode="ranges")
     out["kanon_ranges_1m_single_group"] = round(time.time() - t0, 3)
     out["kanon_ranges_1m_k"] = int(k)
+    if kanon_only:
+        triples.unpersist()
+        return out
     col_df = base.select(subj.alias("subj"), o.cast("string").alias("obj_value"))
     g = calculate_number_of_buckets(n, 1)
     t0 = time.time()
@@ -252,18 +255,29 @@ def _anon_scale_run(spark, n: int = 1_000_000) -> dict:
     return out
 
 
-def _kanon_scale_pair(n_rows: int = 4_000_000) -> dict:
+def _kanon_scale_pair(n_rows: int | None = None) -> dict:
     """Second N→4N scaling witness, over the ANONYMIZATION layer: the
     worst-skew k-anonymity job (1 generalization group, ranges mode) at
     local[2] vs local[8] on the same synthetic subjects.  Complements the
     KG-pipeline pair — the north rule's two-cluster-size criterion holds
-    for both halves of the engine."""
+    for both halves of the engine.
+
+    Sized like the KG pair: large enough that the job's fixed per-run cost
+    (~9-10 s of stage-scheduling barriers and offset/scalar collects,
+    fitted T(c) = F + W/c across rounds) does not dominate the 8-core leg.
+    At 4M rows F was 45% of the fast leg and capped measured efficiency at
+    ~0.66 regardless of how well the scaled work parallelized; at 16M rows
+    the parallel work is ~370 s and the same F costs <3% efficiency.  The
+    north-rule claim concerns the 10^12-subject regime where constants
+    vanish, so the evidence run must not be constant-dominated."""
+    if n_rows is None:
+        n_rows = int(os.environ.get("SPARK_GRAFT_ANON_SCALE_ROWS", "16000000"))
     out = {"n_rows": n_rows}
 
     def leg(cpus: int) -> dict:
         spark = _session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        r = _anon_scale_run(spark, n_rows)
+        r = _anon_scale_run(spark, n_rows, kanon_only=True)
         spark.stop()
         return r
 
@@ -272,14 +286,14 @@ def _kanon_scale_pair(n_rows: int = 4_000_000) -> dict:
         out[f"seconds_{cpus}c"] = r["kanon_ranges_1m_single_group"]
         out["k"] = r["kanon_ranges_1m_k"]
     # symmetric host-noise retake, same policy as the KG scaling pair: a
-    # throttled window on either leg fakes sub-0.8 OR super-linear numbers.
-    # The throttle bursts last minutes (phase-profiled: the identical stats
-    # stage read 30s@8c vs 13s@2c in one window), so keep retaking up to two
-    # more rounds while the ratio stays out of band; min() per leg keeps the
-    # cleanest measurement of each.
+    # throttled window on either leg fakes sub-target OR super-linear
+    # numbers.  The throttle bursts last minutes (phase-profiled: the
+    # identical stats stage read 30s@8c vs 13s@2c in one window), so keep
+    # retaking up to two more rounds while the ratio stays out of band;
+    # min() per leg keeps the cleanest measurement of each.
     for _ in range(3):
         eff0 = out["seconds_2c"] / out["seconds_8c"] / 4.0
-        if 0.85 <= eff0 <= 1.15:
+        if 0.8 <= eff0 <= 1.15:
             break
         for cpus in (2, 8):
             r = leg(cpus)
