@@ -1697,6 +1697,48 @@ def _url_domains(spark, sf_dir):
     )
 
 
+def _url_canonical(spark, sf_dir):
+    """URL-level dedup under canonicalization (datapipe/scrub.py
+    canonicalize_url): three deterministically injected raw spellings per
+    doc — uppercase host + default port + tracking params + fragment,
+    plain http with :80, and https with a utm param — where variants 0 and
+    2 collapse to one canonical form and the http spelling stays its own
+    group."""
+    from kgforge.datapipe.scrub import url_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://Site"), (d % 10).cast("string"),
+                F.lit(".ORG:443/p/"), (d % 7).cast("string"),
+                F.lit("?utm_source=t&id="), (d % 5).cast("string"),
+                F.lit("&fbclid=z#f"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("http://site"), (d % 10).cast("string"),
+                F.lit(".org:80/p/"), (d % 7).cast("string"),
+                F.lit("?id="), (d % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (d % 10).cast("string"),
+                F.lit(".org/p/"), (d % 7).cast("string"),
+                F.lit("?id="), (d % 5).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        )
+    )
+    return url_dedup(docs.select(d.alias("doc_id"), url.alias("url")),
+                     "doc_id", "url")
+
+
 def _normalize_text(spark, sf_dir):
     """Pre-tokenization cleanup over a corpus with deterministically
     injected control characters and whitespace runs (the synthetic text is
@@ -3860,6 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _repetition,
         "lm_xent": _lm_xent,
         "url_domains": _url_domains,
+        "url_canonical": _url_canonical,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5063,6 +5106,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)(/[^\s]*)?', 1) AS domain,
                count(*) AS n_urls, count(DISTINCT id) AS n_docs
         FROM u GROUP BY 1
+        """,
+        "url_canonical": r"""
+        WITH u AS (
+          SELECT doc_id AS id,
+            CASE CAST(doc_id % 3 AS INTEGER)
+              WHEN 0 THEN 'https://Site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.ORG:443/p/' || CAST(doc_id % 7 AS VARCHAR)
+                || '?utm_source=t&id=' || CAST(doc_id % 5 AS VARCHAR)
+                || '&fbclid=z#f'
+              WHEN 1 THEN 'http://site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.org:80/p/' || CAST(doc_id % 7 AS VARCHAR)
+                || '?id=' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.org/p/' || CAST(doc_id % 7 AS VARCHAR)
+                || '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+            END AS url
+          FROM documents
+        ), p AS (
+          SELECT id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+            regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM u
+        ), c AS (
+          SELECT id, url, scheme
+            || '://'
+            || CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                    ELSE host0 END
+            || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+            || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+          FROM (
+            SELECT *, array_to_string(list_filter(string_split(q, '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$')), '&') AS qs
+            FROM p
+          )
+        )
+        SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+               min(id) AS keep_id
+        FROM c GROUP BY 1
         """,
         "lm_xent": """
         WITH t AS (SELECT doc_id AS id, lower(text) AS t FROM documents),

@@ -150,6 +150,66 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# tracking params the canonicalizer strips (anchored; portable to DuckDB's
+# regexp_matches — no lookaround, no escape-processed classes)
+_TRACKING_PARAM = r"^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$"
+
+
+def canonicalize_url(col) -> "F.Column":
+    """URL column → canonical form: lowercased scheme and host, default
+    port stripped (:80 for http, :443 for https), empty path → ``/``,
+    tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+    ``ref``, ``mc_cid``, ``mc_eid``) with the remaining params kept in
+    their original order, fragment dropped.  The CommonCrawl/C4-style URL
+    dedup key.
+
+    Pure JVM regex + array expressions (whole-stage codegen, no Python);
+    every pattern avoids lookaround and escape-processed classes so the
+    DuckDB oracle runs the identical regexes.  Userinfo and IDN/percent
+    normalization are deliberately out of scope (they need a real URL
+    parser; at ingest scale that belongs in the decoder)."""
+    scheme = F.lower(F.regexp_extract(col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(
+        col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(col, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(canonical, n_urls, n_raw_forms, keep_id): URL-level dedup groups
+    under :func:`canonicalize_url` — ``n_raw_forms`` counts the distinct
+    raw spellings that collapsed, ``keep_id`` is the deterministic survivor
+    (min id).  One map-side-combinable groupBy; scale-safe."""
+    c = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        canonicalize_url(F.col(url_col)).alias("canonical"),
+    )
+    return c.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_raw_forms"),
+        F.min("id").alias("keep_id"),
+    )
+
+
 def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, normalized, n_controls, n_ws_runs): strip C0/DEL control
     characters (tab/newline become spaces first, so word boundaries

@@ -77,7 +77,11 @@ the common exploratory forms):
     the left row survives an empty inner group (both shapes appear in the
     reference's KPI-data template)
 - ``GROUP BY ?a ?b`` + ``HAVING ( expr )`` (expr over aliases/keys)
-- ``ORDER BY [ASC|DESC](?v) …`` and ``LIMIT n``
+- ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT n`` and ``OFFSET n`` (either
+  order; OFFSET without ORDER BY is implementation-defined per spec), and
+  the ``SAMPLE`` aggregate (deterministically narrowed to the group MIN,
+  like GROUP_CONCAT's sorted operands — documented divergences from
+  Jena's arbitrary pick)
 
 Aggregate typing over lexical bindings: ``COUNT`` counts non-null
 bindings; ``SUM``/``AVG`` cast operands with ``try_cast`` to double
@@ -230,6 +234,7 @@ class Query:
     limit: int | None
     form: str = "select"            # select | ask | construct
     template: Group | None = None   # construct template (patterns only)
+    offset: int | None = None       # OFFSET n (solution-slice skip)
 
 
 class _Parser:
@@ -414,13 +419,22 @@ class _Parser:
                 order_by.append((var.value, asc))
             if not order_by:
                 raise SparqlError("empty ORDER BY")
-        limit = None
-        if self.kw("LIMIT"):
-            k, v = self.next()
-            if k != "NUMBER":
-                raise SparqlError("LIMIT expects a number")
-            limit = int(v)
-        return Query(select, distinct, where, group_by, having, order_by, limit)
+        limit = offset = None
+        while True:  # LIMIT / OFFSET accepted in either order, per spec
+            if limit is None and self.kw("LIMIT"):
+                k, v = self.next()
+                if k != "NUMBER":
+                    raise SparqlError("LIMIT expects a number")
+                limit = int(v)
+            elif offset is None and self.kw("OFFSET"):
+                k, v = self.next()
+                if k != "NUMBER":
+                    raise SparqlError("OFFSET expects a number")
+                offset = int(v)
+            else:
+                break
+        return Query(select, distinct, where, group_by, having, order_by,
+                     limit, offset=offset)
 
     def agg_item(self) -> Agg:
         """``AGG([DISTINCT] ?v | *) AS ?alias`` — the '(' is consumed.
@@ -428,7 +442,7 @@ class _Parser:
         k, v = self.next()
         fn = v.lower()
         if k != "KEYWORD" or fn not in (
-            "count", "sum", "avg", "min", "max", "group_concat"
+            "count", "sum", "avg", "min", "max", "group_concat", "sample"
         ):
             raise SparqlError(f"expected aggregate function, got {v!r}")
         self.expect("(")
@@ -1261,6 +1275,12 @@ def _aggregate(acc: DataFrame, bound: set, q: Query,
             elif a.distinct and a.fn in ("sum", "avg"):
                 # SPARQL set semantics: dedup the numeric operand first
                 c = F.expr(f"{a.fn}(DISTINCT try_cast({a.arg} AS DOUBLE))")
+            elif a.fn == "sample":
+                # SAMPLE may return ANY value from the group per spec; pick
+                # min so the result is deterministic across engines and
+                # partitionings (a documented narrowing, like GROUP_CONCAT's
+                # sorted operands)
+                c = F.min(col)
             else:  # DISTINCT under min/max is a semantic no-op
                 c = getattr(F, a.fn)(col)
         exprs.append(c.alias(a.alias))
@@ -1320,13 +1340,16 @@ def _subquery_df(triples: DataFrame, q: Query) -> tuple[DataFrame, set]:
         out = acc.select(*[c for v in names for c in (v, _m_iri(v), _m_dt(v))])
     if q.distinct:
         out = out.distinct()
-    if q.limit is not None:
+    if q.limit is not None or q.offset:
         if q.order_by:
             out = out.orderBy(
                 *[F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in q.order_by]
             )
-        out = out.limit(q.limit)
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
     return out, set(names)
 
 
@@ -1381,6 +1404,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.orderBy(
             *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
         )
+    if q.offset:
+        # SPARQL slice: skip OFFSET solutions, then take LIMIT.  Without an
+        # ORDER BY the skipped prefix is implementation-defined, per spec.
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

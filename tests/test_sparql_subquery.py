@@ -118,3 +118,32 @@ def test_exists_projection_rejected_in_subquery(graph):
                  WHERE {{ ?d ex:author ?a }} }}
             }}
         """)
+
+
+def test_offset_and_sample(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?d WHERE {{ ?d ex:size ?s }} ORDER BY DESC(?s) LIMIT 1 OFFSET 1
+    """).collect()
+    assert [r["d"] for r in out] == [EX + "d3"]  # sizes 30, 20, 10
+
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?a (SAMPLE(?d) AS ?pick) WHERE {{ ?d ex:author ?a }}
+        GROUP BY ?a ORDER BY ?a
+    """).collect()
+    assert [(r["a"], r["pick"]) for r in out] == [
+        (EX + "a1", EX + "d1"),
+        (EX + "a2", EX + "d3"),
+    ]
+
+
+def test_offset_in_subquery(graph):
+    out = sparql_select(graph, f"""
+        PREFIX ex: <{EX}>
+        SELECT ?d WHERE {{
+          {{ SELECT ?d WHERE {{ ?d ex:size ?s }}
+             ORDER BY DESC(?s) LIMIT 2 OFFSET 1 }}
+        }} ORDER BY ?d
+    """).collect()
+    assert [r["d"] for r in out] == [EX + "d1", EX + "d3"]
