@@ -3711,6 +3711,100 @@ s0 AS MATERIALIZED (
 """
 
 
+def _kg_closeness(spark, sf_dir):
+    """Exact closeness + harmonic centrality of every entity in the
+    above-mean co-mention graph (kg/paths.py pairwise_distances: ONE
+    synchronized level loop for the whole source set, not per-source BFS
+    jobs) — at scale the same operator runs over a landmark sample."""
+    from kgforge.kg.paths import closeness
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .localCheckpoint(eager=True)  # sources + edges both read from it
+    )
+    nodes = (
+        kept.select(F.col("src").alias("n"))
+        .unionByName(kept.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    result = closeness(kept, nodes, directed=False)
+    result = result.select(
+        "source", "n_reached", "total_dist",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    ).localCheckpoint(eager=True)
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_closeness_oracle(max_dist: int = 8) -> str:
+    # bounded recursive BFS expansion (dist < max_dist guards cycles) +
+    # min-dist collapse — exact whenever the graph diameter < max_dist,
+    # which holds at both driver scales (verified; Spark side is exact BFS)
+    return f"""
+WITH RECURSIVE {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM adj),
+walk(source, id, dist) AS (
+  SELECT n, n, CAST(0 AS BIGINT) FROM nodes
+  UNION
+  SELECT w.source, a.d, w.dist + 1
+  FROM walk w JOIN adj a ON a.s = w.id
+  WHERE w.dist < {max_dist}
+),
+dmin AS (
+  SELECT source, id, min(dist) AS dist FROM walk GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_reached,
+         CAST(sum(dist) AS BIGINT) AS total_dist,
+         sum(1.0 / dist) AS harmonic
+  FROM dmin WHERE dist > 0 GROUP BY source
+)
+SELECT n.n AS source,
+       coalesce(a.n_reached, 0) AS n_reached,
+       coalesce(a.total_dist, 0) AS total_dist,
+       CASE WHEN coalesce(a.total_dist, 0) > 0
+            THEN round(CAST(a.n_reached AS DOUBLE) / a.total_dist, 6)
+            ELSE 0.0 END AS closeness,
+       round(coalesce(a.harmonic, 0.0), 6) AS harmonic
+FROM nodes n LEFT JOIN agg a ON a.source = n.n
+"""
+
+
 def _kg_void(spark, sf_dir):
     """VoID-style property-partition profile (kg/voidstats.py) of the full
     flagship triple table — per-predicate triple count + distinct
@@ -3854,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": _kg_hits,
         "kg_walks": _kg_walks,
         "kg_void": _kg_void,
+        "kg_closeness": _kg_closeness,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5732,6 +5827,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _kg_hits_oracle(),
         "kg_walks": _kg_walks_oracle(),
         "kg_void": _kg_void_oracle(),
+        "kg_closeness": _kg_closeness_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
