@@ -1739,6 +1739,68 @@ def _url_canonical(spark, sf_dir):
                      "doc_id", "url")
 
 
+def _bpe_merges(spark, sf_dir):
+    """BPE merge-table induction (datapipe/bpe.py): 6 ranked merges learned
+    from the corpus word frequencies — classic overlapping pair counts,
+    count-DESC/pair-ASC argmax, greedy left-to-right merge fold (the same
+    fold the oracle runs as a DuckDB list_reduce)."""
+    from kgforge.datapipe.bpe import bpe_merges, word_frequencies
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_merges(word_frequencies(docs, "text"), 6)
+
+
+def _bpe_merges_oracle(num_merges: int = 6) -> str:
+    fold = (
+        "list_reduce(string_split(seq, ' '), (acc, t) -> CASE "
+        "WHEN regexp_extract(acc, '([^ ]*)$', 1) = bb.a AND t = bb.b "
+        "THEN substr(acc, 1, length(acc) - "
+        "length(regexp_extract(acc, '([^ ]*)$', 1))) || bb.a || bb.b "
+        "ELSE acc || ' ' || t END)"
+    )
+    parts = []
+    finals = []
+    prev = "w0"
+    for r in range(1, num_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(CASE WHEN len(l) >= 2 THEN
+        list_transform(generate_series(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1])
+      ELSE CAST([] AS VARCHAR[]) END) AS pair, freq
+    FROM (SELECT string_split(seq, ' ') AS l, freq FROM {prev})
+  ) GROUP BY pair
+),
+b{r} AS MATERIALIZED (
+  SELECT pair, cnt,
+         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT {fold} AS seq, freq FROM {prev} CROSS JOIN b{r} bb
+)""")
+        finals.append(
+            f"SELECT CAST({r} AS INTEGER) AS rank, pair, a || b AS merged, cnt FROM b{r}"
+        )
+        prev = f"w{r}"
+    chain = ",\n".join(parts)
+    emits = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+    FROM documents
+  ) GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split_regex(word, ''), ' ') AS seq, freq
+  FROM wf
+),
+{chain}
+{emits}
+"""
+
+
 def _normalize_text(spark, sf_dir):
     """Pre-tokenization cleanup over a corpus with deterministically
     injected control characters and whitespace runs (the synthetic text is
@@ -3998,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_xent": _lm_xent,
         "url_domains": _url_domains,
         "url_canonical": _url_canonical,
+        "bpe_merges": _bpe_merges,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5202,6 +5265,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_urls, count(DISTINCT id) AS n_docs
         FROM u GROUP BY 1
         """,
+        "bpe_merges": _bpe_merges_oracle(),
         "url_canonical": r"""
         WITH u AS (
           SELECT doc_id AS id,
