@@ -1739,6 +1739,69 @@ def _url_canonical(spark, sf_dir):
                      "doc_id", "url")
 
 
+def _kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (datapipe/clustering.py): 3 iterations,
+    k=4, lowest-id init, left-fold distances, rounded centroid updates —
+    the REAL training loop (the IVF index trains on a numpy sample; this
+    never leaves the cluster).  Output: final assignments."""
+    from kgforge.datapipe.clustering import kmeans_lloyd
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigns, _cents = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=4, iterations=3
+    )
+    return assigns.select(F.col("id").alias("vec_id"), "cluster")
+
+
+def _kmeans_clusters_oracle(k: int = 4, iterations: int = 3) -> str:
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(e.v, cc.c), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, v) -> acc + v)"
+    )
+    parts = []
+    prev = "c0"
+    for r in range(1, iterations + 1):
+        parts.append(f"""a{r} AS MATERIALIZED (
+  SELECT id, cluster, v FROM (
+    SELECT e.id, cc.cluster, e.v,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {dist}, cc.cluster) AS rn
+    FROM e CROSS JOIN {prev} cc
+  ) WHERE rn = 1
+),
+m{r} AS MATERIALIZED (
+  SELECT cluster,
+         list_transform(list_sort(list(struct_pack(p := p, m := m))),
+                        s -> s.m) AS c2
+  FROM (
+    SELECT cluster, i AS p, round(avg(v[i]), 6) AS m
+    FROM a{r}, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) t
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+),
+c{r} AS MATERIALIZED (
+  SELECT c.cluster, coalesce(m.c2, c.c) AS c
+  FROM {prev} c LEFT JOIN m{r} m USING (cluster)
+)""")
+        prev = f"c{r}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cluster,
+         v AS c
+  FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})
+),
+{chain}
+SELECT id AS vec_id, cluster FROM a{iterations}
+"""
+
+
 def _bpe_merges(spark, sf_dir):
     """BPE merge-table induction (datapipe/bpe.py): 6 ranked merges learned
     from the corpus word frequencies — classic overlapping pair counts,
@@ -4061,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": _url_domains,
         "url_canonical": _url_canonical,
         "bpe_merges": _bpe_merges,
+        "kmeans_clusters": _kmeans_clusters,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5266,6 +5330,7 @@ def oracle_sql() -> dict[str, str]:
         FROM u GROUP BY 1
         """,
         "bpe_merges": _bpe_merges_oracle(),
+        "kmeans_clusters": _kmeans_clusters_oracle(),
         "url_canonical": r"""
         WITH u AS (
           SELECT doc_id AS id,

@@ -1,0 +1,131 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The corpus-clustering operator behind SemDeDup-style semantic dedup,
+topic-balanced source mixing, and IVF index training — here as a REAL
+distributed training loop (``kgforge.datapipe.similarity`` trains its IVF
+centroids on a driver-side numpy sample; this one never leaves the
+cluster).  Determinism fixes make the fit a pure function of the input:
+
+- init: the k vectors with the smallest ids, cluster ids 0..k-1 in id
+  order (no RNG);
+- assignment: squared-L2 argmin with ties broken by lowest cluster id,
+  the distance computed as a LEFT FOLD over dimensions so both engines
+  sum in the same order (bit-exact, same trick as the ANN oracles);
+- update: per-dimension mean ROUNDED to ``round_decimals`` — float
+  summation order differs across engines/partitionings at ~1e-16, the
+  rounding absorbs it (documented narrowing; a tie at the rounding
+  boundary is the residual risk, never observed);
+- an emptied cluster keeps its previous centroid (the standard rule).
+
+Scale shape per iteration: assignment is a broadcast of the k×d centroid
+table against the embedding scan (n×k expanded rows, pruned by a per-id
+window top-1 that runs partially map-side via WindowGroupLimit), update is
+one posexplode + map-side-combinable (cluster, dim) average.  State is
+eagerly ``localCheckpoint``-ed per round; no driver collect inside the
+loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _py_kmeans(rows, k: int, iterations: int, round_decimals: int = 6):
+    """numpy-free python mirror (same fold order, rounding, tie rules)."""
+    rows = sorted(rows)
+    cents = {c: [float(x) for x in rows[c][1]] for c in range(k)}
+    assign = {}
+    for _ in range(iterations):
+        assign = {}
+        for i, v in rows:
+            best = None
+            for c in sorted(cents):
+                d = 0.0
+                for x, y in zip(v, cents[c]):
+                    d = d + (float(x) - y) * (float(x) - y)
+                if best is None or d < best[0]:
+                    best = (d, c)
+            assign[i] = best[1]
+        new = {}
+        for c in sorted(cents):
+            members = [v for i, v in rows if assign[i] == c]
+            if not members:
+                new[c] = cents[c]
+            else:
+                dims = len(members[0])
+                new[c] = [
+                    round(sum(float(v[p]) for v in members) / len(members),
+                          round_decimals)
+                    for p in range(dims)
+                ]
+        cents = new
+    return assign, cents
+
+
+def _sq_dist(a, b):
+    """Left-fold squared L2 — the cross-engine-exact summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int = 3,
+    round_decimals: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (assignments (id, cluster), centroids (cluster, centroid)) after
+    ``iterations`` Lloyd rounds; see module docstring for the exact spec."""
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    # the partition-less window is bounded by construction: it runs over
+    # the limit(k) rows only (k centroids), never the input
+    cents = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    w = Window.partitionBy("id").orderBy("d", "cluster")
+    for _ in range(iterations):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "cluster", "v")
+            .localCheckpoint(eager=True)
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("p", "x"))
+            .groupBy("cluster", "p")
+            .agg(F.round(F.avg("x"), round_decimals).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "m"))),
+                    lambda s: s["m"],
+                ).alias("c2")
+            )
+        )
+        cents = (
+            cents.join(means, "cluster", "left")
+            .select("cluster", F.coalesce("c2", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        assigned.select("id", "cluster"),
+        cents.select("cluster", F.col("c").alias("centroid")),
+    )
