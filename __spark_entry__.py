@@ -2355,6 +2355,71 @@ def _kg_triples(spark, sf_dir):
     return triples
 
 
+def _kg_diff(spark, sf_dir):
+    """Snapshot diff between two KG builds (the lineage/rollback view over
+    kg/io.py snapshots): triples ADDED by growing the corpus from the even
+    half to the full document set, and triples REMOVED (near-dup
+    canonicalization can re-anchor clusters, so removals are real, not
+    hypothetical).  Multiset semantics — exceptAll both ways."""
+    from kgforge.kg.pipeline import build_kg
+
+    def tri(even_only: bool):
+        docs = _read(spark, sf_dir, "documents")
+        if even_only:
+            docs = docs.filter(F.col("doc_id") % 2 == 0)
+        docs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.lower(F.col("text")).alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+        catalog = spark.createDataFrame(
+            _KG_CATALOG, "norm string, eid string, canonical string, etype string"
+        )
+        t, _ = build_kg(
+            docs,
+            mention_strategy="regex",
+            link_strategy="sql",
+            collect_metrics=False,
+            mention_vocab=_MENTION_VOCAB,
+            mention_case_insensitive=False,
+            catalog=catalog,
+        )
+        return t
+
+    full = tri(False)
+    half = tri(True)
+    added = full.exceptAll(half).withColumn("change", F.lit("added"))
+    removed = half.exceptAll(full).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+def _kg_diff_oracle() -> str:
+    half_cte = (
+        "SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 2 = 0"
+    )
+    return f"""
+WITH full_t AS (
+{_kg_triples_oracle()}
+),
+half_t AS (
+{_kg_triples_oracle(d_cte=half_cte)}
+)
+SELECT *, 'added' AS change FROM (
+  SELECT * FROM full_t EXCEPT ALL SELECT * FROM half_t
+)
+UNION ALL
+SELECT *, 'removed' AS change FROM (
+  SELECT * FROM half_t EXCEPT ALL SELECT * FROM full_t
+)
+"""
+
+
 def _sparql_balances(spark, sf_dir):
     """Ad-hoc SPARQL over flat-ingested triples (kgforge.sparql): customers
     melt into the canonical triple table, then a SELECT with a BGP join, a
@@ -3016,7 +3081,7 @@ FROM canon WHERE canon <> surface
 UNION ALL
 SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}spanCount', '1',
        'xsd:long', FALSE
-FROM documents
+FROM (SELECT DISTINCT doc_id FROM d)
 """
 
 
@@ -4074,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _kg_walks,
         "kg_void": _kg_void,
         "kg_closeness": _kg_closeness,
+        "kg_diff": _kg_diff,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -5957,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": _kg_walks_oracle(),
         "kg_void": _kg_void_oracle(),
         "kg_closeness": _kg_closeness_oracle(),
+        "kg_diff": _kg_diff_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
