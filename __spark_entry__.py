@@ -2355,6 +2355,99 @@ def _kg_triples(spark, sf_dir):
     return triples
 
 
+def _kg_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set (kg/mis.py) over the
+    customer conflict graph — customers are adjacent when they share
+    (nation, market segment), so the graph is a union of cliques and the
+    MIS is exactly one representative per group, CHOSEN BY the round-salted
+    hash priorities (a value-rich oracle target: 125 winners at sf0.01,
+    each depending on the full priority order)."""
+    from kgforge.kg.mis import maximal_independent_set
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    x = cust.alias("x")
+    y = cust.alias("y")
+    e = x.join(
+        y,
+        (F.col("x.c_nationkey") == F.col("y.c_nationkey"))
+        & (F.col("x.c_mktsegment") == F.col("y.c_mktsegment"))
+        & (F.col("x.c_custkey") < F.col("y.c_custkey")),
+    ).select(
+        F.col("x.c_custkey").alias("src"), F.col("y.c_custkey").alias("dst")
+    )
+    return maximal_independent_set(e).select(
+        F.col("node").alias("c_custkey"), "round"
+    )
+
+
+def _kg_mis_oracle(rounds: int = 6) -> str:
+    # node ids are BIGINT; the engine's priority AND tie-break both operate
+    # on the STRING form (poly_hash of str, lexicographic id ties) — the
+    # oracle casts accordingly
+    def prio(col, r):
+        return _poly_sql(f"(CAST({col} AS VARCHAR) || ':{r}')", 31)
+
+    parts = []
+    finals = []
+    prev_an, prev_ae = "an0", "ae0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""adj{r} AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM {prev_ae}
+  UNION ALL SELECT b, a FROM {prev_ae}
+),
+nm{r} AS MATERIALIZED (
+  SELECT node, p AS mp, mid FROM (
+    SELECT node, {prio('nbr', r)} AS p, CAST(nbr AS VARCHAR) AS mid,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY {prio('nbr', r)},
+                                       CAST(nbr AS VARCHAR)) AS rn
+    FROM adj{r}
+  ) WHERE rn = 1
+),
+win{r} AS MATERIALIZED (
+  SELECT an.node FROM {prev_an} an LEFT JOIN nm{r} m ON m.node = an.node
+  WHERE m.node IS NULL
+     OR {prio('an.node', r)} < m.mp
+     OR ({prio('an.node', r)} = m.mp AND CAST(an.node AS VARCHAR) < m.mid)
+),
+closed{r} AS MATERIALIZED (
+  SELECT node FROM win{r}
+  UNION
+  SELECT a.nbr FROM adj{r} a JOIN win{r} w ON w.node = a.node
+),
+an{r} AS MATERIALIZED (
+  SELECT node FROM {prev_an}
+  WHERE node NOT IN (SELECT node FROM closed{r})
+),
+ae{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev_ae}
+  WHERE a NOT IN (SELECT node FROM closed{r})
+    AND b NOT IN (SELECT node FROM closed{r})
+)""")
+        finals.append(
+            f"SELECT node AS c_custkey, CAST({r} AS INTEGER) AS round FROM win{r}"
+        )
+        prev_an, prev_ae = f"an{r}", f"ae{r}"
+    chain = ",\n".join(parts)
+    emits = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH ae0 AS MATERIALIZED (
+  SELECT x.c_custkey AS a, y.c_custkey AS b
+  FROM customer x JOIN customer y
+    ON x.c_nationkey = y.c_nationkey
+   AND x.c_mktsegment = y.c_mktsegment
+   AND x.c_custkey < y.c_custkey
+),
+an0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM ae0 UNION SELECT DISTINCT b FROM ae0
+),
+{chain}
+{emits}
+"""
+
+
 def _kg_diff(spark, sf_dir):
     """Snapshot diff between two KG builds (the lineage/rollback view over
     kg/io.py snapshots): triples ADDED by growing the corpus from the even
@@ -4140,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void": _kg_void,
         "kg_closeness": _kg_closeness,
         "kg_diff": _kg_diff,
+        "kg_mis": _kg_mis,
         "kg_anon_mention_counts": _kg_anon_mention_counts,
         "sparql_balances": _sparql_balances,
         "sparql_kg": _sparql_kg,
@@ -6024,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_void": _kg_void_oracle(),
         "kg_closeness": _kg_closeness_oracle(),
         "kg_diff": _kg_diff_oracle(),
+        "kg_mis": _kg_mis_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
