@@ -1802,6 +1802,31 @@ SELECT id AS vec_id, cluster FROM a{iterations}
 """
 
 
+def _weighted_sample(spark, sf_dir):
+    """Derandomized Efraimidis-Spirakis weighted sampling (datapipe/mix.py):
+    top-50 orders by hash-key u^(1/totalprice) — inclusion probability
+    proportional to order value, result a pure function of the table."""
+    from kgforge.datapipe.mix import weighted_sample
+
+    orders = _read(spark, sf_dir, "orders")
+    return weighted_sample(orders, "o_orderkey", "o_totalprice", 50).select(
+        "o_orderkey", F.col("_wskey").alias("key")
+    )
+
+
+def _weighted_sample_oracle(n: int = 50) -> str:
+    h = _poly_sql("(CAST(o_orderkey AS VARCHAR) || ':ws')", 31)
+    return f"""
+SELECT o_orderkey,
+       round(pow(({h} + 1) / 2147483648.0,
+                 1.0 / CAST(o_totalprice AS DOUBLE)), 9) AS key
+FROM orders
+WHERE CAST(o_totalprice AS DOUBLE) > 0
+ORDER BY key DESC, o_orderkey ASC
+LIMIT {n}
+"""
+
+
 def _bpe_merges(spark, sf_dir):
     """BPE merge-table induction (datapipe/bpe.py): 6 ranked merges learned
     from the corpus word frequencies — classic overlapping pair counts,
@@ -4285,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _url_canonical,
         "bpe_merges": _bpe_merges,
         "kmeans_clusters": _kmeans_clusters,
+        "weighted_sample": _weighted_sample,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5491,6 +5517,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "url_canonical": r"""
         WITH u AS (
           SELECT doc_id AS id,

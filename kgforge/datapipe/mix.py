@@ -168,3 +168,41 @@ def dsir_select(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized: the
+    Efraimidis–Spirakis (2006) one-pass scheme with the uniform draw
+    replaced by a portable id hash — every row gets
+    ``key = u ** (1/w)`` with ``u = (poly_hash(str(id) || ':' salt) + 1)
+    / 2^31`` ∈ (0, 1], and the sample is the top ``n`` keys.  Inclusion
+    probability is proportional to weight (in the ES sense), and the
+    sample is a pure function of (ids, weights, n, salt) — re-runs,
+    engines, and partitionings all agree.
+
+    The key is rounded to 9 decimals before ranking (cross-engine ``pow``
+    can differ in the last ulp), ties broken by id.  Rows with
+    non-positive or null weights are excluded (their ES key is 0 or
+    undefined).  The top-n is a TakeOrdered (per-partition heaps + one
+    k-row merge), never a global sort."""
+    from kgforge.datapipe.dedup import _POLY_MOD, poly_hash
+
+    u = (
+        poly_hash(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(_POLY_MOD + 1))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_wskey", key)
+        .orderBy(F.col("_wskey").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
