@@ -2538,6 +2538,32 @@ SELECT *, 'removed' AS change FROM (
 """
 
 
+def _sparql_describe_q(spark, sf_dir):
+    """DESCRIBE over the materialized KG (kgforge.sparql.sparql_describe):
+    subject rows of every entity mentioned more than 50 times — the
+    Jena-user resource-inspection form, IRI-ness read from companions."""
+    from kgforge.sparql import sparql_describe
+
+    triples = _kg_triples(spark, sf_dir)
+    return sparql_describe(triples, """
+        PREFIX kg: <http://kgforge.dev/ns/>
+        DESCRIBE ?e WHERE { ?e kg:mentionCount ?c . FILTER (?c > 50) }
+    """)
+
+
+def _sparql_describe_oracle() -> str:
+    return f"""
+WITH kg AS (
+{_kg_triples_oracle()}
+)
+SELECT * FROM kg WHERE subj IN (
+  SELECT subj FROM kg
+  WHERE pred = 'http://kgforge.dev/ns/mentionCount'
+    AND CAST(obj_value AS DOUBLE) > 50
+)
+"""
+
+
 def _sparql_balances(spark, sf_dir):
     """Ad-hoc SPARQL over flat-ingested triples (kgforge.sparql): customers
     melt into the canonical triple table, then a SELECT with a BGP join, a
@@ -4266,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct_kg": _sparql_construct_kg,
         "sparql_path": _sparql_path,
         "sparql_negation": _sparql_negation,
+        "sparql_describe": _sparql_describe_q,
         "ntriples_out": _ntriples_out,
         "ntriples_roundtrip": _ntriples_roundtrip,
         "turtle_out": _turtle_out,
@@ -5783,6 +5810,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": _kg_cooccurrence_oracle(),
         "kg_components": _kg_components_oracle(),
         "kg_anon_mention_counts": _kg_anon_mention_counts_oracle(),
+        "sparql_describe": _sparql_describe_oracle(),
         "sparql_balances": """
         SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS balance
         FROM customer

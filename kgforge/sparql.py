@@ -326,6 +326,19 @@ class _Parser:
                 raise SparqlError(f"trailing input at {v!r}")
             return Query([], False, where, [], [], [], limit,
                          form="construct", template=template)
+        if self.kw("DESCRIBE"):
+            terms = []
+            while self.peek()[0] in ("VAR", "IRI", "PNAME"):
+                terms.append(self.term())
+            if not terms:
+                raise SparqlError("empty DESCRIBE")
+            where = Group()
+            if self.kw("WHERE"):
+                where = self.group()
+            k, v = self.next()
+            if k != "EOF":
+                raise SparqlError(f"trailing input at {v!r}")
+            return Query(terms, False, where, [], [], [], None, form="describe")
         if self.kw("DELETE"):
             template = self.group()
             if not template.is_plain_triples():
@@ -1445,6 +1458,44 @@ def _template_term(term: Term, slot: str, bound: set):
     if term.kind == "bool":
         return F.lit(term.value), F.lit("xsd:boolean"), F.lit(False)
     return F.lit(term.value), F.lit("string"), F.lit(False)
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate ``DESCRIBE <iri>… [?var…] [WHERE { … }]`` → the canonical
+    triple rows whose SUBJECT is a described resource.
+
+    Described resources are the explicit IRIs plus, for each DESCRIBE
+    variable, its IRI-valued bindings in the WHERE solutions (literal
+    bindings are not resources and are skipped, read from the IRI-ness
+    companion — never guessed from lexical shape).  The description is the
+    subject-rows form (Concise Bounded Description minus blank-node
+    closure: this engine's graphs have no blank subjects after ingest,
+    which labels every bnode).  One distinct resource set + one left-semi
+    join — at scale the semi-join probe side is the small one and AQE
+    broadcasts it."""
+    q = _Parser(query).parse()
+    if q.form != "describe":
+        raise SparqlError("sparql_describe() expects a DESCRIBE query")
+    spark = triples.sparkSession
+    iris = [t.value for t in q.select if t.kind == "iri"]
+    vars_ = [t.value for t in q.select if t.kind == "var"]
+    subs = (
+        spark.createDataFrame([(i,) for i in iris], "subj string")
+        if iris
+        else None
+    )
+    if vars_:
+        if q.where.is_plain_triples() and not q.where.patterns:
+            raise SparqlError("DESCRIBE ?var needs a WHERE clause")
+        acc, bound = _join_group(triples, q.where)
+        for v in vars_:
+            if v not in bound:
+                raise SparqlError(f"DESCRIBE references unbound variable ?{v}")
+            col = acc.filter(
+                F.coalesce(F.col(_m_iri(v)), F.lit(False))
+            ).select(F.col(v).alias("subj"))
+            subs = col if subs is None else subs.unionByName(col)
+    return triples.join(subs.distinct(), "subj", "left_semi")
 
 
 def sparql_construct(triples: DataFrame, query: str) -> DataFrame:

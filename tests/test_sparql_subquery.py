@@ -147,3 +147,30 @@ def test_offset_in_subquery(graph):
         }} ORDER BY ?d
     """).collect()
     assert [r["d"] for r in out] == [EX + "d1", EX + "d3"]
+
+
+def test_describe_var_and_iri(graph):
+    from kgforge.sparql import sparql_describe
+
+    out = sparql_describe(graph, f"""
+        PREFIX ex: <{EX}>
+        DESCRIBE ?a WHERE {{ ?d ex:author ?a . ?d ex:size "30" }}
+    """).collect()
+    # only a1 authored d2 (size 30) → a1's subject rows
+    assert sorted((r["subj"], r["pred"]) for r in out) == [
+        (EX + "a1", EX + "name"),
+    ]
+
+    out = sparql_describe(graph, f"DESCRIBE <{EX}d1>").collect()
+    assert sorted(r["pred"] for r in out) == [EX + "author", EX + "size"]
+
+
+def test_describe_skips_literal_bindings(graph):
+    from kgforge.sparql import sparql_describe
+
+    # ?s is literal-valued ("30" etc.) → nothing described
+    out = sparql_describe(graph, f"""
+        PREFIX ex: <{EX}>
+        DESCRIBE ?s WHERE {{ ?d ex:size ?s }}
+    """).collect()
+    assert out == []
