@@ -4198,6 +4198,83 @@ JOIN deg db ON db.w = cm.b
 """
 
 
+def _kg_clustering(spark, sf_dir):
+    """Per-node clustering coefficient (kg/triangles.py
+    clustering_coefficient) over the above-mean co-mention graph — how
+    clique-like each entity's neighborhood is."""
+    from kgforge.kg.triangles import clustering_coefficient
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = clustering_coefficient(kept)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result.select(
+        F.col("node").alias("eid"), "deg", "n_tri",
+        F.round("coeff", 6).alias("coeff"),
+    )
+
+
+def _kg_clustering_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+pernode AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  ) GROUP BY node
+)
+SELECT d.node AS eid, CAST(d.deg AS BIGINT) AS deg,
+       coalesce(p.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(p.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN pernode p ON p.node = d.node
+"""
+
+
 def _kg_pagerank_oracle() -> str:
     d = _PR_DAMP
     prev = "r0"
@@ -4277,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
+        "kg_clustering": _kg_clustering,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
@@ -6166,6 +6244,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _kg_ppr_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
+        "kg_clustering": _kg_clustering_oracle(),
         "kg_communities": _kg_communities_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),

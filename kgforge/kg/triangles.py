@@ -83,3 +83,50 @@ def triangle_count(
         c.unpersist()
     spark = edges.sparkSession
     return spark.createDataFrame([(out,)], "n_triangles bigint")
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, deg, n_tri, coeff): local clustering coefficient per node —
+    2·triangles(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2.
+
+    Same √m-bounded degree-oriented wedge join as :func:`triangle_count`;
+    each closed wedge credits its THREE corners (one explode), so the
+    per-node counts come out of a map-side-combinable groupBy — a hub's
+    triangle count is aggregated, never enumerated through the hub's own
+    out-degree (orientation keeps that O(√m))."""
+    caches: list = []
+    o = oriented_edges(edges, src, dst, caches=caches).persist()
+    try:
+        e1 = o.select(F.col("u"), F.col("v").alias("w1"))
+        e2 = o.select(F.col("u"), F.col("v").alias("w2"))
+        wedges = e1.join(e2, "u").filter(F.col("w1") < F.col("w2"))
+        closing = o.select(
+            F.least("u", "v").alias("w1"), F.greatest("u", "v").alias("w2")
+        )
+        closed = wedges.join(closing, ["w1", "w2"], "left_semi")
+        corners = closed.select(
+            F.explode(F.array("u", "w1", "w2")).alias("node")
+        )
+        tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+        # caches[1] is the (n, d) degree table oriented_edges built
+        deg = caches[1].select(F.col("n").alias("node"), F.col("d").alias("deg"))
+        out = (
+            deg.join(tri, "node", "left")
+            .select(
+                "node",
+                "deg",
+                F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)).alias("coeff"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        o.unpersist()
+        for c in caches:
+            c.unpersist()

@@ -61,3 +61,38 @@ def test_orientation_bounds_hub_out_degree(spark, graph):
     # the hub (degree 39) must not own the wedge blowup: its out-degree is
     # bounded by its higher-degree peers, far below its raw degree
     assert out.get(0, 0) < 10
+
+
+def test_clustering_coefficient(spark):
+    import random
+
+    from kgforge.kg.triangles import clustering_coefficient
+
+    rnd = random.Random(19)
+    edges = sorted({tuple(sorted(rnd.sample(range(20), 2))) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["deg"], r["n_tri"], r["coeff"])
+        for r in clustering_coefficient(df).collect()
+    }
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for v, s in nbrs.items():
+        tri = sum(
+            1 for x in s for y in s if x < y and y in nbrs[x]
+        )
+        deg = len(s)
+        coeff = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert got[v][0] == deg and got[v][1] == tri
+        assert abs(got[v][2] - coeff) < 1e-12
+
+
+def test_clustering_coefficient_k4(spark):
+    from kgforge.kg.triangles import clustering_coefficient
+
+    edges = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = clustering_coefficient(df).collect()
+    assert all(r["coeff"] == 1.0 and r["n_tri"] == 3 for r in rows)
