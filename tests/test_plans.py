@@ -238,3 +238,25 @@ def test_kg_triples_geo_broadcasts_catalog(spark):
     plan = _plan(entry.queries()["kg_triples_geo"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session4_ops_plan_quality(spark):
+    q = entry.queries()
+    # weighted_sample: global top-n must be a TakeOrdered (per-partition
+    # heaps + k-row merge), never a full Sort, and pure JVM
+    plan = _plan(q["weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # kg_void: profiling aggregate over the checkpointed triple table —
+    # hash aggregate, no python, no cartesian
+    plan = _plan(q["kg_void"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # url_canonical: regex/array canonicalization entirely in codegen
+    plan = _plan(q["url_canonical"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
