@@ -1839,6 +1839,37 @@ SELECT id AS vec_id, cluster FROM a{iterations}
 """
 
 
+def _dp_counts(spark, sf_dir):
+    """ε-DP noisy order-priority counts (anonymize/privacy.py
+    dp_group_counts): Laplace mechanism with a derandomized hash draw —
+    released = count + Laplace(1/ε) noise, bit-reproducible."""
+    from kgforge.anonymize.privacy import dp_group_counts
+
+    orders = _read(spark, sf_dir, "orders")
+    return dp_group_counts(orders, ["o_orderpriority"], epsilon=0.5)
+
+
+def _dp_counts_oracle(epsilon: float = 0.5) -> str:
+    h = _poly_sql(
+        "(coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)) || ':dp')", 31
+    )
+    b = 1.0 / epsilon
+    return f"""
+WITH g AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+u AS (
+  SELECT o_orderpriority, n,
+         ({h} + 1) / 2147483648.0 - 0.5 AS v
+  FROM g
+)
+SELECT o_orderpriority, n,
+       round(n + (-{b}) * sign(v) * ln(1.0 - 2.0 * abs(v)), 6) AS released
+FROM u
+"""
+
+
 def _weighted_sample(spark, sf_dir):
     """Derandomized Efraimidis-Spirakis weighted sampling (datapipe/mix.py):
     top-50 orders by hash-key u^(1/totalprice) — inclusion probability
@@ -4454,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "kmeans_clusters": _kmeans_clusters,
         "weighted_sample": _weighted_sample,
+        "dp_counts": _dp_counts,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5662,6 +5694,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
+        "dp_counts": _dp_counts_oracle(),
         "url_canonical": r"""
         WITH u AS (
           SELECT doc_id AS id,

@@ -144,3 +144,47 @@ def suppress_small_groups(df: DataFrame, qi_cols: list[str], k: int,
             F.when(F.col("suppressed"), F.lit(mask)).otherwise(F.col(c).cast("string")),
         )
     return out.drop("_n")
+
+
+def dp_group_counts(
+    df: DataFrame,
+    cols: list[str],
+    epsilon: float,
+    seed: str = "dp",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism,
+    derandomized: the uniform draw is a portable hash of the group key and
+    ``seed``, pushed through the Laplace inverse CDF —
+
+        u = (poly_hash(key || ':' || seed) + 1) / (2^31 + 1)   ∈ (0, 1)
+        v = u - 0.5
+        noise = -(sensitivity/ε) · sign(v) · ln(1 − 2·|v|)
+
+    so the released counts are a pure function of (data, ε, seed) and an
+    external SQL oracle reproduces them bit-for-bit (released value rounded
+    to 6 decimals — cross-engine ``ln`` can differ in the last ulp).
+
+    The ε-DP guarantee is the standard per-release one: reusing a seed
+    across releases REUSES the noise (which composes like publishing the
+    same release twice); a fresh release needs a fresh seed.  Counts have
+    L1 sensitivity 1, hence the default.
+
+    One map-side-combinable groupBy + codegen noise arithmetic; the noisy
+    column never requires a second scan."""
+    from kgforge.datapipe.dedup import _POLY_MOD, poly_hash
+
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    u = (poly_hash(F.concat(key, F.lit(":" + seed))) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(_POLY_MOD + 1))
+    v = u - F.lit(0.5)
+    b = float(sensitivity) / float(epsilon)
+    noise = -F.lit(b) * F.signum(v) * F.log(F.lit(1.0) - 2.0 * F.abs(v))
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("released", F.round(F.col("n") + noise, 6))
+    )

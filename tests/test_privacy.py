@@ -75,3 +75,47 @@ def test_suppress_small_groups_masks_rare_and_null_qi(spark):
     for i in (4, 5, 6, 7):
         assert got[i]["suppressed"], f"row {i} escaped suppression"
         assert got[i]["city"] == "*****" and got[i]["sex"] == "*****"
+
+
+def test_dp_group_counts_mirror_and_scale(spark):
+    import math
+
+    from kgforge.anonymize.privacy import dp_group_counts
+
+    rows = [(i, f"g{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    eps = 0.5
+    got = {
+        r["grp"]: (r["n"], r["released"])
+        for r in dp_group_counts(df, ["grp"], epsilon=eps, seed="s1").collect()
+    }
+    P = 2147483647
+    for g in (f"g{i}" for i in range(5)):
+        acc = 0
+        for ch in f"{g}:s1":
+            acc = (acc * 31 + ord(ch)) % P
+        u = (acc + 1) / float(P + 1)
+        v = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, v) * math.log(1.0 - 2.0 * abs(v))
+        n, released = got[g]
+        assert n == 40
+        assert released == round(40 + noise, 6)
+    # different seed → different noise
+    got2 = {
+        r["grp"]: r["released"]
+        for r in dp_group_counts(df, ["grp"], epsilon=eps, seed="s2").collect()
+    }
+    assert any(got2[g] != got[g][1] for g in got2)
+
+
+def test_dp_noise_magnitude_tracks_epsilon(spark):
+    from kgforge.anonymize.privacy import dp_group_counts
+
+    rows = [(i, f"g{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+
+    def mean_abs(eps):
+        out = dp_group_counts(df, ["grp"], epsilon=eps).collect()
+        return sum(abs(r["released"] - r["n"]) for r in out) / len(out)
+
+    assert mean_abs(0.1) > mean_abs(10.0) * 10
