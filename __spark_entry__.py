@@ -4235,6 +4235,122 @@ FROM allt
 """
 
 
+def _kg_walks_biased(spark, sf_dir):
+    """node2vec second-order biased walks (kg/walks.py
+    biased_random_walks, weights return=1/common=4/far=2) over the
+    above-mean co-mention graph — BFS-ish exploration bias, corpus a pure
+    function of the graph."""
+    from kgforge.kg.walks import biased_random_walks
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = biased_random_walks(
+        kept, n_walks=2, length=3, seed=7, w_return=1, w_common=4, w_far=2
+    ).localCheckpoint(eager=True)
+    links.unpersist()
+    counts.unpersist()
+    return result
+
+
+def _kg_walks_biased_oracle(
+    n_walks: int = 2, length: int = 3, seed: int = 7,
+    w_return: int = 1, w_common: int = 4, w_far: int = 2,
+) -> str:
+    code_scur = _poly_sql("s.cur", 31)
+    code_cur = _poly_sql("cur", 31)
+    parts = [f"""s1 AS MATERIALIZED (
+  SELECT s.start, s.walk, s.cur AS prev, a.nbr AS cur
+  FROM s0 s
+  JOIN deg d ON d.node = s.cur
+  JOIN adjn a ON a.node = s.cur
+   AND a.rn = ((({code_scur}) * 1000003 + s.walk * 7777
+                + {1 * 131 + seed}) % 2147483647) % d.deg
+)"""]
+    prev = "s1"
+    for i in range(2, length + 1):
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT s.start, s.walk, s.prev, s.cur, a.nbr, a.rn,
+         CASE WHEN a.nbr = s.prev THEN {w_return}
+              WHEN u2.a IS NOT NULL THEN {w_common}
+              ELSE {w_far} END AS w
+  FROM {prev} s
+  JOIN adjn a ON a.node = s.cur
+  LEFT JOIN und u2 ON u2.a = least(s.prev, a.nbr)
+                  AND u2.b = greatest(s.prev, a.nbr)
+),
+s{i} AS MATERIALIZED (
+  SELECT start, walk, cur AS prev, nbr AS cur FROM (
+    SELECT start, walk, prev, cur, nbr, w,
+      sum(w) OVER (PARTITION BY start, walk, prev, cur) AS tot,
+      sum(w) OVER (PARTITION BY start, walk, prev, cur ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      ((({code_cur}) * 1000003 + walk * 7777
+        + {i * 131 + seed}) % 2147483647) AS hh
+    FROM c{i}
+  ) WHERE hh % tot >= cum - w AND hh % tot < cum
+)""")
+        prev = f"s{i}"
+    chain = ",\n".join(parts)
+    emits = "\nUNION ALL\n".join(
+        [f"SELECT start, walk, CAST(0 AS BIGINT) AS step, cur AS node FROM s0"]
+        + [
+            f"SELECT start, walk, CAST({i} AS BIGINT) AS step, cur AS node FROM s{i}"
+            for i in range(1, length + 1)
+        ]
+    )
+    walk_ids = ", ".join(f"({w})" for w in range(n_walks))
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+adjn AS MATERIALIZED (
+  SELECT node, nbr,
+         CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) AS BIGINT) - 1
+           AS rn
+  FROM adj
+),
+s0 AS MATERIALIZED (
+  SELECT n.node AS start, CAST(w.walk AS BIGINT) AS walk, n.node AS cur
+  FROM (SELECT DISTINCT node FROM adj) n
+  CROSS JOIN (VALUES {walk_ids}) w(walk)
+),
+{chain}
+{emits}
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -4427,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
         "kg_walks": _kg_walks,
+        "kg_walks_biased": _kg_walks_biased,
         "kg_void": _kg_void,
         "kg_closeness": _kg_closeness,
         "kg_diff": _kg_diff,
@@ -6321,6 +6438,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),
         "kg_walks": _kg_walks_oracle(),
+        "kg_walks_biased": _kg_walks_biased_oracle(),
         "kg_void": _kg_void_oracle(),
         "kg_closeness": _kg_closeness_oracle(),
         "kg_diff": _kg_diff_oracle(),
