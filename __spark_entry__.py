@@ -1839,6 +1839,45 @@ SELECT id AS vec_id, cluster FROM a{iterations}
 """
 
 
+def _pca_embed(spark, sf_dir):
+    """PCA over the embeddings table (datapipe/clustering.py): fit is the
+    deterministic driver-side eigensolve (train-small like the IVF index),
+    projection onto the top-2 components runs distributed in pure codegen
+    left-folds — (id, pc1, pc2) rounded 6."""
+    from kgforge.datapipe.clustering import pca_fit_numpy, pca_project
+
+    mu, comps = pca_fit_numpy(f"{sf_dir}/embeddings.parquet", k=2)
+    emb = _read(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", mu, comps)
+
+
+def _pca_oracle() -> str:
+    import os as _os
+
+    from kgforge.datapipe.clustering import pca_fit_numpy
+
+    sfd = _os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    mu, comps = pca_fit_numpy(f"{sfd}/embeddings.parquet", k=2)
+    d = len(mu)
+    mu_l = "[" + ", ".join(repr(float(x)) for x in mu) + "]"
+
+    def proj(w, name):
+        w_l = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        return (
+            "round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {d}), "
+            f"i -> (CAST(embedding[i] AS DOUBLE) - ({mu_l})[i]) * ({w_l})[i])), "
+            f"(acc, v) -> acc + v), 6) AS {name}"
+        )
+
+    return f"""
+SELECT vec_id AS id,
+       {proj(comps[0], 'pc1')},
+       {proj(comps[1], 'pc2')}
+FROM embeddings
+"""
+
+
 def _dp_counts(spark, sf_dir):
     """ε-DP noisy order-priority counts (anonymize/privacy.py
     dp_group_counts): Laplace mechanism with a derandomized hash draw —
@@ -4603,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "weighted_sample": _weighted_sample,
         "dp_counts": _dp_counts,
+        "pca_embed": _pca_embed,
         "normalize_text": _normalize_text,
         "stratified_sample": _stratified_sample,
         "doc_sample": _doc_sample,
@@ -5812,6 +5852,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "dp_counts": _dp_counts_oracle(),
+        "pca_embed": _pca_oracle(),
         "url_canonical": r"""
         WITH u AS (
           SELECT doc_id AS id,

@@ -129,3 +129,60 @@ def kmeans_lloyd(
         assigned.select("id", "cluster"),
         cents.select("cluster", F.col("c").alias("centroid")),
     )
+
+
+def pca_fit_numpy(path: str, k: int = 2):
+    """Deterministic PCA fit from an embeddings parquet file: read, sort by
+    id, covariance eigendecomposition, top-``k`` components with a
+    deterministic sign convention (largest-|.| entry positive).
+
+    Driver-side by design — the same train-small/apply-distributed split as
+    the IVF index (`similarity.train_centroids_numpy`): at 100 TB the fit
+    runs on a bounded sample while :func:`pca_project` applies the learned
+    basis corpus-wide in whole-stage codegen.  Determinism (same file →
+    same basis bit-for-bit) is what lets an external SQL oracle inline the
+    identical literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pandas().sort_values("vec_id")
+    x = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    mu = x.mean(axis=0)
+    c = np.cov(x - mu, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(c)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for j in order:
+        w = vecs[:, j]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        comps.append(w)
+    return mu, comps
+
+
+def pca_project(
+    emb: DataFrame, id_col: str, vec_col: str, mean, components
+) -> DataFrame:
+    """Project each embedding onto the given PCA basis: one left-fold dot
+    product per component over (v − μ), entirely whole-stage codegen (no
+    Python in the row path) — ``(id, pc1, pc2, …)`` rounded to 6 decimals
+    (the fold order is fixed, so an oracle folding the same literals in the
+    same order matches bit-for-bit before rounding)."""
+    d = len(mean)
+    mu = F.array(*[F.lit(float(m)) for m in mean])
+    cols = [F.col(id_col).alias("id")]
+    for j, w in enumerate(components, start=1):
+        wl = F.array(*[F.lit(float(x)) for x in w])
+        fold = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(F.col(vec_col), i).cast("double")
+                - F.element_at(mu, i)
+            )
+            * F.element_at(wl, i),
+        )
+        cols.append(F.round(fold, 6).alias(f"pc{j}"))
+    return emb.select(*cols)

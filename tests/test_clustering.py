@@ -56,3 +56,39 @@ def test_empty_cluster_keeps_centroid(spark):
     assert len(got_c) == 3
     for c, v in want_c.items():
         assert got_c[c] == pytest.approx(v, abs=2e-6)
+
+
+def test_pca_fit_and_project(spark, tmp_path):
+    import numpy as np
+
+    rnd = np.random.RandomState(3)
+    base = rnd.randn(120, 6) @ np.diag([5, 3, 1, 0.1, 0.1, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "emb.parquet")
+    df.toPandas().to_parquet(path)
+
+    from kgforge.datapipe.clustering import pca_fit_numpy, pca_project
+
+    mu, comps = pca_fit_numpy(path, k=2)
+    got = {
+        r["id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(df, "vec_id", "embedding", mu, comps).collect()
+    }
+    x = base - base.mean(axis=0)
+    want1 = x @ comps[0]
+    want2 = x @ comps[1]
+    for i in range(120):
+        assert abs(got[i][0] - want1[i]) < 1e-5
+        assert abs(got[i][1] - want2[i]) < 1e-5
+    # the learned basis captures the dominant directions: projected
+    # variance along pc1 >= pc2 >> original minor axes
+    v1 = float(np.var([got[i][0] for i in range(120)]))
+    v2 = float(np.var([got[i][1] for i in range(120)]))
+    assert v1 >= v2 > float(np.var(x[:, 3]))
+    # determinism: same file -> identical basis
+    mu2, comps2 = pca_fit_numpy(path, k=2)
+    assert np.array_equal(mu, mu2)
+    assert all(np.array_equal(a, b) for a, b in zip(comps, comps2))
