@@ -4390,6 +4390,80 @@ s0 AS MATERIALIZED (
 """
 
 
+def _kg_wl(spark, sf_dir):
+    """Hash-multiset 1-WL structural colors (kg/wl.py, 3 refinements) over
+    the above-mean co-mention graph — equal colors = 1-WL-indistinguishable
+    3-hop neighborhood structure; pure integer arithmetic."""
+    from kgforge.kg.wl import wl_colors
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = wl_colors(kept, rounds=3)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result.select(F.col("node").alias("eid"), "color")
+
+
+def _kg_wl_oracle(rounds: int = 3) -> str:
+    parts = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""w{r} AS MATERIALIZED (
+  SELECT c.node,
+         (c.color * 1000003 + s.sg + 7777) % 2147483647 AS color
+  FROM {prev} c JOIN (
+    SELECT a.node,
+           CAST(sum((c2.color * c2.color + 31 * c2.color + 7)
+                    % 2147483647) AS BIGINT) AS sg
+    FROM adj a JOIN {prev} c2 ON c2.node = a.nbr
+    GROUP BY a.node
+  ) s ON s.node = c.node
+)""")
+        prev = f"w{r}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+w0 AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS color FROM adj GROUP BY node
+),
+{chain}
+SELECT node AS eid, color FROM {prev}
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -4578,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
         "kg_clustering": _kg_clustering,
+        "kg_wl": _kg_wl,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
@@ -6475,6 +6550,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
+        "kg_wl": _kg_wl_oracle(),
         "kg_communities": _kg_communities_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),
