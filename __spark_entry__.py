@@ -963,6 +963,45 @@ def _events_hourly(spark, sf_dir):
     )
 
 
+def _event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event journeys:
+    (type, next_type, n, p) where p is row-normalized.  The per-user
+    ordering window is bounded by a user's event count (never global);
+    ties on ts broken by event_id so the chain is deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = W.partitionBy("type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+    )
+
+
+def _event_transitions_oracle() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY type), 6) AS p
+FROM pairs
+"""
+
+
 def _sessionize_events(spark, sf_dir):
     from pyspark.sql import Window as W
 
@@ -4762,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "events_hourly": _events_hourly,
         "sessionize_events": _sessionize_events,
+        "event_transitions": _event_transitions,
         "events_session_window": _events_session_window,
         "events_followup_range_join": _events_followup_range_join,
         "events_asof_join": _events_asof_join,
@@ -5534,6 +5574,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
         """,
+        "event_transitions": _event_transitions_oracle(),
         "sessionize_events": """
         WITH g AS (
           SELECT user_id,
