@@ -4503,6 +4503,89 @@ SELECT node AS eid, color FROM {prev}
 """
 
 
+def _kg_featprop(spark, sf_dir):
+    """GraphSAGE-mean-style feature smoothing (kg/wl.py
+    feature_propagation, 2 hops) over the above-mean co-mention graph,
+    seeded with each entity's mention count — the cheap node-feature prep
+    for downstream embedding/classifier training."""
+    from kgforge.kg.wl import feature_propagation
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    mc = links.groupBy("eid").agg(F.count(F.lit(1)).alias("mc"))
+    result = feature_propagation(
+        kept, mc.select(F.col("eid").alias("node"), F.col("mc").alias("f")),
+        hops=2,
+    )
+    links.unpersist()
+    counts.unpersist()
+    return result.select(F.col("node").alias("eid"), "f")
+
+
+def _kg_featprop_oracle(hops: int = 2) -> str:
+    parts = []
+    prev = "f0"
+    for r in range(1, hops + 1):
+        parts.append(f"""f{r} AS MATERIALIZED (
+  SELECT c.node,
+         CASE WHEN m.m IS NOT NULL THEN (c.fm + m.m) // 2
+              ELSE c.fm END AS fm
+  FROM {prev} c LEFT JOIN (
+    SELECT a.node, CAST(sum(c2.fm) AS BIGINT) // count(*) AS m
+    FROM adj a JOIN {prev} c2 ON c2.node = a.nbr GROUP BY a.node
+  ) m ON m.node = c.node
+)""")
+        prev = f"f{r}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+),
+mc AS MATERIALIZED (SELECT eid, count(*) AS mc FROM de GROUP BY eid),
+nodes AS MATERIALIZED (
+  SELECT node FROM (SELECT DISTINCT node FROM adj
+                    UNION SELECT eid FROM mc)
+),
+f0 AS MATERIALIZED (
+  SELECT n.node, coalesce(CAST(m.mc AS BIGINT), 0) * 1000000 AS fm
+  FROM nodes n LEFT JOIN mc m ON m.eid = n.node
+),
+{chain}
+SELECT node AS eid, CAST(fm AS DOUBLE) / 1000000.0 AS f FROM {prev}
+"""
+
+
 def _kg_nodesim_oracle() -> str:
     return f"""
 WITH {_doc_mentions_cte()},
@@ -4692,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodesim": _kg_nodesim,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
+        "kg_featprop": _kg_featprop,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
         "kg_hits": _kg_hits,
@@ -6592,6 +6676,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
+        "kg_featprop": _kg_featprop_oracle(),
         "kg_communities": _kg_communities_oracle(),
         "kg_kcore": _kg_kcore_oracle(),
         "kg_hits": _kg_hits_oracle(),

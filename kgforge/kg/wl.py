@@ -93,3 +93,76 @@ def wl_colors(
     finally:
         und.unpersist()
         adj.unpersist()
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    node_col: str = "node",
+    feature_col: str = "f",
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-mean-style feature smoothing without learnables: ``hops``
+    rounds of ``f'(v) = (f(v) + mean over neighbors of f(u)) / 2`` over the
+    undirected graph — the standard cheap node-feature prep (label/feature
+    propagation for semi-supervised bootstrapping, cold-start smoothing).
+
+    Arithmetic is fixed-point MICRO-UNITS (×10⁶) end to end: the neighbor
+    mean is an integer ``sum div n`` and the blend ``(f + m) div 2`` — all
+    64-bit integer ops, so the result is exactly order-independent (a
+    float mean rounded per hop can flip its last digit with partition
+    order when a value lands on the rounding boundary — observed, which is
+    why this operator refuses floats internally).  Input features must be
+    NON-NEGATIVE (integer division spec); nodes missing from ``features``
+    start at 0, isolated feature rows keep their value.  Each round is one
+    equi-join + one map-side-combinable sum/count."""
+    und = _canonical(edges, src, dst).persist()
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .persist()
+    )
+    try:
+        nodes = adj.select("node").distinct().unionByName(
+            features.select(F.col(node_col).alias("node"))
+        ).distinct()
+        cur = (
+            nodes.join(
+                features.select(
+                    F.col(node_col).alias("node"),
+                    F.round(F.col(feature_col).cast("double") * 1e6)
+                    .cast("long")
+                    .alias("fm"),
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("fm", F.lit(0)).alias("fm"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(hops):
+            nbr_mean = (
+                adj.join(cur.withColumnRenamed("node", "nbr"), "nbr")
+                .groupBy("node")
+                .agg(
+                    F.sum("fm").alias("s"), F.count(F.lit(1)).alias("n")
+                )
+                .select("node", F.expr("s div n").alias("m"))
+            )
+            cur = (
+                cur.join(nbr_mean, "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("m").isNotNull(),
+                        F.expr("(fm + m) div 2"),
+                    ).otherwise(F.col("fm")).alias("fm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return cur.select("node", (F.col("fm") / F.lit(1e6)).alias("f"))
+    finally:
+        und.unpersist()
+        adj.unpersist()

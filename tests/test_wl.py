@@ -43,3 +43,48 @@ def test_refinement_distinguishes_regular_lookalikes(spark):
     got = _collect(wl_colors(df, rounds=3))
     assert len({got[i] for i in range(6)}) == 1
     assert len({got[i] for i in (10, 11, 12, 20, 21, 22)}) == 1
+
+
+def test_feature_propagation_mirror(spark):
+    import random
+
+    from kgforge.kg.wl import feature_propagation
+
+    rnd = random.Random(91)
+    edges = sorted({tuple(sorted(rnd.sample(range(20), 2))) for _ in range(40)})
+    feats = [(i, float(i % 7)) for i in range(20)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    f = spark.createDataFrame(feats, "node bigint, f double")
+    got = {
+        r["node"]: r["f"]
+        for r in feature_propagation(e, f, hops=2).collect()
+    }
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cur = {i: float(i % 7) for i in range(20)}
+    for _ in range(2):
+        nxt = {}
+        for v in cur:
+            if v in nbrs and nbrs[v]:
+                m = sum(cur[u] for u in nbrs[v]) / len(nbrs[v])
+                nxt[v] = round((cur[v] + m) / 2.0, 6)
+            else:
+                nxt[v] = round(cur[v], 6)
+        cur = nxt
+    for v, x in cur.items():
+        assert abs(got[v] - x) < 2e-6
+
+
+def test_feature_propagation_smooths(spark):
+    from kgforge.kg.wl import feature_propagation
+
+    # a clique with one outlier feature: propagation pulls it to the mean
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    feats = [(i, 0.0) for i in range(4)] + [(4, 100.0)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    f = spark.createDataFrame(feats, "node bigint, f double")
+    got = {r["node"]: r["f"] for r in feature_propagation(e, f, hops=3).collect()}
+    assert got[4] < 40.0
+    assert all(got[i] > 1.0 for i in range(4))
