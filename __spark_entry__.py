@@ -4617,6 +4617,82 @@ JOIN deg db ON db.w = cm.b
 """
 
 
+def _kg_linkpred(spark, sf_dir):
+    """Adamic-Adar / resource-allocation link prediction (kg/linkpred.py)
+    over the above-mean co-mention graph — ranked missing-edge candidates
+    for KG completion (non-adjacent entity pairs scored by the inverse-
+    degree weight of their shared neighbors)."""
+    from kgforge.kg.linkpred import link_prediction
+
+    links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
+    a = links.alias("a")
+    b = links.alias("b")
+    counts = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.eid") != F.col("b.eid")),
+        )
+        .groupBy(F.col("a.eid").alias("ea"), F.col("b.eid").alias("eb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    mean = counts.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
+    kept = (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n") > F.col("_mean"))
+        .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+    )
+    result = link_prediction(kept)  # checkpointed internally
+    links.unpersist()
+    counts.unpersist()
+    return result.select(
+        "a", "b", "common",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_alloc", 6).alias("resource_alloc"),
+    )
+
+
+def _kg_linkpred_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+{_links_best_cte()},
+ecounts AS MATERIALIZED (
+  SELECT a.eid AS ea, b.eid AS eb, count(*) AS n
+  FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.eid <> b.eid
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
+  FROM ecounts
+  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+),
+adj AS MATERIALIZED (
+  SELECT a AS w, b AS nb FROM und UNION ALL SELECT b, a FROM und
+),
+deg AS MATERIALIZED (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+cm AS MATERIALIZED (
+  SELECT l.nb AS a, r.nb AS b, count(*) AS c,
+         list_sort(list(dw.deg)) AS degs
+  FROM adj l
+  JOIN adj r ON l.w = r.w AND l.nb < r.nb
+  JOIN deg dw ON dw.w = l.w
+  GROUP BY 1, 2
+)
+SELECT cm.a, cm.b, CAST(cm.c AS BIGINT) AS common,
+       round(list_reduce(list_prepend(0.0,
+             list_transform(cm.degs, x -> 1.0 / ln(x))),
+             (p, q) -> p + q), 6) AS adamic_adar,
+       round(list_reduce(list_prepend(0.0,
+             list_transform(cm.degs, x -> 1.0 / x)),
+             (p, q) -> p + q), 6) AS resource_alloc
+FROM cm LEFT JOIN und e ON e.a = cm.a AND e.b = cm.b
+WHERE e.a IS NULL
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -4773,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _kg_ppr,
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
+        "kg_linkpred": _kg_linkpred,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -6674,6 +6751,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _kg_ppr_oracle(),
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
+        "kg_linkpred": _kg_linkpred_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),

@@ -1,0 +1,73 @@
+import math
+import random
+
+from kgforge.kg.linkpred import link_prediction
+
+
+def _brute(edges, max_degree=None):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    out = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in nbrs[a]:
+                continue
+            ws = [
+                w for w in nbrs[a] & nbrs[b]
+                if max_degree is None or deg[w] <= max_degree
+            ]
+            if not ws:
+                continue
+            ds = sorted(deg[w] for w in ws)
+            aa = 0.0
+            ra = 0.0
+            for d in ds:
+                aa += 1.0 / math.log(d)
+                ra += 1.0 / d
+            out[(a, b)] = (len(ws), aa, ra)
+    return out
+
+
+def _run(spark, edges, **kw):
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        (r["a"], r["b"]): (r["common"], r["adamic_adar"], r["resource_alloc"])
+        for r in link_prediction(e, **kw).collect()
+    }
+
+
+def test_link_prediction_mirror(spark):
+    rnd = random.Random(17)
+    edges = sorted({tuple(sorted(rnd.sample(range(25), 2))) for _ in range(60)})
+    got = _run(spark, edges)
+    want = _brute(edges)
+    assert set(got) == set(want)
+    for k, (c, aa, ra) in want.items():
+        gc, gaa, gra = got[k]
+        assert gc == c
+        assert abs(gaa - aa) < 1e-9
+        assert abs(gra - ra) < 1e-9
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle plus a pendant: (0,3) share neighbor 1; (1,2) is an edge
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3)]
+    got = _run(spark, edges)
+    assert (0, 3) in got and (2, 3) in got
+    assert (0, 1) not in got and (1, 2) not in got and (0, 2) not in got
+    # shared neighbor 1 has degree 3
+    c, aa, ra = got[(0, 3)]
+    assert c == 1
+    assert abs(aa - 1.0 / math.log(3)) < 1e-12
+    assert abs(ra - 1.0 / 3) < 1e-12
+
+
+def test_link_prediction_max_degree_cap(spark):
+    # star through hub 0 (degree 4) — capping at 3 removes all candidates
+    edges = [(0, i) for i in (1, 2, 3, 4)]
+    assert _run(spark, edges) == _brute(edges)
+    assert _run(spark, edges, max_degree=3) == {}
