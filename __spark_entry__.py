@@ -4693,6 +4693,72 @@ WHERE e.a IS NULL
 """
 
 
+_TRUSS_TAU = 0.25
+_TRUSS_K = 4
+_TRUSS_ORACLE_ROUNDS = 10  # observed fixpoint in 5-6 rounds at both SFs
+
+
+def _kg_truss(spark, sf_dir):
+    """4-truss of the embedding cosine-similarity graph (kg/truss.py):
+    edges with cosine >= 0.25 survive only while they sit in >= 2 triangles
+    of the surviving subgraph — the cohesive near-dup cores that remain
+    after iterative support peeling (2.8k edges -> ~200 at sf0.01, 5-6
+    peel rounds).  The edge list here is the exact all-pairs baseline (500
+    vectors); at scale the LSH-bucketed near-dup pairs feed the same
+    k_truss unchanged."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.truss import k_truss
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    )
+    return k_truss(e, k=_TRUSS_K, src="a", dst="b")
+
+
+def _kg_truss_oracle(
+    rounds: int = _TRUSS_ORACLE_ROUNDS, k: int = _TRUSS_K
+) -> str:
+    parts = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r}
+  ) GROUP BY a, b HAVING count(*) >= {k - 2}
+)""")
+        prev = f"e{r}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+{chain},
+tf AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+  SELECT x AS a, y AS b FROM tf
+  UNION ALL SELECT y, z FROM tf
+  UNION ALL SELECT x, z FROM tf
+) GROUP BY a, b
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -4850,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_nodesim": _kg_nodesim,
         "kg_linkpred": _kg_linkpred,
+        "kg_truss": _kg_truss,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -6752,6 +6819,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": _kg_triangles_oracle(),
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_linkpred": _kg_linkpred_oracle(),
+        "kg_truss": _kg_truss_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),
