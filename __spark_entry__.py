@@ -4759,6 +4759,63 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
 """
 
 
+def _kg_ecc(spark, sf_dir):
+    """Per-vector eccentricity over the cosine>=0.25 similarity graph
+    (kg/paths.py eccentricity: one synchronized multi-source BFS level
+    loop) — max(ecc) is the graph diameter, and the same operator over a
+    landmark sample is the standard diameter bound at scale."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.paths import eccentricity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = (
+        embedding_near_duplicates_exact(
+            emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint(eager=True)  # sources + edges both read from it
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    out = eccentricity(e, nodes, directed=False)
+    return out.select(
+        F.col("source").cast("bigint").alias("vec_id"), "ecc", "n_reached"
+    )
+
+
+def _kg_ecc_oracle(max_dist: int = 8) -> str:
+    # bounded recursive BFS + min-dist collapse (exact: observed diameter 5)
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM adj),
+walk(source, id, dist) AS (
+  SELECT n, n, CAST(0 AS BIGINT) FROM nodes
+  UNION
+  SELECT w.source, a.d, w.dist + 1
+  FROM walk w JOIN adj a ON a.s = w.id
+  WHERE w.dist < {max_dist}
+),
+dmin AS (
+  SELECT source, id, min(dist) AS dist FROM walk GROUP BY 1, 2
+)
+SELECT source AS vec_id,
+       CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached
+FROM dmin GROUP BY source
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -4917,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodesim": _kg_nodesim,
         "kg_linkpred": _kg_linkpred,
         "kg_truss": _kg_truss,
+        "kg_ecc": _kg_ecc,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -6820,6 +6878,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodesim": _kg_nodesim_oracle(),
         "kg_linkpred": _kg_linkpred_oracle(),
         "kg_truss": _kg_truss_oracle(),
+        "kg_ecc": _kg_ecc_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),

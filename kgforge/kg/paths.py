@@ -127,6 +127,25 @@ def pairwise_distances(
     raise ValueError(f"BFS did not converge in {max_iter} rounds")
 
 
+def eccentricity(
+    edges: DataFrame,
+    sources,
+    directed: bool = False,
+) -> DataFrame:
+    """(source, ecc, n_reached): each source's eccentricity — the max hop
+    distance to any vertex it can reach (0 when it reaches nothing) — plus
+    the reachable-others count.  max(ecc) over all vertices is the graph
+    diameter, min(ecc) the radius; like :func:`closeness` this is exact for
+    the given source set, and the landmark-sample version is the scale play
+    (all-pairs eccentricity at 100 TB is not a thing — landmarks give the
+    standard diameter lower bound)."""
+    d = pairwise_distances(edges, sources, directed=directed)
+    return d.groupBy("source").agg(
+        F.max("distance").alias("ecc"),
+        F.sum(F.when(F.col("distance") > 0, 1).otherwise(0)).alias("n_reached"),
+    )
+
+
 def closeness(
     edges: DataFrame,
     sources,

@@ -67,3 +67,29 @@ def test_isolated_source_zeroes(spark):
         for r in closeness(df, [1], directed=True).collect()
     }
     assert got["1"] == (0, 0.0, 0.0)
+
+
+def test_eccentricity_path_graph(spark):
+    from kgforge.kg.paths import eccentricity
+
+    # path 0-1-2-3: ecc = 3, 2, 2, 3; diameter 3, radius 2
+    edges = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["source"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(df, [0, 1, 2, 3], directed=False).collect()
+    }
+    assert got == {"0": (3, 3), "1": (2, 3), "2": (2, 3), "3": (3, 3)}
+
+
+def test_eccentricity_directed_and_isolated(spark):
+    from kgforge.kg.paths import eccentricity
+
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["source"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(df, [0, 2], directed=True).collect()
+    }
+    # 2 reaches nothing in the directed graph: ecc 0, n_reached 0
+    assert got == {"0": (2, 2), "2": (0, 0)}
