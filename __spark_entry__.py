@@ -4816,6 +4816,65 @@ FROM dmin GROUP BY source
 """
 
 
+def _kg_assort(spark, sf_dir):
+    """Degree assortativity of the cosine>=0.25 similarity graph
+    (kg/graphstats.py): Pearson correlation of end degrees from pure
+    integer sums over the doubled edge list — the one-number skew
+    diagnostic (strongly negative = hub-dominated = salting territory)."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.graphstats import degree_assortativity
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    )
+    out = degree_assortativity(e, src="a", dst="b")
+    return out.select(
+        "n_nodes", "n_edges",
+        F.round("mean_degree", 6).alias("mean_degree"),
+        F.round("assortativity", 6).alias("assortativity"),
+    )
+
+
+def _kg_assort_oracle() -> str:
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+deg AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY n
+),
+dirr AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS s1,
+         CAST(sum(dx.d) AS BIGINT) AS s2,
+         CAST(sum(dx.d * dx.d) AS BIGINT) AS s3,
+         CAST(sum(dx.d * dy.d) AS BIGINT) AS se
+  FROM dirr JOIN deg dx ON dx.n = dirr.a JOIN deg dy ON dy.n = dirr.b
+),
+nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) AS BIGINT) AS sumd
+  FROM deg
+)
+SELECT nn.n_nodes,
+       s.s1 // 2 AS n_edges,
+       round(CAST(nn.sumd AS DOUBLE) / nn.n_nodes, 6) AS mean_degree,
+       CASE WHEN s.s1 * s.s3 - s.s2 * s.s2 <> 0
+            THEN round(CAST(s.s1 * s.se - s.s2 * s.s2 AS DOUBLE)
+                       / CAST(s.s1 * s.s3 - s.s2 * s.s2 AS DOUBLE), 6)
+            END AS assortativity
+FROM s, nn
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -4975,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": _kg_linkpred,
         "kg_truss": _kg_truss,
         "kg_ecc": _kg_ecc,
+        "kg_assort": _kg_assort,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -6879,6 +6939,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": _kg_linkpred_oracle(),
         "kg_truss": _kg_truss_oracle(),
         "kg_ecc": _kg_ecc_oracle(),
+        "kg_assort": _kg_assort_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),

@@ -1,0 +1,87 @@
+"""Whole-graph summary statistics (degree assortativity, degree profile).
+
+Degree assortativity (Newman 2002, "Assortative mixing in networks") is
+the Pearson correlation of the degrees at the two ends of an edge: social
+graphs run positive (hubs befriend hubs), infrastructure and similarity
+graphs usually negative.  It is THE one-number skew diagnostic for a graph
+pipeline — a strongly disassortative graph is exactly the shape where
+hub-salting and degree-oriented wedge joins pay off.
+
+Everything is computed from integer sums over the doubled edge list
+(each undirected edge contributes both orientations, the standard
+convention), so the aggregation is map-side combinable, partition-order
+independent, and exact until the single final division:
+
+    r = (S1*Se - S2^2) / (S1*S3 - S2^2)
+
+with S1 = 2m, S2 = Σ deg, S3 = Σ deg², Se = Σ deg_u·deg_v over oriented
+edge ends.  Sums stay in int64 — fine up to ~10^9 edges × 10^5 max degree;
+beyond that switch the three aggregates to decimal(38,0) (one-line cast),
+not to floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgforge.kg.triangles import _canonical
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row: (n_nodes, n_edges, mean_degree, assortativity).
+
+    ``assortativity`` is NULL for degree-regular graphs (zero variance in
+    end degrees — the correlation is undefined, not 0)."""
+    und = _canonical(edges, src, dst).persist()
+    try:
+        deg = (
+            und.select(F.col("a").alias("n"))
+            .unionByName(und.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist()
+        )
+        dirr = und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        dx = deg.select(F.col("n").alias("a"), F.col("d").alias("dx"))
+        dy = deg.select(F.col("n").alias("b"), F.col("d").alias("dy"))
+        sums = (
+            dirr.join(dx, "a")
+            .join(dy, "b")
+            .agg(
+                F.count(F.lit(1)).alias("s1"),
+                F.sum("dx").alias("s2"),
+                F.sum(F.col("dx") * F.col("dx")).alias("s3"),
+                F.sum(F.col("dx") * F.col("dy")).alias("se"),
+            )
+        )
+        nodes = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("sumd")
+        )
+        out = sums.crossJoin(F.broadcast(nodes)).select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            (F.col("s1") / 2).cast("bigint").alias("n_edges"),
+            (F.col("sumd").cast("double") / F.col("n_nodes")).alias(
+                "mean_degree"
+            ),
+            F.when(
+                F.col("s1") * F.col("s3") - F.col("s2") * F.col("s2") != 0,
+                (
+                    F.col("s1") * F.col("se") - F.col("s2") * F.col("s2")
+                ).cast("double")
+                / (
+                    F.col("s1") * F.col("s3") - F.col("s2") * F.col("s2")
+                ).cast("double"),
+            ).alias("assortativity"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        try:
+            deg.unpersist()
+        except NameError:
+            pass
