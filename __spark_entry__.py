@@ -2482,6 +2482,97 @@ def _tfidf_keywords_q(spark, sf_dir):
     return tfidf_keywords(docs, "doc_id", "text", top=3, min_df=2)
 
 
+_HLL_P = 9
+
+
+def _hll_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type (datapipe/sketch.py,
+    m=512 registers): the fixed-size mergeable replacement for
+    COUNT(DISTINCT user_id) — registers are deterministic two-stage
+    portable hashes, so the DuckDB oracle reproduces the ESTIMATE itself,
+    not just the truth it approximates."""
+    from kgforge.datapipe.sketch import hll_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    out = hll_distinct(ev, ["event_type"], "user_id", p=_HLL_P)
+    return out.select(
+        "event_type", "present", F.round("est", 6).alias("est")
+    )
+
+
+def _hll_users_oracle() -> str:
+    from kgforge.datapipe.sketch import hll_oracle_sql
+
+    return "WITH " + hll_oracle_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events",
+        ["event_type"],
+        "v",
+        p=_HLL_P,
+    )
+
+
+_CMS_WIDTH = 512
+_CMS_MULTS = (31, 131, 1009, 10007)
+_CMS_THRESHOLD = 300
+
+
+def _heavy_tokens(spark, sf_dir):
+    """Count-min heavy hitters over the corpus token stream
+    (datapipe/sketch.py, 4 lanes x 512 slots): every token whose CMS
+    estimate (min over lanes) reaches the threshold — a superset of the
+    true heavy tokens by the one-sided-error contract, with the register
+    table itself the mergeable 100-TB artifact."""
+    from kgforge.datapipe.sketch import cms_heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return cms_heavy_hitters(
+        toks, "tok", _CMS_THRESHOLD, depth=4, width=_CMS_WIDTH,
+        mults=_CMS_MULTS,
+    )
+
+
+def _heavy_tokens_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    lanes = "\n    UNION ALL ".join(
+        f"SELECT {j} AS lane, {_stage2_sql('v', m, 131)} % {_CMS_WIDTH} AS slot FROM tv"
+        for j, m in enumerate(_CMS_MULTS)
+    )
+    slots = ",\n         ".join(
+        f"{_stage2_sql('v', m, 131)} % {_CMS_WIDTH} AS s{j}"
+        for j, m in enumerate(_CMS_MULTS)
+    )
+    joins = "\n".join(
+        f"JOIN reg r{j} ON r{j}.lane = {j} AND r{j}.slot = cand.s{j}"
+        for j in range(len(_CMS_MULTS))
+    )
+    least = ", ".join(f"r{j}.c" for j in range(len(_CMS_MULTS)))
+    return f"""
+WITH tv AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS v FROM documents
+  ) WHERE v <> ''
+),
+reg AS MATERIALIZED (
+  SELECT lane, slot, CAST(count(*) AS BIGINT) AS c FROM (
+    {lanes}
+  ) GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+  SELECT v,
+         {slots}
+  FROM (SELECT DISTINCT v FROM tv)
+)
+SELECT cand.v AS value, least({least}) AS est
+FROM cand
+{joins}
+WHERE least({least}) >= {_CMS_THRESHOLD}
+"""
+
+
 # (norm, eid, canonical, etype) — the corpus-word link catalog used by the
 # value-checked kg_triples pipeline (same surfaces as _LINK_CANDS)
 _KG_CATALOG = [
@@ -5111,6 +5202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "doc_packing": _doc_packing,
         "vocab_topk": _vocab_topk_q,
+        "hll_users": _hll_users,
+        "heavy_tokens": _heavy_tokens,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -6535,6 +6628,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         FROM cum GROUP BY 1
         """,
+        "hll_users": _hll_users_oracle(),
+        "heavy_tokens": _heavy_tokens_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
