@@ -2482,6 +2482,70 @@ def _tfidf_keywords_q(spark, sf_dir):
     return tfidf_keywords(docs, "doc_id", "text", top=3, min_df=2)
 
 
+def _events_burst(spark, sf_dir):
+    """Hourly burst detection per event type (datapipe/profile.py
+    hourly_bursts): z-score vs the trailing-24-observed-hours baseline of
+    the same type, computed from integer window sums.  A 60-event spike
+    is injected at 2024-01-20 12:00 (mirrored in the oracle) so the flag
+    path is exercised, not just the baseline math."""
+    from kgforge.datapipe.profile import hourly_bursts
+
+    ev = _read(spark, sf_dir, "events").select("ts", "event_type")
+    spike = spark.range(60).select(
+        F.expr(
+            "timestamp'2024-01-20 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+        ).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    out = hourly_bursts(ev.unionByName(spike))
+    return out.select(
+        "type", "hour", "n", F.round("z", 6).alias("z"), "burst"
+    )
+
+
+def _events_burst_oracle() -> str:
+    return """
+WITH ev AS MATERIALIZED (
+  SELECT ts, event_type FROM events
+  UNION ALL
+  SELECT TIMESTAMP '2024-01-20 12:00:00' + i * INTERVAL 1 SECOND, 'click'
+  FROM generate_series(0, 59) t(i)
+),
+hourly AS MATERIALIZED (
+  SELECT event_type AS type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+sc AS (
+  SELECT type, h, n,
+         count(n) OVER w AS cnt,
+         CAST(sum(n) OVER w AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER w AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+       CASE WHEN cnt >= 12
+                 AND (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / cnt)
+                     / (cnt - 1) > 0
+            THEN round((n - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 * s1 AS DOUBLE) / cnt)
+                              / (cnt - 1)), 6) END AS z,
+       coalesce(CASE WHEN cnt >= 12
+                          AND (CAST(s2 AS DOUBLE)
+                               - CAST(s1 * s1 AS DOUBLE) / cnt)
+                              / (cnt - 1) > 0
+                     THEN (n - CAST(s1 AS DOUBLE) / cnt)
+                          / sqrt((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 * s1 AS DOUBLE) / cnt)
+                                 / (cnt - 1)) >= 2.0 END,
+                FALSE) AS burst
+FROM sc
+"""
+
+
 _HLL_P = 9
 
 
@@ -5204,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk_q,
         "hll_users": _hll_users,
         "heavy_tokens": _heavy_tokens,
+        "events_burst": _events_burst,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -6630,6 +6695,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_users": _hll_users_oracle(),
         "heavy_tokens": _heavy_tokens_oracle(),
+        "events_burst": _events_burst_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

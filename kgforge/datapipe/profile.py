@@ -46,6 +46,65 @@ def winsorize(df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99,
     )
 
 
+def hourly_bursts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window: int = 24,
+    min_history: int = 12,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Per-type hourly burst flags: ``(type, hour, n, z, burst)`` where z
+    scores each hour's event count against the TRAILING ``window`` observed
+    hourly buckets of the same type (current hour excluded — a burst must
+    not inflate its own baseline).
+
+    The window runs over the AGGREGATED per-type hourly series and is
+    partitioned by type, so its input cardinality is hours×types, never
+    events — a year of data is 8,760 rows per type regardless of corpus
+    size, which is what makes a windowed baseline viable at 100 TB (the
+    raw-event shuffle happens once, in the map-side-combinable count).
+    Mean/variance come from integer window sums (count/sum/sum-of-squares)
+    with one fixed float expression at the end, so z is reproducible
+    across engines and partitionings; z is NULL below ``min_history``
+    observed buckets or at zero variance."""
+    hourly = df.groupBy(
+        F.col(type_col).alias("type"),
+        F.date_trunc("hour", ts_col).alias("_hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("type")
+        .orderBy("_hour")
+        .rowsBetween(-window, -1)
+    )
+    cnt = F.count("n").over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    scored = hourly.select(
+        "type",
+        F.date_format("_hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+        cnt.alias("_cnt"),
+        s1.alias("_s1"),
+        s2.alias("_s2"),
+    )
+    var = (
+        F.col("_s2").cast("double")
+        - (F.col("_s1") * F.col("_s1")).cast("double") / F.col("_cnt")
+    ) / (F.col("_cnt") - 1)
+    z = (F.col("n") - F.col("_s1").cast("double") / F.col("_cnt")) / F.sqrt(var)
+    ok = (F.col("_cnt") >= min_history) & (var > 0)
+    return scored.select(
+        "type",
+        "hour",
+        "n",
+        F.when(ok, z).alias("z"),
+        F.when(ok, z >= z_thresh).otherwise(F.lit(False)).alias("burst"),
+    )
+
+
 def profile_table(df: DataFrame, columns: list[str] | None = None,
                   mean_decimal_scale: int = 6) -> DataFrame:
     """(column, metric, value) rows for every profiled column.
