@@ -2546,6 +2546,66 @@ FROM sc
 """
 
 
+def _source_divergence(spark, sf_dir):
+    """Per-source KL / Jensen-Shannon drift vs the corpus unigram
+    distribution (datapipe/mix.py source_divergence) — the training-mix
+    health panel, with femto-unit integer term sums so the divergences
+    are partition-order exact."""
+    from kgforge.datapipe.mix import source_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    out = source_divergence(docs, "source", "text", alpha=0.5)
+    return out.select(
+        "source", "n_tokens",
+        F.round("kl", 6).alias("kl"),
+        F.round("js", 6).alias("js"),
+    )
+
+
+def _source_divergence_oracle() -> str:
+    p = "((c_s + 0.5) / (n_s + 0.5 * v))"
+    q = "((c_all + 0.5) / (n_all + 0.5 * v))"
+    m = f"(({p} + {q}) / 2)"
+    kl_t = f"{p} * ln({p} / {q})"
+    js_t = f"({p} * ln({p} / {m}) + {q} * ln({q} / {m})) / 2"
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT src, tok FROM (
+    SELECT source AS src,
+           unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+cs AS MATERIALIZED (
+  SELECT src, tok, CAST(count(*) AS BIGINT) AS c_s FROM toks GROUP BY 1, 2
+),
+call AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c_all FROM toks GROUP BY 1
+),
+tots AS (
+  SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_all) AS BIGINT) AS n_all
+  FROM call
+),
+ns AS (SELECT src, CAST(sum(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+grid AS (
+  SELECT ns.src, ns.n_s, call.tok, call.c_all,
+         coalesce(cs.c_s, 0) AS c_s, tots.v, tots.n_all
+  FROM call CROSS JOIN ns CROSS JOIN tots
+  LEFT JOIN cs ON cs.src = ns.src AND cs.tok = call.tok
+),
+terms AS (
+  SELECT src, n_s,
+         CAST(round({kl_t} * 1e15) AS BIGINT) AS klt,
+         CAST(round({js_t} * 1e15) AS BIGINT) AS jst
+  FROM grid
+)
+SELECT src AS source, n_s AS n_tokens,
+       round(CAST(sum(klt) AS BIGINT) / 1e15, 6) AS kl,
+       round(CAST(sum(jst) AS BIGINT) / 1e15, 6) AS js
+FROM terms GROUP BY 1, 2
+"""
+
+
 _HLL_P = 9
 
 
@@ -5030,6 +5090,116 @@ FROM s, nn
 """
 
 
+_BC_DEPTH = 8
+_BC_SRC_MOD = 10
+
+
+def _kg_betweenness(spark, sf_dir):
+    """Landmark Brandes betweenness (kg/betweenness.py) over the
+    cosine>=0.25 similarity graph: every 10th vector is a source, DAGs
+    bounded at depth 8 (> observed diameter 5, so exact for this landmark
+    set).  Sigma counts are integer sums; every float accumulation is a
+    sorted fold, so the scores oracle-match bit-for-bit."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.betweenness import betweenness
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = (
+        embedding_near_duplicates_exact(
+            emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint(eager=True)  # sources + edges both read from it
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionByName(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    srcs = nodes.filter(F.col("n") % _BC_SRC_MOD == 0)
+    out = betweenness(e, srcs, directed=False, max_depth=_BC_DEPTH)
+    return out.select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.round("bc", 6).alias("bc"),
+    )
+
+
+def _kg_betweenness_oracle(max_depth: int = _BC_DEPTH) -> str:
+    fwd = []
+    for r in range(1, max_depth + 1):
+        fwd.append(f"""d{r} AS MATERIALIZED (
+  SELECT p.source, a.d AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM d{r - 1} p
+  JOIN adj a ON a.s = p.node
+  LEFT JOIN s{r - 1} st ON st.source = p.source AND st.node = a.d
+  WHERE st.node IS NULL
+  GROUP BY 1, 2
+),
+s{r} AS MATERIALIZED (
+  SELECT source, node FROM s{r - 1}
+  UNION ALL SELECT source, node FROM d{r}
+)""")
+    bwd = [f"del{max_depth} AS MATERIALIZED (\n"
+           f"  SELECT source, node, 0.0 AS delta FROM d{max_depth}\n)"]
+    for r in range(max_depth - 1, 0, -1):
+        bwd.append(f"""del{r} AS MATERIALIZED (
+  SELECT v.source, v.node, coalesce(t.dl, 0.0) AS delta
+  FROM d{r} v LEFT JOIN (
+    SELECT v2.source, v2.node,
+           list_reduce(list_prepend(0.0, list_transform(
+             list(struct_pack(w := w.node, sw := w.sigma, dw := dw.delta)
+                  ORDER BY CAST(w.node AS VARCHAR)),
+             x -> (CAST(v2.sigma AS DOUBLE) / x.sw) * (1.0 + x.dw))),
+             (p, q) -> p + q) AS dl
+    FROM d{r} v2
+    JOIN adj a ON a.s = v2.node
+    JOIN d{r + 1} w ON w.source = v2.source AND w.node = a.d
+    JOIN del{r + 1} dw ON dw.source = w.source AND dw.node = w.node
+    GROUP BY v2.source, v2.node, v2.sigma
+  ) t ON t.source = v.source AND t.node = v.node
+)""")
+    contrib = "\n  UNION ALL ".join(
+        f"SELECT source, node, delta FROM del{r}"
+        for r in range(1, max_depth + 1)
+    )
+    fwd_sql = ",\n".join(fwd)
+    bwd_sql = ",\n".join(bwd)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+srcs AS MATERIALIZED (
+  SELECT DISTINCT s AS n FROM adj WHERE s % {_BC_SRC_MOD} = 0
+),
+d0 AS MATERIALIZED (
+  SELECT n AS source, n AS node, CAST(1 AS BIGINT) AS sigma FROM srcs
+),
+s0 AS MATERIALIZED (SELECT source, node FROM d0),
+{fwd_sql},
+{bwd_sql},
+contrib AS MATERIALIZED (
+  {contrib}
+),
+bcagg AS (
+  SELECT node,
+         list_reduce(list_prepend(0.0, list_transform(
+           list(struct_pack(s := source, d := delta)
+                ORDER BY CAST(source AS VARCHAR)),
+           x -> x.d)), (p, q) -> p + q) AS bc
+  FROM contrib GROUP BY node
+)
+SELECT n.node AS vec_id, round(coalesce(b.bc, 0.0) / 2.0, 6) AS bc
+FROM (SELECT DISTINCT node FROM s{max_depth}) n
+LEFT JOIN bcagg b ON b.node = n.node
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -5190,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truss": _kg_truss,
         "kg_ecc": _kg_ecc,
         "kg_assort": _kg_assort,
+        "kg_betweenness": _kg_betweenness,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -5269,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users": _hll_users,
         "heavy_tokens": _heavy_tokens,
         "events_burst": _events_burst,
+        "source_divergence": _source_divergence,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -6696,6 +6868,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users": _hll_users_oracle(),
         "heavy_tokens": _heavy_tokens_oracle(),
         "events_burst": _events_burst_oracle(),
+        "source_divergence": _source_divergence_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
@@ -7101,6 +7274,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss": _kg_truss_oracle(),
         "kg_ecc": _kg_ecc_oracle(),
         "kg_assort": _kg_assort_oracle(),
+        "kg_betweenness": _kg_betweenness_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),

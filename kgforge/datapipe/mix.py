@@ -206,3 +206,69 @@ def weighted_sample(
         .orderBy(F.col("_wskey").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source distribution drift: ``(source, n_tokens, kl, js)`` —
+    KL(p_source ‖ p_corpus) and Jensen-Shannon divergence between each
+    source's add-alpha-smoothed unigram distribution and the whole
+    corpus's, over the corpus vocabulary.  THE training-mix diagnostic:
+    a source whose KL spikes is distributionally off and about to skew
+    the mixture (Xie et al. 2023 DoReMi frames domain weights exactly in
+    these terms).
+
+    Scale shape: two token-count groupBys (map-side combinable) and a
+    |sources| x |vocab| term grid; at 100-TB vocab, restrict the grid to
+    a top-V vocabulary first (the tail's alpha-weight contribution is
+    uniform and cancels in ranking).  Each per-term float is rounded to
+    integer FEMTO-units (x1e15) and summed as int64 — partition-order
+    exact, with total rounding error |V|·1e-15, invisible at round-6.
+    """
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cs = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_s"))
+    call = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all")).persist()
+    try:
+        tots = call.agg(
+            F.count(F.lit(1)).alias("v"), F.sum("c_all").alias("n_all")
+        )
+        ns = cs.groupBy("src").agg(F.sum("c_s").alias("n_s"))
+        grid = (
+            call.crossJoin(F.broadcast(ns))
+            .join(cs, ["src", "tok"], "left")
+            .select(
+                "src", "n_s", "c_all",
+                F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            )
+            .crossJoin(F.broadcast(tots))
+        )
+        p = (F.col("c_s") + alpha) / (F.col("n_s") + alpha * F.col("v"))
+        q = (F.col("c_all") + alpha) / (F.col("n_all") + alpha * F.col("v"))
+        m = (p + q) / 2
+        kl_t = p * F.log(p / q)
+        js_t = (p * F.log(p / m) + q * F.log(q / m)) / 2
+        terms = grid.select(
+            "src", "n_s",
+            F.round(kl_t * 1e15).cast("long").alias("_kl"),
+            F.round(js_t * 1e15).cast("long").alias("_js"),
+        )
+        out = (
+            terms.groupBy("src", "n_s")
+            .agg(F.sum("_kl").alias("_skl"), F.sum("_js").alias("_sjs"))
+            .select(
+                F.col("src").alias("source"),
+                F.col("n_s").alias("n_tokens"),
+                (F.col("_skl") / 1e15).alias("kl"),
+                (F.col("_sjs") / 1e15).alias("js"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        call.unpersist()
