@@ -5200,6 +5200,63 @@ LEFT JOIN bcagg b ON b.node = n.node
 """
 
 
+_SCC_MOD = 200
+
+
+def _kg_scc(spark, sf_dir):
+    """Strongly connected components (kg/scc.py FB-coloring) of a
+    deterministic functional digraph over customer keys — i -> (7i+3) and
+    i -> (11i+5) mod 200 — the rho-shaped cycles-with-tails structure
+    where SCC (the cycle classes) differs sharply from weak
+    connectivity."""
+    from kgforge.kg.scc import strongly_connected_components
+
+    m = _SCC_MOD
+    n = (
+        _read(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % m).alias("n"))
+        .distinct()
+    )
+    e = n.select(
+        F.col("n").alias("src"), ((F.col("n") * 7 + 3) % m).alias("dst")
+    ).unionByName(
+        n.select(
+            F.col("n").alias("src"), ((F.col("n") * 11 + 5) % m).alias("dst")
+        )
+    )
+    return strongly_connected_components(e)
+
+
+def _kg_scc_oracle() -> str:
+    m = _SCC_MOD
+    return f"""
+WITH RECURSIVE cnodes AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % {m} AS n FROM customer
+),
+e2 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT n AS u, (n * 7 + 3) % {m} AS v FROM cnodes
+    UNION SELECT n, (n * 11 + 5) % {m} FROM cnodes
+  ) WHERE u <> v
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS n FROM e2 UNION SELECT v FROM e2
+),
+reach(a, b) AS (
+  SELECT u, v FROM e2
+  UNION
+  SELECT r.a, e2.v FROM reach r JOIN e2 ON e2.u = r.b
+),
+mutual AS MATERIALIZED (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  UNION SELECT n, n FROM nodes
+)
+SELECT CAST(v AS VARCHAR) AS node, min(CAST(u AS VARCHAR)) AS scc
+FROM mutual GROUP BY 1
+"""
+
+
 def _kg_clustering(spark, sf_dir):
     """Per-node clustering coefficient (kg/triangles.py
     clustering_coefficient) over the above-mean co-mention graph — how
@@ -5361,6 +5418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ecc": _kg_ecc,
         "kg_assort": _kg_assort,
         "kg_betweenness": _kg_betweenness,
+        "kg_scc": _kg_scc,
         "kg_clustering": _kg_clustering,
         "kg_wl": _kg_wl,
         "kg_featprop": _kg_featprop,
@@ -7275,6 +7333,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ecc": _kg_ecc_oracle(),
         "kg_assort": _kg_assort_oracle(),
         "kg_betweenness": _kg_betweenness_oracle(),
+        "kg_scc": _kg_scc_oracle(),
         "kg_clustering": _kg_clustering_oracle(),
         "kg_wl": _kg_wl_oracle(),
         "kg_featprop": _kg_featprop_oracle(),
