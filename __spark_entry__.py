@@ -2606,6 +2606,126 @@ FROM terms GROUP BY 1, 2
 """
 
 
+def _assoc_rules(spark, sf_dir):
+    """Market-basket association rules over per-user event-type baskets
+    (datapipe/assoc.py): support / confidence / lift from exact int64
+    counts — the co-occurrence-vs-popularity panel (and the quick leakage
+    probe before training on behavioral features)."""
+    from kgforge.datapipe.assoc import association_rules
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat_ws(
+            ":", F.col("user_id"), F.to_date("ts").cast("string")
+        ).alias("bk"),
+        "event_type",
+    )
+    out = association_rules(ev, "bk", "event_type")
+    return out.select(
+        "a", "b", "n_a", "n_b", "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("conf_ab", 6).alias("conf_ab"),
+        F.round("conf_ba", 6).alias("conf_ba"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+def _assoc_rules_oracle() -> str:
+    return """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE),
+                                                     '%Y-%m-%d') AS bk,
+         event_type AS item
+  FROM events
+),
+nt AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM bi),
+it AS MATERIALIZED (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT l.item AS a, r.item AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi l JOIN bi r ON l.bk = r.bk AND l.item < r.item
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, na.n AS n_a, nb.n AS n_b, p.n_ab,
+       round(p.n_ab / nt.n, 6) AS support,
+       round(p.n_ab / na.n, 6) AS conf_ab,
+       round(p.n_ab / nb.n, 6) AS conf_ba,
+       round((p.n_ab * nt.n) / (na.n * nb.n), 6) AS lift
+FROM pairs p
+JOIN it na ON na.item = p.a
+JOIN it nb ON nb.item = p.b
+CROSS JOIN nt
+"""
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 4
+
+
+def _bloom_grams(spark, sf_dir):
+    """Bloom-filter membership prefilter (datapipe/sketch.py bloom_build/
+    bloom_probe): the train half's distinct word-3-grams go into a
+    4096-bit/4-lane bloom, and every eval-half gram is probed — the
+    broadcast pre-join filter that drops rows before the expensive shuffle
+    at 100 TB (no false negatives; FPs bounded by the classic rate)."""
+    from kgforge.datapipe.dedup import _word_grams
+    from kgforge.datapipe.sketch import bloom_build, bloom_probe
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    ev = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    gt = _word_grams(train, "text", 3).select("g")
+    ge = _word_grams(ev, "text", 3).select("g").distinct()
+    bloom = bloom_build(gt, "g", m_bits=_BLOOM_M, depth=_BLOOM_K)
+    return bloom_probe(bloom, ge, "g", m_bits=_BLOOM_M, depth=_BLOOM_K)
+
+
+def _bloom_grams_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    mults = (31, 131, 1009, 10007)
+    def lanes(src):
+        return "\n    UNION ALL ".join(
+            f"SELECT g AS value, ({_stage2_sql('g', m, 131)} * {_BLOOM_K} + {j})"
+            f" % {_BLOOM_M} AS slot FROM {src}"
+            for j, m in enumerate(mults)
+        )
+    return f"""
+WITH grams AS MATERIALIZED (
+  SELECT doc_id % 2 = 0 AS is_train, g FROM (
+    SELECT DISTINCT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS g
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM documents)
+  )
+),
+gt AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE is_train),
+ge AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE NOT is_train),
+bloom AS MATERIALIZED (
+  SELECT DISTINCT slot FROM (
+    {lanes('gt')}
+  )
+),
+probes AS MATERIALIZED (
+  {lanes('ge')}
+),
+hits AS (
+  SELECT p.value, CAST(count(*) AS BIGINT) AS h
+  FROM probes p JOIN bloom b ON b.slot = p.slot
+  GROUP BY 1
+)
+SELECT ge.g AS value, coalesce(h.h, 0) = {_BLOOM_K} AS in_bloom
+FROM ge LEFT JOIN hits h ON h.value = ge.g
+"""
+
+
 _HLL_P = 9
 
 
@@ -5499,6 +5619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_tokens": _heavy_tokens,
         "events_burst": _events_burst,
         "source_divergence": _source_divergence,
+        "assoc_rules": _assoc_rules,
+        "bloom_grams": _bloom_grams,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -6927,6 +7049,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_tokens": _heavy_tokens_oracle(),
         "events_burst": _events_burst_oracle(),
         "source_divergence": _source_divergence_oracle(),
+        "assoc_rules": _assoc_rules_oracle(),
+        "bloom_grams": _bloom_grams_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

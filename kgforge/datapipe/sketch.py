@@ -238,3 +238,70 @@ def cms_error_bound(depth: int, width: int, n: int) -> float:
     """Classic CMS guarantee: est - true <= e/width * n with prob
     >= 1 - e^-depth (Cormode & Muthukrishnan 2005)."""
     return math.e / width * n
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    depth: int = 4,
+    mults: tuple = (31, 131, 1009, 10007),
+) -> DataFrame:
+    """Bloom filter as a DataFrame: the DISTINCT set of hit bit slots
+    (one column, <= m_bits rows) over ``depth`` two-stage hash lanes.
+
+    Set-union mergeable by construction (union + distinct), and the
+    standard broadcast pre-filter at 100 TB: ship the slot set to every
+    executor and drop rows whose membership probe misses BEFORE the
+    expensive join/shuffle they were headed into.  No false negatives;
+    false-positive rate ~ (1 - e^(-depth*n/m))^depth."""
+    if depth > len(mults):
+        raise ValueError(f"need {depth} hash multipliers, have {len(mults)}")
+    s = F.col(value_col).cast("string")
+    slots = df.select(
+        F.explode(
+            F.array(
+                *[
+                    (_stage2(s, mults[j], 131) * depth + j) % m_bits
+                    for j in range(depth)
+                ]
+            )
+        ).alias("slot")
+    )
+    return slots.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    depth: int = 4,
+    mults: tuple = (31, 131, 1009, 10007),
+) -> DataFrame:
+    """(value, in_bloom) for each distinct probe value: ``in_bloom`` is
+    true iff ALL ``depth`` slots are set (the no-false-negative test).
+    ``bloom`` must come from :func:`bloom_build` with identical
+    parameters; it is broadcast — the point of the structure."""
+    s = F.col(value_col).cast("string")
+    cand = probes.select(s.alias("value")).distinct()
+    lanes = cand.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    (_stage2(F.col("value"), mults[j], 131) * depth + j)
+                    % m_bits
+                    for j in range(depth)
+                ]
+            )
+        ).alias("slot"),
+    )
+    hits = (
+        lanes.join(F.broadcast(bloom), "slot")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return cand.join(hits, "value", "left").select(
+        "value", (F.coalesce("_hits", F.lit(0)) == depth).alias("in_bloom")
+    )
