@@ -2726,6 +2726,82 @@ FROM ge LEFT JOIN hits h ON h.value = ge.g
 """
 
 
+def _kg_negsample(spark, sf_dir):
+    """Deterministic filtered negative sampling (kg/negsample.py) over a
+    supplier-geography triple set: k=2 corrupted-tail negatives per
+    positive, hash-picked from the globally-ranked entity set and
+    anti-joined against true triples — the TransE-style training-pair
+    generator whose sample is a pure function of the data (reproducible
+    across partitionings, retries, and resume)."""
+    from kgforge.kg.negsample import negative_samples
+
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    t = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("locatedIn").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            nat.join(reg, nat.n_regionkey == reg.r_regionkey).select(
+                F.col("n_name").alias("subj"),
+                F.lit("partOf").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    out = negative_samples(t, k=2)
+    return out.select(
+        "subj", "pred", "obj", F.col("lane").cast("int").alias("lane"),
+        "neg_obj",
+    )
+
+
+def _kg_negsample_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    key = (
+        "subj || chr(31) || pred || chr(31) || obj || chr(31) "
+        "|| CAST(lane AS VARCHAR)"
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT s_name AS subj, 'locatedIn' AS pred, n_name AS obj
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT n_name, 'partOf', r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+ents AS MATERIALIZED (
+  SELECT e, CAST(row_number() OVER (ORDER BY e) - 1 AS BIGINT) AS pick
+  FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ents),
+lanes AS (
+  SELECT subj, pred, obj, lane
+  FROM t CROSS JOIN (SELECT unnest([0, 1]) AS lane)
+),
+cand AS (
+  SELECT subj, pred, obj, lane,
+         {_stage2_sql(key, 31, 1009)} % (SELECT n FROM nt) AS pick
+  FROM lanes
+),
+picked AS (
+  SELECT c.subj, c.pred, c.obj, c.lane, e.e AS neg_obj
+  FROM cand c JOIN ents e USING (pick)
+)
+SELECT p.subj, p.pred, p.obj, p.lane, p.neg_obj
+FROM picked p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t
+  WHERE t.subj = p.subj AND t.pred = p.pred AND t.obj = p.neg_obj
+)
+"""
+
+
 _HLL_P = 9
 
 
@@ -5621,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": _source_divergence,
         "assoc_rules": _assoc_rules,
         "bloom_grams": _bloom_grams,
+        "kg_negsample": _kg_negsample,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7051,6 +7128,7 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _source_divergence_oracle(),
         "assoc_rules": _assoc_rules_oracle(),
         "bloom_grams": _bloom_grams_oracle(),
+        "kg_negsample": _kg_negsample_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
