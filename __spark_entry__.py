@@ -2802,6 +2802,53 @@ WHERE NOT EXISTS (
 """
 
 
+def _collocations(spark, sf_dir):
+    """PMI/NPMI collocations (datapipe/textstats.py collocations_pmi):
+    adjacent-token bigrams scored against unigram popularity from exact
+    corpus counts — the multi-word-expression / boilerplate detector run
+    before tokenizer training."""
+    from kgforge.datapipe.textstats import collocations_pmi
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", min_count=2)
+
+
+def _collocations_oracle() -> str:
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY 1
+),
+bigall AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+  FROM (
+    SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM tok
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM uni),
+totb AS (SELECT CAST(sum(n12) AS BIGINT) AS nb FROM bigall),
+big AS (SELECT * FROM bigall WHERE n12 >= 2)
+SELECT b.w1, b.w2, u1.n AS n1, u2.n AS n2, b.n12,
+       round(ln(CAST(b.n12 AS DOUBLE) * nu * nu / (u1.n * u2.n * nb)), 6)
+         AS pmi,
+       CASE WHEN b.n12 = nb THEN NULL
+            ELSE round(ln(CAST(b.n12 AS DOUBLE) * nu * nu
+                          / (u1.n * u2.n * nb))
+                       / ln(CAST(nb AS DOUBLE) / b.n12), 6)
+       END AS npmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot CROSS JOIN totb
+"""
+
+
 _HLL_P = 9
 
 
@@ -5698,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _assoc_rules,
         "bloom_grams": _bloom_grams,
         "kg_negsample": _kg_negsample,
+        "collocations": _collocations,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7129,6 +7177,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": _assoc_rules_oracle(),
         "bloom_grams": _bloom_grams_oracle(),
         "kg_negsample": _kg_negsample_oracle(),
+        "collocations": _collocations_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -470,3 +470,72 @@ def c4_filter(df: DataFrame, id_col: str, text_col: str,
             (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace
         ).alias("keep"),
     )
+
+
+def collocations_pmi(
+    df: DataFrame, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """(w1, w2, n1, n2, n12, pmi, npmi) for every adjacent-token bigram
+    occurring >= ``min_count`` times — the collocation panel (Church &
+    Hanks 1990) that surfaces multi-word expressions ("new york") and
+    template boilerplate before tokenizer training.
+
+    ``pmi`` = ln(p(w1,w2)/(p(w1)p(w2))) with p() from exact corpus
+    counts (bigrams over the bigram total, unigrams over the token
+    total); ``npmi`` normalizes by -ln p(w1,w2) into [-1, 1] (Bouma
+    2009).  Both are ONE float expression over int64 counts, rounded to
+    6 — everything upstream is exact.
+
+    Scale: explode -> groupBy twice (map-side combinable; hot bigrams
+    cost one combiner cell per partition), totals come back as a
+    broadcast one-row frame (no driver collect), and the unigram joins
+    ship the (small) vocabulary to the pair table — never the reverse."""
+    toks = df.select(_tokens(F.col(text_col)).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "if(size(toks) >= 2,"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2)),"
+                    " array())"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    totals = uni.agg(F.sum("n").alias("nu"))
+    # totals BEFORE the min_count cut: p() is over the whole corpus, and
+    # the filter only prunes which pairs are reported
+    nb = big.agg(F.sum("n12").alias("nb"))
+    big = big.filter(F.col("n12") >= min_count)
+    n1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    n2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    out = (
+        big.join(F.broadcast(n1), "w1")
+        .join(F.broadcast(n2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nb))
+    )
+    parg = (
+        F.col("n12").cast("double")
+        * F.col("nu")
+        * F.col("nu")
+        / (F.col("n1") * F.col("n2") * F.col("nb"))
+    )
+    pmi = F.log(parg)
+    npmi = pmi / F.log(F.col("nb").cast("double") / F.col("n12"))
+    return out.select(
+        "w1", "w2", "n1", "n2", "n12",
+        F.round(pmi, 6).alias("pmi"),
+        F.when(F.col("n12") == F.col("nb"), F.lit(None).cast("double"))
+        .otherwise(F.round(npmi, 6))
+        .alias("npmi"),
+    )
