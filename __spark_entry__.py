@@ -2802,6 +2802,70 @@ WHERE NOT EXISTS (
 """
 
 
+def _kg_domain_range(spark, sf_dir):
+    """RDFS domain/range INDUCTION (kg/schema.py): the modal subject
+    class and modal object class / literal datatype per predicate of the
+    flagship triple table, with exact support ratios — the
+    schema-discovery query a consumer runs before writing SHACL shapes
+    (the reverse direction of kg/inference.py's declared-schema
+    entailment)."""
+    from kgforge.kg.schema import induce_domain_range
+
+    return induce_domain_range(_kg_triples(spark, sf_dir))
+
+
+def _kg_domain_range_oracle() -> str:
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return f"""
+WITH allt AS (
+{_kg_triples_oracle()}
+),
+types AS MATERIALIZED (
+  SELECT subj AS node, obj_value AS cls FROM allt
+  WHERE pred = '{rdf_type}'
+),
+data AS MATERIALIZED (
+  SELECT * FROM allt WHERE pred <> '{rdf_type}'
+),
+tot AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples FROM data GROUP BY 1
+),
+domc AS (
+  SELECT pred, coalesce(t.cls, 'untyped') AS cls,
+         CAST(count(*) AS BIGINT) AS n
+  FROM data d LEFT JOIN types t ON t.node = d.subj
+  GROUP BY 1, 2
+),
+domw AS (
+  SELECT pred, cls, n,
+         row_number() OVER (PARTITION BY pred ORDER BY n DESC, cls ASC) AS rn
+  FROM domc
+),
+rngc AS (
+  SELECT pred,
+         CASE WHEN NOT obj_is_iri
+              THEN 'literal:' || coalesce(obj_dtype, 'plain')
+              ELSE coalesce(t.cls, 'untyped') END AS cls,
+         CAST(count(*) AS BIGINT) AS n
+  FROM data d LEFT JOIN types t ON t.node = d.obj_value
+  GROUP BY 1, 2
+),
+rngw AS (
+  SELECT pred, cls, n,
+         row_number() OVER (PARTITION BY pred ORDER BY n DESC, cls ASC) AS rn
+  FROM rngc
+)
+SELECT tot.pred, tot.n_triples,
+       d.cls AS domain_class,
+       round(d.n / tot.n_triples, 6) AS domain_support,
+       r.cls AS range_class,
+       round(r.n / tot.n_triples, 6) AS range_support
+FROM tot
+JOIN domw d ON d.pred = tot.pred AND d.rn = 1
+JOIN rngw r ON r.pred = tot.pred AND r.rn = 1
+"""
+
+
 def _collocations(spark, sf_dir):
     """PMI/NPMI collocations (datapipe/textstats.py collocations_pmi):
     adjacent-token bigrams scored against unigram popularity from exact
@@ -5746,6 +5810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_grams": _bloom_grams,
         "kg_negsample": _kg_negsample,
         "collocations": _collocations,
+        "kg_domain_range": _kg_domain_range,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7178,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_grams": _bloom_grams_oracle(),
         "kg_negsample": _kg_negsample_oracle(),
         "collocations": _collocations_oracle(),
+        "kg_domain_range": _kg_domain_range_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
