@@ -2802,6 +2802,59 @@ WHERE NOT EXISTS (
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
+
+
+def _order_price_hist(spark, sf_dir):
+    """Mergeable fixed-bin histogram quantiles (datapipe/profile.py
+    histogram_quantiles): p50/p90/p99 of o_totalprice per order priority
+    from 256 bin counts — the union-mergeable sketch that replaces exact
+    per-group percentiles at 100 TB (merge yesterday's histogram with
+    today's without rescanning either)."""
+    from kgforge.datapipe.profile import histogram_quantiles
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return histogram_quantiles(
+        orders, "price", _HIST_LO, _HIST_HI,
+        group_cols=["o_orderpriority"], bins=_HIST_BINS,
+    )
+
+
+def _order_price_hist_oracle() -> str:
+    lo, hi, bins = _HIST_LO, _HIST_HI, _HIST_BINS
+    width = (hi - lo) / bins
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT o_orderpriority,
+         least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - {lo!r})
+                                    / {width!r}) AS BIGINT), 0),
+               {bins - 1}) AS bin
+  FROM orders
+),
+c AS MATERIALIZED (
+  SELECT o_orderpriority, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+),
+cc AS (
+  SELECT o_orderpriority, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY o_orderpriority
+                             ORDER BY bin) AS BIGINT) AS cum
+  FROM c
+),
+t AS (
+  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+),
+qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+SELECT cc.o_orderpriority, q, n,
+       floor(({lo!r} + {width!r} * (bin + (q * n - (cum - cnt)) / cnt))
+             * 1e6) / 1e6 AS est
+FROM cc JOIN t USING (o_orderpriority) CROSS JOIN qs
+WHERE (cum - cnt) < q * n AND q * n <= cum
+"""
+
+
 def _kg_domain_range(spark, sf_dir):
     """RDFS domain/range INDUCTION (kg/schema.py): the modal subject
     class and modal object class / literal datatype per predicate of the
@@ -5811,6 +5864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negsample": _kg_negsample,
         "collocations": _collocations,
         "kg_domain_range": _kg_domain_range,
+        "order_price_hist": _order_price_hist,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7244,6 +7298,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negsample": _kg_negsample_oracle(),
         "collocations": _collocations_oracle(),
         "kg_domain_range": _kg_domain_range_oracle(),
+        "order_price_hist": _order_price_hist_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -15,7 +15,7 @@ single stats row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double",
@@ -166,4 +166,71 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
             "p.metric",
             F.round("p.value", 6).alias("value"),
         )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    group_cols: list[str] | None = None,
+    bins: int = 256,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile estimates:
+    (*group_cols, q, n, est) with linear interpolation inside the
+    winning bin.
+
+    The 100-TB replacement for exact per-group percentiles: bin counts
+    are associative/commutative (map-side combinable, union-mergeable
+    across partitions, days, and clusters — merge yesterday's histogram
+    with today's without rescanning either), and the estimate error is
+    bounded by the bin width (hi-lo)/bins.  Values outside [lo, hi]
+    clamp into the edge bins (they shift, never lose, mass).  Everything
+    through the cumulative counts is exact int64; the single float
+    expression at the end is identical in the oracle.
+
+    The quantile pick is the unique bin with cum_before < q*n <= cum —
+    empty bins can never win (cum_before == cum), so exactly one row
+    survives per (group, q)."""
+    gcols = list(group_cols or [])
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - lo) / width).cast("long"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    counts = (
+        df.select(*gcols, b.alias("_bin"))
+        .groupBy(*gcols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols] or [F.lit(1)]).orderBy(
+        "_bin"
+    )
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w))
+    totals = counts.groupBy(*gcols).agg(F.sum("_cnt").alias("n"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    joined = cum.join(totals, gcols) if gcols else cum.crossJoin(
+        F.broadcast(totals)
+    )
+    qn = F.col("q") * F.col("n")
+    picked = (
+        joined.crossJoin(F.broadcast(qdf))
+        .withColumn("_prev", F.col("_cum") - F.col("_cnt"))
+        .filter((F.col("_prev") < qn) & (qn <= F.col("_cum")))
+    )
+    est = F.lit(float(lo)) + F.lit(float(width)) * (
+        F.col("_bin") + (qn - F.col("_prev")) / F.col("_cnt")
+    )
+    # floor-at-micro instead of round(.., 6): floor over the SAME double is
+    # bit-identical in every engine, while decimal rounding semantics
+    # diverge exactly at half-way points — which dyadic bin widths make
+    # common here (Spark rounds the shortest decimal repr HALF_UP; DuckDB
+    # and Python round the true binary value)
+    return picked.select(
+        *gcols, "q", "n", (F.floor(est * 1e6) / F.lit(1e6)).alias("est")
     )
