@@ -2802,6 +2802,100 @@ WHERE NOT EXISTS (
 """
 
 
+_SSSP_ROUNDS = 26  # >= max hops of any optimal path: BFS diameter (<=8,
+# gated by the kg_ecc oracle bound) x max weight 3, min weight 1
+
+
+def _kg_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (kg/paths.py
+    weighted_shortest_paths — frontier Bellman-Ford, exact int64 costs)
+    from the 4 lowest vector ids over the cosine>=tau similarity graph
+    with symmetric hash-derived weights in 1..3: the min-cost-distance
+    primitive BFS hop counts can't answer (a cheap long path beats an
+    expensive direct edge)."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.datapipe.sketch import _stage2
+    from kgforge.kg.paths import weighted_shortest_paths
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e0 = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select("a", "b")
+    w = (
+        F.lit(1)
+        + _stage2(
+            F.concat_ws(
+                "\x1f", F.col("a").cast("string"), F.col("b").cast("string")
+            ),
+            31,
+            1009,
+        )
+        % 3
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    srcs = nodes.orderBy("n").limit(4)
+    out = weighted_shortest_paths(edges, srcs, directed=False)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"), "distance"
+    )
+
+
+def _kg_sssp_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    wexpr = (
+        "1 + ("
+        + _stage2_sql(
+            "CAST(least(s, d) AS VARCHAR) || chr(31) "
+            "|| CAST(greatest(s, d) AS VARCHAR)",
+            31,
+            1009,
+        )
+        + ") % 3"
+    )
+    rounds = []
+    prev = "d0"
+    for k in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT w.d AS id, p.dist + w.w AS dist
+    FROM {prev} p JOIN wadj w ON w.s = p.id
+  ) GROUP BY id
+)"""
+        )
+        prev = f"d{k}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+wadj AS MATERIALIZED (
+  SELECT s, d, CAST({wexpr} AS BIGINT) AS w FROM adj
+),
+srcs AS (
+  SELECT n FROM (SELECT DISTINCT s AS n FROM adj) ORDER BY n LIMIT 4
+),
+d0 AS MATERIALIZED (SELECT n AS id, CAST(0 AS BIGINT) AS dist FROM srcs),
+{",".join(rounds)}
+SELECT id AS vec_id, dist AS distance FROM {prev}
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -5865,6 +5959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _collocations,
         "kg_domain_range": _kg_domain_range,
         "order_price_hist": _order_price_hist,
+        "kg_sssp": _kg_sssp,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7299,6 +7394,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _collocations_oracle(),
         "kg_domain_range": _kg_domain_range_oracle(),
         "order_price_hist": _order_price_hist_oracle(),
+        "kg_sssp": _kg_sssp_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

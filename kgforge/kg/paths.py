@@ -180,3 +180,83 @@ def closeness(
             F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
         )
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources,
+    weight_col: str = "w",
+    directed: bool = True,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Min-cost distances from a source set over weighted
+    ``edges(src, dst, w)`` with non-negative integer weights — distributed
+    Bellman-Ford with a changed-vertex frontier.
+
+    Each round relaxes only edges out of vertices improved last round
+    (one frontier⋈edges shuffle + a min-merge groupBy — never a pair
+    set), so total work is O(E × longest-optimal-hop-count) worst case
+    but frontier-bounded in practice, the same loop discipline as the
+    BFS above.  Distances stay exact int64 (no float accumulation).
+    Returns ``(id, distance)`` for every reachable vertex; raises on a
+    negative weight (Bellman-Ford's contract here is shortest-path, not
+    negative-cycle detection)."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+    if e.filter(F.col("w") < 0).limit(1).count():
+        raise ValueError("weighted_shortest_paths requires w >= 0")
+
+    if isinstance(sources, DataFrame):
+        src = sources.select(
+            F.col(sources.columns[0]).cast("string").alias("id")
+        )
+    else:
+        src = spark.createDataFrame([(str(s),) for s in sources], "id string")
+    dist = (
+        src.distinct()
+        .withColumn("distance", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col("w")).alias("distance"),
+            )
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+        )
+        improved = (
+            cand.join(
+                dist.select("id", F.col("distance").alias("_old")),
+                "id",
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
+            .select("id", "distance")
+            .localCheckpoint(eager=True)
+        )
+        if not improved.limit(1).count():
+            return dist
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    raise ValueError(f"Bellman-Ford did not converge in {max_iter} rounds")
