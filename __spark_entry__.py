@@ -2896,6 +2896,117 @@ SELECT id AS vec_id, dist AS distance FROM {prev}
 """
 
 
+_MST_ROUNDS = 12  # component count at least halves per Boruvka round:
+# ceil(log2(1500 capped nodes)) = 11, plus one slack round
+_MST_CAP = 1500  # vec_id cap keeps the oracle's per-round transitive
+# closures tractable at sf0.01 while still spanning multiple merge rounds
+
+
+def _kg_mst(spark, sf_dir):
+    """Minimum spanning forest (kg/mst.py minimum_spanning_forest —
+    distributed Borůvka, O(log V) rounds) over the capped cosine>=tau
+    similarity graph with symmetric hash-derived weights in 1..997: the
+    cheapest backbone connecting every similarity cluster, unique under
+    the (w, a, b) total order so both engines must emit the identical
+    edge set."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.datapipe.sketch import _stage2
+    from kgforge.kg.mst import minimum_spanning_forest
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MST_CAP
+    )
+    e0 = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select("a", "b")
+    w = (
+        F.lit(1)
+        + _stage2(
+            F.concat_ws(
+                "\x1f", F.col("a").cast("string"), F.col("b").cast("string")
+            ),
+            31,
+            1009,
+        )
+        % 997
+    )
+    edges = e0.select(
+        F.col("a").cast("bigint").alias("src"),
+        F.col("b").cast("bigint").alias("dst"),
+        w.cast("bigint").alias("w"),
+    )
+    return minimum_spanning_forest(edges).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("w").cast("bigint").alias("w"),
+    )
+
+
+def _kg_mst_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    wexpr = (
+        "1 + ("
+        + _stage2_sql(
+            "CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR)", 31, 1009
+        )
+        + ") % 997"
+    )
+    rounds = []
+    prev = "l0"
+    picks = []
+    for k in range(1, _MST_ROUNDS + 1):
+        rounds.append(
+            f"""sel{k} AS MATERIALIZED (
+  SELECT comp, min((w*1000000 + a)*1000000 + b) AS pk FROM (
+    SELECT ca AS comp, w, a, b FROM {prev} WHERE ca <> cb
+    UNION ALL
+    SELECT cb, w, a, b FROM {prev} WHERE ca <> cb
+  ) GROUP BY comp
+),
+p{k} AS MATERIALIZED (
+  SELECT DISTINCT pk // 1000000000000 AS w,
+         (pk // 1000000) % 1000000 AS a, pk % 1000000 AS b FROM sel{k}
+),
+cg{k} AS MATERIALIZED (
+  SELECT DISTINCT l.ca AS u, l.cb AS v
+  FROM p{k} j JOIN {prev} l ON l.a = j.a AND l.b = j.b
+),
+und{k} AS MATERIALIZED (SELECT u, v FROM cg{k} UNION SELECT v, u FROM cg{k}),
+reach{k}(s, t) AS (
+  SELECT u, u FROM und{k}
+  UNION
+  SELECT reach{k}.s, und{k}.v
+  FROM reach{k} JOIN und{k} ON reach{k}.t = und{k}.u
+),
+m{k} AS MATERIALIZED (SELECT s AS oldc, min(t) AS newc FROM reach{k} GROUP BY s),
+l{k} AS MATERIALIZED (
+  SELECT coalesce(ma.newc, l.ca) AS ca, coalesce(mb.newc, l.cb) AS cb,
+         l.w, l.a, l.b
+  FROM {prev} l
+  LEFT JOIN m{k} ma ON l.ca = ma.oldc
+  LEFT JOIN m{k} mb ON l.cb = mb.oldc
+  WHERE coalesce(ma.newc, l.ca) <> coalesce(mb.newc, l.cb)
+)"""
+        )
+        picks.append(f"SELECT w, a, b FROM p{k}")
+        prev = f"l{k}"
+    return f"""
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE x.vec_id < {_MST_CAP} AND y.vec_id < {_MST_CAP}
+    AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+l0 AS MATERIALIZED (
+  SELECT a AS ca, b AS cb, CAST({wexpr} AS BIGINT) AS w, a, b FROM e0
+),
+{",".join(rounds)}
+SELECT a, b, w FROM ({" UNION ALL ".join(picks)})
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -5960,6 +6071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domain_range": _kg_domain_range,
         "order_price_hist": _order_price_hist,
         "kg_sssp": _kg_sssp,
+        "kg_mst": _kg_mst,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7395,6 +7507,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_domain_range": _kg_domain_range_oracle(),
         "order_price_hist": _order_price_hist_oracle(),
         "kg_sssp": _kg_sssp_oracle(),
+        "kg_mst": _kg_mst_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
