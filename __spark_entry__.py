@@ -3007,6 +3007,52 @@ SELECT a, b, w FROM ({" UNION ALL ".join(picks)})
 """
 
 
+_MICROAGG_K = 25
+
+
+def _microagg_acctbal(spark, sf_dir):
+    """Univariate microaggregation (anonymize/privacy.py microaggregate)
+    of customer account balances with k=25: every balance is replaced by
+    its contiguous k-member group centroid — numeric k-anonymity without
+    a generalization hierarchy, the Domingo-Ferrer companion to the
+    reference's bucket generalization.  round(,6) narrows the one float
+    expression (group mean) per lore."""
+    from kgforge.anonymize.privacy import microaggregate
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = microaggregate(cust, "c_acctbal", _MICROAGG_K, "c_custkey")
+    return out.select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("_centroid_gid").cast("bigint").alias("gid"),
+        F.col("_centroid_n").cast("bigint").alias("n"),
+        F.round(F.col("_centroid"), 6).alias("centroid"),
+    )
+
+
+def _microagg_acctbal_oracle() -> str:
+    k = _MICROAGG_K
+    return f"""
+WITH r AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rk,
+         count(*) OVER () AS nt
+  FROM customer
+), g AS (
+  SELECT c_custkey,
+         least(rk // {k}, greatest(nt // {k}, 1) - 1) AS gid,
+         c_acctbal
+  FROM r
+), c AS (
+  SELECT gid, avg(CAST(c_acctbal AS DOUBLE)) AS cent,
+         count(*) AS n
+  FROM g GROUP BY gid
+)
+SELECT g.c_custkey AS custkey, CAST(g.gid AS BIGINT) AS gid,
+       CAST(c.n AS BIGINT) AS n, round(c.cent, 6) AS centroid
+FROM g JOIN c USING (gid)
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6072,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_hist": _order_price_hist,
         "kg_sssp": _kg_sssp,
         "kg_mst": _kg_mst,
+        "microagg_acctbal": _microagg_acctbal,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7508,6 +7555,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_hist": _order_price_hist_oracle(),
         "kg_sssp": _kg_sssp_oracle(),
         "kg_mst": _kg_mst_oracle(),
+        "microagg_acctbal": _microagg_acctbal_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -188,3 +188,63 @@ def dp_group_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("released", F.round(F.col("n") + noise, 6))
     )
+
+
+def microaggregate(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str,
+    out: str = "_centroid",
+) -> DataFrame:
+    """Univariate microaggregation: replace ``value_col`` with its
+    k-member group centroid — numeric k-anonymity without a
+    generalization hierarchy (Domingo-Ferrer & Mateo-Sanz 2002; for one
+    attribute the optimal groups are contiguous in sorted order, Hansen &
+    Sargent 2003).
+
+    Rows are globally ranked by ``(value, id)`` (range partitioning +
+    per-partition offsets — never a single-partition window), cut into
+    consecutive groups of exactly ``k`` with the remainder absorbed into
+    the last group (every group has k..2k-1 members, the standard fixed-k
+    contract), and each row gets its group mean.  The group aggregation
+    and join-back shuffle on the group id, so cost is two bounded
+    shuffles regardless of value skew — a million ties still spread
+    across ranks via the id tiebreaker.
+
+    Returns the input columns plus ``out`` (double group centroid),
+    ``{out}_n`` (group size) and ``{out}_gid``.  Requires ``k >= 1`` and
+    a unique ``id_col`` for deterministic tie-breaking."""
+    from kgforge.rank import release_rank_caches, with_global_rank
+
+    if k < 1:
+        raise ValueError("microaggregate requires k >= 1")
+    n_total = df.count()
+    if n_total == 0:
+        return (
+            df.withColumn(out, F.lit(None).cast("double"))
+            .withColumn(f"{out}_n", F.lit(None).cast("bigint"))
+            .withColumn(f"{out}_gid", F.lit(None).cast("bigint"))
+        )
+    n_groups = max(n_total // k, 1)
+    try:
+        ranked = with_global_rank(df, [F.col(value_col), F.col(id_col)])
+        gid = F.least(
+            F.expr(f"CAST(_rank AS BIGINT) div {int(k)}"),
+            F.lit(n_groups - 1).cast("bigint"),
+        ).alias(f"{out}_gid")
+        # materialize before releasing the rank caches: the offsets were
+        # collected against THIS range partitioning, so the assignment
+        # must never be recomputed from source
+        assigned = ranked.select(*df.columns, gid).localCheckpoint(
+            eager=True
+        )
+    finally:
+        release_rank_caches()
+    cents = assigned.groupBy(f"{out}_gid").agg(
+        F.avg(F.col(value_col).cast("double")).alias(out),
+        F.count(F.lit(1)).alias(f"{out}_n"),
+    )
+    return assigned.join(cents, f"{out}_gid").select(
+        *df.columns, out, f"{out}_n", f"{out}_gid"
+    )
