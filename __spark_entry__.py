@@ -3053,6 +3053,55 @@ FROM g JOIN c USING (gid)
 """
 
 
+_EDIT_WORDS = ["spark", "spank", "crate", "crane", "plane", "plain", "brain"]
+
+
+def _edit_dist_pairs(spark, sf_dir):
+    """PassJoin edit-distance self-join (datapipe/stringsim.py
+    edit_distance_join, pigeonhole segment blocking + JVM levenshtein
+    verify) at d=1 over a deterministic surface corpus derived from
+    customer keys (word by key mod 7 + digit tail): the oracle computes
+    the SAME answer with a naive all-pairs levenshtein — a different
+    algorithm, so the no-false-negative property of the segment filter
+    is checked end to end, not mirrored."""
+    from kgforge.datapipe.stringsim import edit_distance_join
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.concat(
+            F.elt(
+                (F.col("c_custkey") % 7 + 1).cast("int"),
+                *[F.lit(w) for w in _EDIT_WORDS],
+            ),
+            F.lit("-"),
+            F.col("c_custkey").cast("string"),
+        ).alias("t"),
+    )
+    out = edit_distance_join(cust, "id", "t", max_dist=1)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+def _edit_dist_pairs_oracle() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(_EDIT_WORDS)
+    )
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         (CASE c_custkey % 7 {cases} END)
+           || '-' || CAST(c_custkey AS VARCHAR) AS t
+  FROM customer
+)
+SELECT x.id AS a, y.id AS b, CAST(levenshtein(x.t, y.t) AS BIGINT) AS dist
+FROM c x JOIN c y ON x.id < y.id
+WHERE levenshtein(x.t, y.t) <= 1
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6119,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sssp": _kg_sssp,
         "kg_mst": _kg_mst,
         "microagg_acctbal": _microagg_acctbal,
+        "edit_dist_pairs": _edit_dist_pairs,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7556,6 +7606,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp": _kg_sssp_oracle(),
         "kg_mst": _kg_mst_oracle(),
         "microagg_acctbal": _microagg_acctbal_oracle(),
+        "edit_dist_pairs": _edit_dist_pairs_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
