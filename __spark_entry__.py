@@ -3102,6 +3102,77 @@ WHERE levenshtein(x.t, y.t) <= 1
 """
 
 
+_Z_XB = (0.0, 262144.0)  # o_custkey bound, power of 2: the scale
+# division is an exponent shift, so the float path is bit-exact in any
+# engine (no rounding to absorb)
+_Z_YB = (0.0, 524288.0)  # o_totalprice dollars bound, power of 2
+_Z_BUCKETS = 64
+
+
+def _zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering of orders on (custkey, totalprice)
+    (datapipe/layout.py) + the per-bucket skip-stats index: the
+    data-layout operator behind OPTIMIZE ZORDER — both dimensions get
+    tight per-bucket min/max ranges, so selective 2-D predicates prune
+    files.  Pure int64 shift/mask arithmetic end to end."""
+    from kgforge.datapipe.layout import zorder_layout, zorder_skip_stats
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("tp"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("tp_cents"),
+    )
+    laid = zorder_layout(
+        orders, "ck", "tp", _Z_XB, _Z_YB, n_buckets=_Z_BUCKETS
+    )
+    return zorder_skip_stats(laid, "_zbucket", ["ck", "tp_cents"]).select(
+        F.col("_zbucket").alias("zbucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ck_min").cast("bigint").alias("ck_min"),
+        F.col("ck_max").cast("bigint").alias("ck_max"),
+        "tp_cents_min",
+        "tp_cents_max",
+    )
+
+
+def _zorder_stats_oracle() -> str:
+    def spread(e: str) -> str:
+        s = f"(({e}) & 65535)"
+        for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                      (2, 0x33333333), (1, 0x55555555)):
+            s = f"(({s} | ({s} << {sh})) & {m})"
+        return s
+
+    def scale(e: str, lo: float, hi: float) -> str:
+        return (
+            f"least(CAST(floor((least(greatest(CAST({e} AS DOUBLE), "
+            f"{lo!r}), {hi!r}) - {lo!r}) / {hi - lo!r} * 65536) "
+            f"AS BIGINT), 65535)"
+        )
+
+    width = (1 << 32) // _Z_BUCKETS
+    zx = spread(scale("ck", *_Z_XB))
+    zy = spread(scale("tp", *_Z_YB))
+    return f"""
+WITH o AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS ck,
+         CAST(o_totalprice AS DOUBLE) AS tp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents
+  FROM orders
+), z AS MATERIALIZED (
+  SELECT ck, tp_cents,
+         least(({zx} | ({zy} << 1)) // {width}, {_Z_BUCKETS - 1}) AS zbucket
+  FROM o
+)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n,
+       min(ck) AS ck_min, max(ck) AS ck_max,
+       min(tp_cents) AS tp_cents_min, max(tp_cents) AS tp_cents_max
+FROM z GROUP BY zbucket
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6169,6 +6240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mst": _kg_mst,
         "microagg_acctbal": _microagg_acctbal,
         "edit_dist_pairs": _edit_dist_pairs,
+        "zorder_stats": _zorder_stats,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7607,6 +7679,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mst": _kg_mst_oracle(),
         "microagg_acctbal": _microagg_acctbal_oracle(),
         "edit_dist_pairs": _edit_dist_pairs_oracle(),
+        "zorder_stats": _zorder_stats_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
