@@ -3173,6 +3173,94 @@ FROM z GROUP BY zbucket
 """
 
 
+_SAMPLE_FANOUTS = [3, 2]
+
+
+def _kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style k-hop neighbor sampling (kg/sampling.py) from the
+    4 lowest vector ids over the cosine similarity graph, fan-outs
+    (3, 2): each frontier node keeps its lowest-hash neighbors, so the
+    GNN computation graph is a pure function of the data (reproducible
+    across partitionings and retries)."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.sampling import neighbor_sample
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e0 = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = e0.select(F.col("src").alias("n")).unionByName(
+        e0.select(F.col("dst").alias("n"))
+    ).distinct()
+    seeds = nodes.orderBy("n").limit(4)
+    out = neighbor_sample(
+        e0, seeds, _SAMPLE_FANOUTS, directed=False
+    )
+    return out.select(
+        F.col("seed").cast("bigint").alias("seed"),
+        F.col("layer").cast("bigint").alias("layer"),
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+
+
+def _kg_neighbor_sample_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    def hexpr(layer: int) -> str:
+        return _stage2_sql(
+            "CAST(seed AS VARCHAR) || chr(31) || CAST(src AS VARCHAR) "
+            f"|| chr(31) || CAST(dst AS VARCHAR) || chr(31) || '{layer}'",
+            31,
+            1009,
+        )
+
+    parts = []
+    prev_frontier = "f0"
+    for layer, f in enumerate(_SAMPLE_FANOUTS):
+        parts.append(
+            f"""c{layer} AS MATERIALIZED (
+  SELECT fr.seed, a.s AS src, a.d AS dst
+  FROM {prev_frontier} fr JOIN adj a ON a.s = fr.node
+),
+p{layer} AS MATERIALIZED (
+  SELECT seed, src, dst FROM (
+    SELECT seed, src, dst,
+           row_number() OVER (
+             PARTITION BY seed, src
+             ORDER BY {hexpr(layer)}, CAST(dst AS VARCHAR)
+           ) AS rn
+    FROM c{layer}
+  ) WHERE rn <= {f}
+),
+f{layer + 1} AS MATERIALIZED (
+  SELECT DISTINCT seed, dst AS node FROM p{layer}
+)"""
+        )
+        prev_frontier = f"f{layer + 1}"
+    picks = " UNION ALL ".join(
+        f"SELECT seed, CAST({i} AS BIGINT) AS layer, src, dst FROM p{i}"
+        for i in range(len(_SAMPLE_FANOUTS))
+    )
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+f0 AS MATERIALIZED (
+  SELECT n AS seed, n AS node
+  FROM (SELECT DISTINCT s AS n FROM adj) ORDER BY n LIMIT 4
+),
+{",".join(parts)}
+SELECT seed, layer, src, dst FROM ({picks})
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6241,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "microagg_acctbal": _microagg_acctbal,
         "edit_dist_pairs": _edit_dist_pairs,
         "zorder_stats": _zorder_stats,
+        "kg_neighbor_sample": _kg_neighbor_sample,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7680,6 +7769,7 @@ def oracle_sql() -> dict[str, str]:
         "microagg_acctbal": _microagg_acctbal_oracle(),
         "edit_dist_pairs": _edit_dist_pairs_oracle(),
         "zorder_stats": _zorder_stats_oracle(),
+        "kg_neighbor_sample": _kg_neighbor_sample_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

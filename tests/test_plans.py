@@ -260,3 +260,40 @@ def test_session4_ops_plan_quality(spark):
     plan = _plan(q["url_canonical"](spark, SF))
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session6_ops_plan_quality(spark):
+    q = entry.queries()
+    # zorder_stats: pure int64 codegen end to end — no python, no
+    # cartesian, and a hash aggregate for the skip stats
+    plan = _plan(q["zorder_stats"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # edit_dist_pairs: segment blocking + JVM levenshtein — no python
+    plan = _plan(q["edit_dist_pairs"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # neighbor sampling: the per-(seed, src) top-k must plan as a
+    # WindowGroupLimit (hubs cut to the fan-out map-side), never a full
+    # per-group sort of hub adjacency
+    from kgforge.datapipe.sketch import _stage2
+    from pyspark.sql import Window
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 50}") for i in range(50)],
+        "src string, dst string",
+    )
+    cand = e.withColumn("seed", F.lit("n0")).select(
+        "seed", "src", "dst",
+        _stage2(
+            F.concat_ws("\x1f", "seed", "src", "dst", F.lit("0")), 31, 1009
+        ).alias("_h"),
+    )
+    w = Window.partitionBy("seed", "src").orderBy("_h", "dst")
+    pick = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 3
+    )
+    assert "WindowGroupLimit" in _plan(pick)
