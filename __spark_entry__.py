@@ -3261,6 +3261,183 @@ SELECT seed, layer, src, dst FROM ({picks})
 """
 
 
+def _orders_skyline(spark, sf_dir):
+    """2-D skyline (datapipe/skyline.py) of orders maximizing
+    (totalprice, orderdate): the Pareto "biggest and most recent"
+    frontier, computed with a distributed descending-x sweep (range
+    partitions + driver suffix-max carry — the rank.py offsets
+    discipline) instead of a global window; the oracle derives the same
+    frontier from the quadratic NOT-EXISTS dominance definition."""
+    from kgforge.datapipe.skyline import skyline_2d
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("tp_cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("od_days"),
+    )
+    return skyline_2d(o, "tp_cents", "od_days")
+
+
+def _orders_skyline_oracle() -> str:
+    return """
+WITH o AS MATERIALIZED (
+  SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tp_cents,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS od_days
+  FROM orders
+),
+xm AS MATERIALIZED (
+  SELECT tp_cents AS x, max(od_days) AS ym FROM o GROUP BY tp_cents
+),
+fx AS MATERIALIZED (
+  SELECT x, ym FROM xm q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM xm p WHERE p.x > q.x AND p.ym >= q.ym
+  )
+)
+SELECT o.orderkey, o.tp_cents, o.od_days
+FROM o JOIN fx ON o.tp_cents = fx.x AND o.od_days = fx.ym
+"""
+
+
+def _scd2_priority(spark, sf_dir):
+    """SCD type-2 dimension build (datapipe/scd.py): per-customer
+    order-priority state intervals — consecutive orders with the same
+    priority collapse, each state carries half-open
+    (valid_from, valid_to] day bounds, the current state a null
+    valid_to.  Two per-key windows sharing one hash exchange."""
+    from kgforge.datapipe.scd import scd2_intervals
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("od_days"),
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_orderpriority").cast("string").alias("priority"),
+    )
+    out = scd2_intervals(
+        o, "custkey", "od_days", ["priority"], tiebreak_cols=["okey"]
+    )
+    return out.select(
+        "custkey",
+        "priority",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+    )
+
+
+def _scd2_priority_oracle() -> str:
+    return """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS od_days,
+         CAST(o_orderkey AS BIGINT) AS okey,
+         o_orderpriority AS priority
+  FROM orders
+),
+lagged AS (
+  SELECT *, lag(priority) OVER (
+    PARTITION BY custkey ORDER BY od_days, okey
+  ) AS prev
+  FROM o
+),
+ch AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM priority)
+SELECT custkey, priority, od_days AS valid_from,
+       lead(od_days) OVER (
+         PARTITION BY custkey ORDER BY od_days, okey
+       ) AS valid_to
+FROM ch
+"""
+
+
+_MATCH_ROUNDS = 10  # locally-minimal-edge rounds drop a constant edge
+# fraction each (Luby on the line graph); the capped similarity graph
+# empties well inside 10 — extra rounds are no-ops on an empty live set
+
+
+def _kg_matching(spark, sf_dir):
+    """Maximal matching (kg/matching.py maximal_matching — round-salted
+    locally-minimal-edge rounds) over the capped cosine similarity
+    graph: the symmetry-breaking pair-assignment primitive, a pure
+    function of the edge set."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.matching import maximal_matching
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MST_CAP
+    )
+    e0 = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    out = maximal_matching(e0, max_rounds=_MATCH_ROUNDS)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+    )
+
+
+def _kg_matching_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    parts = []
+    prev = "live0"
+    sels = []
+    for r in range(1, _MATCH_ROUNDS + 1):
+        h = _stage2_sql(
+            "CAST(a AS VARCHAR) || chr(31) || CAST(b AS VARCHAR) "
+            f"|| chr(31) || '{r - 1}'",
+            31,
+            1009,
+        )
+        parts.append(
+            f"""pe{r} AS MATERIALIZED (
+  SELECT a, b, lpad(CAST(({h}) AS VARCHAR), 10, '0')
+           || '|' || CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR) AS p
+  FROM {prev}
+),
+vm{r} AS MATERIALIZED (
+  SELECT v, min(p) AS m FROM (
+    SELECT a AS v, p FROM pe{r} UNION ALL SELECT b, p FROM pe{r}
+  ) GROUP BY v
+),
+sel{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM pe{r} e
+  JOIN vm{r} va ON e.a = va.v JOIN vm{r} vb ON e.b = vb.v
+  WHERE e.p = va.m AND e.p = vb.m
+),
+live{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev} l
+  WHERE NOT EXISTS (
+      SELECT 1 FROM sel{r} s WHERE l.a IN (s.a, s.b)
+  ) AND NOT EXISTS (
+      SELECT 1 FROM sel{r} s WHERE l.b IN (s.a, s.b)
+  )
+)"""
+        )
+        sels.append(f"SELECT a, b FROM sel{r}")
+        prev = f"live{r}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE x.vec_id < {_MST_CAP} AND y.vec_id < {_MST_CAP}
+    AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+live0 AS MATERIALIZED (SELECT a, b FROM e0),
+{",".join(parts)}
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+FROM ({" UNION ALL ".join(sels)})
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6330,6 +6507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dist_pairs": _edit_dist_pairs,
         "zorder_stats": _zorder_stats,
         "kg_neighbor_sample": _kg_neighbor_sample,
+        "orders_skyline": _orders_skyline,
+        "scd2_priority": _scd2_priority,
+        "kg_matching": _kg_matching,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7770,6 +7950,9 @@ def oracle_sql() -> dict[str, str]:
         "edit_dist_pairs": _edit_dist_pairs_oracle(),
         "zorder_stats": _zorder_stats_oracle(),
         "kg_neighbor_sample": _kg_neighbor_sample_oracle(),
+        "orders_skyline": _orders_skyline_oracle(),
+        "scd2_priority": _scd2_priority_oracle(),
+        "kg_matching": _kg_matching_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
