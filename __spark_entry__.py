@@ -3438,6 +3438,384 @@ FROM ({" UNION ALL ".join(sels)})
 """
 
 
+def _cdc_merge(spark, sf_dir):
+    """CDC MERGE INTO (datapipe/cdc.py apply_changes): the customer
+    snapshot under a changelog synthesized from orders — per-key latest
+    event wins (window over the CHANGELOG only), deletes drop, upserts
+    replace-or-insert, untouched base rows pass through one anti-join."""
+    from kgforge.datapipe.cdc import apply_changes
+
+    base = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("c_mktsegment").cast("string").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    o = _read(spark, sf_dir, "orders")
+    chg = o.select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_custkey") + 10_000_000
+        )
+        .otherwise(F.col("o_custkey"))
+        .cast("bigint")
+        .alias("custkey"),
+        F.col("o_orderpriority").cast("string").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("bal_cents"),
+        F.col("o_orderkey").cast("bigint").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 2 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changes(base, chg, ["custkey"], "seq")
+
+
+def _cdc_merge_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+chg AS (
+  SELECT CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS BIGINT) AS custkey,
+         o_orderpriority AS segment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS bal_cents,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+              WHEN o_orderkey % 2 = 0 THEN 'I' ELSE 'U' END AS op
+  FROM orders
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY custkey ORDER BY seq DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT b.custkey, b.segment, b.bal_cents FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.custkey = b.custkey)
+UNION ALL
+SELECT custkey, segment, bal_cents FROM latest WHERE op <> 'D'
+"""
+
+
+def _events_gap_fill(spark, sf_dir):
+    """Time-series regularization (datapipe/timeseries.py fill_gaps):
+    per-user-bucket daily spend densified onto each bucket's [first,
+    last] day grid with forward fill — sequence+explode grid (never a
+    driver loop), one per-key window for the carry."""
+    from kgforge.datapipe.timeseries import fill_gaps
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).cast("bigint").alias("ukey"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("ukey", "day").agg(F.sum("cents").alias("spend"))
+    out = fill_gaps(daily, "ukey", "day", ["spend"])
+    return out.select("ukey", "day", "is_observed", "spend")
+
+
+def _events_gap_fill_oracle() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id % 50 AS ukey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT ukey, day, CAST(sum(cents) AS BIGINT) AS spend
+  FROM ev GROUP BY ukey, day
+),
+span AS (SELECT ukey, min(day) AS lo, max(day) AS hi FROM daily GROUP BY ukey),
+grid AS (SELECT ukey, unnest(generate_series(lo, hi, 1)) AS day FROM span),
+j AS (
+  SELECT g.ukey, g.day, d.spend, d.day IS NOT NULL AS is_observed
+  FROM grid g LEFT JOIN daily d ON g.ukey = d.ukey AND g.day = d.day
+)
+SELECT CAST(ukey AS BIGINT) AS ukey, CAST(day AS BIGINT) AS day, is_observed,
+       last_value(spend IGNORE NULLS) OVER (
+         PARTITION BY ukey ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend
+FROM j
+"""
+
+
+def _ols_trend(spark, sf_dir):
+    """Group-wise OLS (datapipe/stats.py groupwise_ols): price-vs-time
+    trend per (priority, customer bucket) from exact int64 moment sums in
+    ONE map-side-combinable aggregation; the only floats are the shared
+    closed-form expressions, rounded to 6.  Magnitudes (days since 1992,
+    whole dollars) keep n·Σxy inside int64 through sf1."""
+    from kgforge.datapipe.stats import groupwise_ols
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_custkey") % 20).cast("bigint").alias("bucket"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+    )
+    return groupwise_ols(o, ["priority", "bucket"], "x", "y")
+
+
+def _ols_trend_oracle() -> str:
+    return """
+WITH o AS (
+  SELECT o_orderpriority AS priority, CAST(o_custkey % 20 AS BIGINT) AS bucket,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice) AS BIGINT) AS y
+  FROM orders
+),
+m AS (
+  SELECT priority, bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM o GROUP BY priority, bucket
+),
+e AS (
+  SELECT priority, bucket, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+  FROM m
+)
+SELECT priority, bucket, n,
+  round(CASE WHEN n >= 2 AND varx_n <> 0 THEN cov_n / varx_n END, 6) AS slope,
+  round(CASE WHEN n >= 2 AND varx_n <> 0
+        THEN (dy - (cov_n / varx_n) * dx) / n END, 6) AS intercept,
+  round(CASE WHEN n >= 2 AND varx_n <> 0 AND vary_n <> 0
+        THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+FROM e
+"""
+
+
+def _rank_swap_acctbal(spark, sf_dir):
+    """Rank swapping (anonymize/privacy.py rank_swap): account balances
+    exchanged within 16-rank blocks — marginals exactly preserved,
+    linkage broken; rank.py offsets discipline + one mirrored-rank
+    self-join."""
+    from kgforge.anonymize.privacy import rank_swap
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    return rank_swap(cust, "bal", 16, "custkey", out="bal_swapped")
+
+
+def _rank_swap_acctbal_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+),
+r AS (
+  SELECT custkey, bal,
+         CAST(row_number() OVER (ORDER BY bal, custkey) - 1 AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM c
+),
+m AS (
+  SELECT custkey, bal,
+         (rk // 16) * 16 + least((rk // 16) * 16 + 15, n - 1) - rk AS mirror
+  FROM r
+)
+SELECT m.custkey, m.bal, d.bal AS bal_swapped
+FROM m JOIN r d ON d.rk = m.mirror
+"""
+
+
+def _snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (datapipe/blocking.py): merge/purge
+    candidate pairs over the part-name sort order, window 3 — global
+    rank via range partitions + offsets, pairing as ONE equi-join on
+    rank+offset."""
+    from kgforge.datapipe.blocking import sorted_neighborhood_pairs
+
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("pid"),
+        F.col("p_name").cast("string").alias("pname"),
+    )
+    out = sorted_neighborhood_pairs(p, "pid", "pname", window=3)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        "key_a",
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "key_b",
+    )
+
+
+def _snm_pairs_oracle() -> str:
+    return """
+WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS pname FROM part),
+r AS (
+  SELECT pid, pname, row_number() OVER (ORDER BY pname, pid) AS rk FROM p
+)
+SELECT a.pid AS id_a, a.pname AS key_a, b.pid AS id_b, b.pname AS key_b
+FROM r a JOIN r b ON b.rk - a.rk IN (1, 2)
+"""
+
+
+def _mad_prices(spark, sf_dir):
+    """MAD outlier fences (datapipe/profile.py mad_outliers) per
+    (returnflag, linestatus): lower-median/MAD position arithmetic on
+    exact cents, summarized to a per-group panel."""
+    from kgforge.datapipe.profile import mad_outliers
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price"),
+    )
+    out = mad_outliers(li, ["rf", "ls"], "price", k=3)
+    return out.groupBy("rf", "ls").agg(
+        F.max("_median").alias("median_price"),
+        F.max("_mad").alias("mad"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _mad_prices_oracle() -> str:
+    return """
+WITH li AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price
+  FROM lineitem
+),
+r AS (
+  SELECT rf, ls, price,
+         row_number() OVER (PARTITION BY rf, ls ORDER BY price) AS rn,
+         count(*) OVER (PARTITION BY rf, ls) AS n
+  FROM li
+),
+med AS (
+  SELECT rf, ls, max(CASE WHEN rn = (n + 1) // 2 THEN price END) AS median_price
+  FROM r GROUP BY rf, ls
+),
+d AS (
+  SELECT li.rf, li.ls, li.price, m.median_price,
+         abs(li.price - m.median_price) AS dev
+  FROM li JOIN med m ON li.rf = m.rf AND li.ls = m.ls
+),
+r2 AS (
+  SELECT rf, ls, dev,
+         row_number() OVER (PARTITION BY rf, ls ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY rf, ls) AS n
+  FROM d
+),
+mad AS (
+  SELECT rf, ls, max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM r2 GROUP BY rf, ls
+)
+SELECT d.rf, d.ls, CAST(max(d.median_price) AS BIGINT) AS median_price,
+       CAST(max(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM d JOIN mad ON d.rf = mad.rf AND d.ls = mad.ls
+GROUP BY d.rf, d.ls
+"""
+
+
+def _kg_bipartite(spark, sf_dir):
+    """Bipartiteness per component (kg/bipartite.py): hash-min
+    components + ONE multi-source BFS from all component roots, odd
+    edges witnessed by same-parity endpoints.  Graph: a complete-
+    bipartite block {0,1,2}×{11..60} (bipartite, diameter 2) and a
+    triangle fan around 500 (odd cycles), both derived from customer
+    keys."""
+    from kgforge.kg.bipartite import bipartiteness
+
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    left = (
+        c.filter((F.col("k") >= 1) & (F.col("k") <= 50))
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("_l"),
+            F.col("k"),
+        )
+        .select(
+            F.col("_l").cast("bigint").alias("src"),
+            (F.col("k") + 10).cast("bigint").alias("dst"),
+        )
+    )
+    fan = c.filter((F.col("k") >= 1) & (F.col("k") <= 40))
+    spokes = fan.select(
+        F.lit(500).cast("bigint").alias("src"),
+        (F.col("k") + 500).cast("bigint").alias("dst"),
+    )
+    rim = fan.select(
+        (F.col("k") + 500).cast("bigint").alias("src"),
+        (F.col("k") + 501).cast("bigint").alias("dst"),
+    )
+    edges = left.unionByName(spokes).unionByName(rim)
+    return bipartiteness(edges, max_iter=16)
+
+
+def _kg_bipartite_oracle() -> str:
+    return """
+WITH RECURSIVE raw AS (
+  SELECT CAST(l AS BIGINT) AS src, CAST(k + 10 AS BIGINT) AS dst
+  FROM (SELECT c_custkey AS k FROM customer WHERE c_custkey BETWEEN 1 AND 50),
+       (SELECT unnest([0, 1, 2]) AS l)
+  UNION ALL
+  SELECT CAST(500 AS BIGINT), CAST(c_custkey + 500 AS BIGINT)
+  FROM customer WHERE c_custkey BETWEEN 1 AND 40
+  UNION ALL
+  SELECT CAST(c_custkey + 500 AS BIGINT), CAST(c_custkey + 501 AS BIGINT)
+  FROM customer WHERE c_custkey BETWEEN 1 AND 40
+),
+canon AS (
+  SELECT DISTINCT least(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  greatest(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM raw WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+e AS (SELECT a AS s, b AS t FROM canon UNION ALL SELECT b, a FROM canon),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.x, e.t FROM reach r JOIN e ON r.y = e.s
+),
+comp AS (SELECT x AS node, min(y) AS comp FROM reach GROUP BY x),
+roots AS (SELECT DISTINCT comp AS root FROM comp),
+bfs(node, d) AS (
+  SELECT root, 0 FROM roots
+  UNION
+  SELECT e.t, b.d + 1 FROM bfs b JOIN e ON b.node = e.s WHERE b.d < 4
+),
+dist AS (SELECT node, min(d) AS d FROM bfs GROUP BY node),
+parity AS (
+  SELECT c.node, c.comp, dist.d % 2 AS side
+  FROM comp c JOIN dist ON c.node = dist.node
+),
+per_edge AS (
+  SELECT pa.comp, CASE WHEN pa.side = pb.side THEN 1 ELSE 0 END AS odd
+  FROM canon
+  JOIN parity pa ON canon.a = pa.node
+  JOIN parity pb ON canon.b = pb.node
+),
+nn AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_nodes FROM comp GROUP BY comp),
+ee AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(odd) AS BIGINT) AS odd_edges
+  FROM per_edge GROUP BY comp
+)
+SELECT nn.comp, nn.n_nodes, ee.n_edges, ee.odd_edges,
+       ee.odd_edges = 0 AS is_bipartite
+FROM nn JOIN ee ON nn.comp = ee.comp
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6510,6 +6888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_skyline": _orders_skyline,
         "scd2_priority": _scd2_priority,
         "kg_matching": _kg_matching,
+        "cdc_merge": _cdc_merge,
+        "events_gap_fill": _events_gap_fill,
+        "ols_trend": _ols_trend,
+        "rank_swap_acctbal": _rank_swap_acctbal,
+        "snm_pairs": _snm_pairs,
+        "mad_prices": _mad_prices,
+        "kg_bipartite": _kg_bipartite,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -7953,6 +8338,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_skyline": _orders_skyline_oracle(),
         "scd2_priority": _scd2_priority_oracle(),
         "kg_matching": _kg_matching_oracle(),
+        "cdc_merge": _cdc_merge_oracle(),
+        "events_gap_fill": _events_gap_fill_oracle(),
+        "ols_trend": _ols_trend_oracle(),
+        "rank_swap_acctbal": _rank_swap_acctbal_oracle(),
+        "snm_pairs": _snm_pairs_oracle(),
+        "mad_prices": _mad_prices_oracle(),
+        "kg_bipartite": _kg_bipartite_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -248,3 +248,64 @@ def microaggregate(
     return assigned.join(cents, f"{out}_gid").select(
         *df.columns, out, f"{out}_n", f"{out}_gid"
     )
+
+
+def rank_swap(
+    df: DataFrame,
+    value_col: str,
+    block: int,
+    id_col: str,
+    out: str = "_swapped",
+) -> DataFrame:
+    """Rank swapping: each row's ``value_col`` is exchanged with another
+    row's value at most ``block - 1`` ranks away — the classic numeric
+    SDC perturbation (Moore 1996; Domingo-Ferrer & Torra's comparative
+    studies rank it among the best-scoring masking methods): values move
+    between records, so marginal distributions are EXACTLY preserved
+    while record linkage through the swapped attribute degrades.
+
+    This is the deterministic block-reversal instance of the method:
+    rows are globally ranked by ``(value, id)`` (range partitioning +
+    per-partition offsets — never a single-partition window), the rank
+    axis is cut into consecutive blocks of ``block``, and each block's
+    values are assigned in REVERSED rank order (rank r takes the value
+    at block_lo + block_hi - r).  Every row moves within its block, so
+    the swap distance is bounded (the p%-proximity contract) and the
+    result is a pure function of the data — reproducible across
+    partitionings and engines, no RNG state to ship.
+
+    Scale: the rank pass is the rank.py offsets discipline; the value
+    exchange is ONE self-equi-join of the ranked frame on the mirrored
+    rank (hash-partitioned on a dense bigint — never skewed).  Returns
+    the input columns plus ``out`` (the swapped value).  Requires a
+    unique ``id_col`` for deterministic tie-breaking and ``block >= 1``
+    (block 1 is the identity)."""
+    from kgforge.rank import release_rank_caches, with_global_rank
+
+    if block < 1:
+        raise ValueError("rank_swap requires block >= 1")
+    n_total = df.count()
+    if n_total == 0:
+        return df.withColumn(out, F.lit(None).cast(dict(df.dtypes)[value_col]))
+    try:
+        ranked = with_global_rank(df, [F.col(value_col), F.col(id_col)])
+        # materialize before releasing the rank caches: the offsets were
+        # collected against THIS range partitioning, so the assignment
+        # must never be recomputed from source
+        assigned = ranked.select(*df.columns, "_rank").localCheckpoint(
+            eager=True
+        )
+    finally:
+        release_rank_caches()
+    b = int(block)
+    blk_lo = F.expr(f"(_rank div {b}) * {b}")
+    blk_hi = F.least(blk_lo + F.lit(b - 1), F.lit(n_total - 1))
+    mirror = (blk_lo + blk_hi - F.col("_rank")).alias("_mirror")
+    donors = assigned.select(
+        F.col("_rank").alias("_mirror"), F.col(value_col).alias(out)
+    )
+    return (
+        assigned.withColumn("_mirror", mirror)
+        .join(donors, "_mirror")
+        .select(*df.columns, out)
+    )

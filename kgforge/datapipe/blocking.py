@@ -1,0 +1,65 @@
+"""Sorted-neighborhood blocking for entity resolution.
+
+The Hernández–Stolfo merge/purge method: sort all records by a blocking
+key, slide a window of ``w`` over the sorted order, and emit every pair
+inside a window as a comparison candidate — O(n·w) candidates instead of
+O(n²), with recall governed by how well the key clusters true matches.
+
+Distributed shape: the global sort order is materialized as an exact
+rank (range partitioning + per-partition offsets — never a
+single-partition window), then the window pairing is ONE equi-join of
+the ranked frame against itself on ``rank + offset`` for offsets
+1..w-1 (an explode of w-1 literals on the probe side, joined on a dense
+bigint — hash-partitioned, never skewed, no pair set wider than the
+output).  This is exactly how the multi-pass merge/purge scales on MPP
+engines; run it once per blocking key and union for the multi-pass
+variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Candidate pairs ``(id_a, key_a, id_b, key_b)`` for every two rows
+    within ``window`` positions of each other in the ``(key, id)`` sort
+    order (``id_a`` sorts strictly before ``id_b``; ``window >= 2`` —
+    a window of w yields pairs at rank distance 1..w-1).
+
+    Ties on the key are ordered by ``id_col``, so the pair set is a pure
+    function of the data; ``id_col`` must be unique."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from kgforge.rank import release_rank_caches, with_global_rank
+
+    try:
+        ranked = with_global_rank(df, [F.col(key_col), F.col(id_col)])
+        # materialize before releasing the rank caches: the offsets were
+        # collected against THIS range partitioning
+        r = ranked.select(
+            F.col(id_col).alias("_id"),
+            F.col(key_col).alias("_key"),
+            "_rank",
+        ).localCheckpoint(eager=True)
+    finally:
+        release_rank_caches()
+    probe = r.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.explode(
+            F.sequence(F.col("_rank") + 1, F.col("_rank") + (window - 1))
+        ).alias("_rank"),
+    )
+    return probe.join(r, "_rank").select(
+        "id_a",
+        "key_a",
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+    )

@@ -234,3 +234,49 @@ def histogram_quantiles(
     return picked.select(
         *gcols, "q", "n", (F.floor(est * 1e6) / F.lit(1e6)).alias("est")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median absolute deviation:
+    a row is an outlier when ``|x - median| > k * MAD`` — the
+    std-deviation rule's robust cousin (one wild value corrupts a
+    mean/stddev fence; the median/MAD fence shrugs it off), standard in
+    data-quality gates over skewed feeds.
+
+    Both medians are LOWER medians (the element at 1-indexed position
+    ``(n+1) div 2`` of the values sorted ascending): pure position
+    arithmetic on exact values, no interpolation, so integer inputs stay
+    integers and the result is bit-identical across engines and
+    partitionings (the classic ``1.4826·MAD ≈ σ`` rescaling is folded
+    into the caller's choice of ``k``).
+
+    Scale shape: two window rounds (rank the values, then rank the
+    deviations), each partitioned by the group columns — per-task memory
+    is bounded by the largest group, the natural per-key unit of work;
+    for one giant group rank globally with the ``kgforge.rank`` offsets
+    discipline instead.  Returns the input columns plus ``_median``,
+    ``_mad`` and ``is_outlier``."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    part = Window.partitionBy(*group_cols)
+    v = F.col(value_col)
+
+    def _lower_median(frame: DataFrame, col, out: str) -> DataFrame:
+        rn = F.row_number().over(part.orderBy(col)).cast("bigint")
+        pos = F.floor((F.count(F.lit(1)).over(part) + 1) / 2)
+        return frame.withColumn(
+            out, F.max(F.when(rn == pos, col)).over(part)
+        )
+
+    d1 = _lower_median(df, v, "_median")
+    d2 = _lower_median(d1, F.abs(v - F.col("_median")), "_mad")
+    return d2.withColumn(
+        "is_outlier", F.abs(v - F.col("_median")) > F.lit(k) * F.col("_mad")
+    )

@@ -1,0 +1,71 @@
+"""Group-wise ordinary least squares from integer moment sums.
+
+One linear fit per group — trend per device, price-vs-time per category,
+drift per source — computed from the five sufficient statistics
+(n, Σx, Σy, Σxx, Σyy, Σxy) in a single map-side-combinable aggregation:
+no per-group collect, no ML library, no second pass.  The closed forms::
+
+    slope     = (nΣxy - ΣxΣy) / (nΣxx - (Σx)²)
+    intercept = (Σy - slope·Σx) / n
+    r²        = (nΣxy - ΣxΣy)² / ((nΣxx - (Σx)²)(nΣyy - (Σy)²))
+
+Determinism: inputs are cast to int64 so the moment sums are EXACT
+(order-independent — integer addition commutes; float accumulation does
+not), and the only floating point is the one shared final expression,
+rounded to 6 decimals to absorb last-ulp division differences across
+engines.  Caller owns overflow headroom: nΣxy must fit int64, so with
+values bounded by V and n rows per group, n²V² < 2⁶³ — cents-scale
+columns are fine into the billions of rows per group.
+
+Scale shape: ONE groupBy.agg over (group_cols), partial-aggregated
+map-side; skewed groups cost nothing extra because the combiner reduces
+every partition's contribution to one row per group first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """(group_cols..., n, slope, intercept, r2) per group.
+
+    ``x_col``/``y_col`` must be integral (scale floats to cents/micros
+    upstream).  Groups with fewer than 2 points or zero x-variance get
+    null slope/intercept/r2; zero y-variance (perfectly flat y) fits
+    slope 0 with r2 null (0/0).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.filter(x.isNotNull() & y.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    cov_n = (n * F.col("_sxy") - sx * sy).cast("double")
+    varx_n = (n * F.col("_sxx") - sx * sx).cast("double")
+    vary_n = (n * F.col("_syy") - sy * sy).cast("double")
+    slope = cov_n / varx_n
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    ok = (n >= 2) & (varx_n != 0)
+    return m.select(
+        *group_cols,
+        n,
+        F.round(F.when(ok, slope), 6).alias("slope"),
+        F.round(F.when(ok, intercept), 6).alias("intercept"),
+        F.round(F.when(ok & (vary_n != 0), r2), 6).alias("r2"),
+    )
