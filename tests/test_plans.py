@@ -297,3 +297,50 @@ def test_session6_ops_plan_quality(spark):
         F.col("_rn") <= 3
     )
     assert "WindowGroupLimit" in _plan(pick)
+
+
+def test_session7_ops_plan_quality(spark):
+    q = entry.queries()
+    # cdc_merge: the per-key window runs over the CHANGELOG only and the
+    # base passes through one anti-join — no python, no cartesian, and
+    # exactly one Window (the latest-event pick)
+    plan = _plan(q["cdc_merge"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+    assert plan.count("Window") >= 1
+
+    # gap fill: the sequence+explode grid must be a distributed Generate
+    # node, the carry a per-key (never single-partition) window
+    plan = _plan(q["events_gap_fill"](spark, SF))
+    assert "Generate explode" in plan
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # group-wise OLS: ONE hash aggregate with partial (map-side) combine,
+    # all JVM
+    plan = _plan(q["ols_trend"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # rank swap / sorted-neighborhood: the rank discipline means no
+    # global single-partition window survives in the executed plan
+    for name in ("rank_swap_acctbal", "snm_pairs"):
+        plan = _plan(q[name](spark, SF))
+        assert "SinglePartition" not in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct"):
+            assert marker not in plan, f"{name}: {marker}"
+
+    # MAD fences: group-partitioned windows only, all JVM
+    plan = _plan(q["mad_prices"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # skyline: per-range-partition sweep — no global window, no python
+    plan = _plan(q["orders_skyline"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
