@@ -3816,6 +3816,216 @@ FROM nn JOIN ee ON nn.comp = ee.comp
 """
 
 
+def _kg_toposort(spark, sf_dir):
+    """Kahn topological layering + cycle detection (kg/toposort.py)
+    over a binary-heap DAG derived from customer keys (node i →
+    2i, 2i+1 — every node's unique parent is i div 2, so the layer is
+    the tree depth) plus a planted 3-cycle at 9001..9003.  The oracle
+    derives layers by the CLOSED FORM floor(log2(v)) — an independent
+    derivation, not a mirror of the loop."""
+    from kgforge.kg.toposort import topological_layers
+
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    base = c.filter(F.col("k") >= 1)
+    e1 = base.select(
+        F.col("k").alias("src"), (F.col("k") * 2).alias("dst")
+    )
+    e2 = base.select(
+        F.col("k").alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    )
+    cyc = c.filter((F.col("k") >= 1) & (F.col("k") <= 3)).select(
+        (F.col("k") + 9000).alias("src"),
+        ((F.col("k") % 3) + 1 + 9000).alias("dst"),
+    )
+    edges = e1.unionByName(e2).unionByName(cyc)
+    return topological_layers(edges, max_iter=20)
+
+
+def _kg_toposort_oracle() -> str:
+    return """
+WITH vs AS (
+  SELECT unnest(generate_series(1,
+           2 * (SELECT max(c_custkey) FROM customer) + 1)) AS v
+)
+SELECT CAST(v AS VARCHAR) AS node,
+       CAST(floor(log2(CAST(v AS DOUBLE))) AS BIGINT) AS layer,
+       FALSE AS is_cyclic
+FROM vs
+UNION ALL
+SELECT CAST(9000 + x AS VARCHAR), CAST(NULL AS BIGINT), TRUE
+FROM (SELECT unnest([1, 2, 3]) AS x)
+"""
+
+
+def _target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding (datapipe/stats.py
+    target_encode_loo): per-customer mean order value excluding the row
+    itself — exact int64 sums, one final division rounded to 6."""
+    from kgforge.datapipe.stats import target_encode_loo
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return target_encode_loo(o, "custkey", "y")
+
+
+def _target_encoding_oracle() -> str:
+    return """
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+agg AS (
+  SELECT custkey, CAST(sum(y) AS BIGINT) AS sg,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM o GROUP BY custkey
+)
+SELECT o.custkey, o.okey, o.y,
+       round(CASE WHEN ng > 1
+             THEN CAST(sg - y AS DOUBLE) / (ng - 1) END, 6) AS te
+FROM o JOIN agg USING (custkey)
+"""
+
+
+def _pseudonymize_names(spark, sf_dir):
+    """Deterministic pseudonym dictionary (anonymize/privacy.py
+    pseudonymize): every distinct customer name gets a stable dense
+    token via the rank.py offsets discipline, joined back."""
+    from kgforge.anonymize.privacy import pseudonymize
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("c_name").cast("string").alias("name"),
+    )
+    return pseudonymize(cust, "name").select("custkey", "name_pseudo")
+
+
+def _pseudonymize_names_oracle() -> str:
+    return """
+WITH d AS (SELECT DISTINCT c_name FROM customer WHERE c_name IS NOT NULL),
+r AS (
+  SELECT c_name, row_number() OVER (ORDER BY c_name) - 1 AS idx FROM d
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS custkey,
+       'anon_' || lpad(CAST(r.idx AS VARCHAR), 9, '0') AS name_pseudo
+FROM customer c JOIN r ON c.c_name = r.c_name
+"""
+
+
+_ATTR_LOOKBACK = 7 * 86400  # one-week lookback, epoch seconds
+
+
+def _events_attribution(spark, sf_dir):
+    """First/last-touch attribution (datapipe/attribution.py): per
+    purchase, the qualifying view/click touches inside a one-week
+    lookback — range-frame windows per user, no per-conversion join."""
+    from kgforge.datapipe.attribution import touch_attribution
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("uid"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("tsec"),
+        F.col("event_type").alias("etype"),
+    )
+    return touch_attribution(
+        ev, "uid", "tsec", "etype", ["view", "click"], "purchase",
+        _ATTR_LOOKBACK,
+    )
+
+
+def _events_attribution_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS ts, event_type AS et,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN event_type END AS tt,
+         CASE WHEN event_type IN ('view', 'click')
+              THEN CAST(floor(epoch(ts)) AS BIGINT) END AS tts
+  FROM events
+),
+sc AS (
+  SELECT u, ts, et,
+    first_value(tt IGNORE NULLS) OVER w AS first_touch_type,
+    first_value(tts IGNORE NULLS) OVER w AS first_touch_ts,
+    last_value(tt IGNORE NULLS) OVER w AS last_touch_type,
+    last_value(tts IGNORE NULLS) OVER w AS last_touch_ts,
+    count(tts) OVER w AS n_touches
+  FROM ev
+  WINDOW w AS (PARTITION BY u ORDER BY ts
+               RANGE BETWEEN {_ATTR_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(u AS BIGINT) AS user, ts AS conv_ts,
+       first_touch_type, first_touch_ts, last_touch_type, last_touch_ts,
+       CAST(n_touches AS BIGINT) AS n_touches
+FROM sc WHERE et = 'purchase'
+"""
+
+
+_MONDRIAN_K = 10
+_MONDRIAN_ORACLE_ROUNDS = 12  # >= log2(n/k) at every tested SF; extra
+# rounds are no-ops (side 0 relabels) and the min-id canonical label
+# makes the fixed-depth unrolling comparable to the early-stopping loop
+
+
+def _mondrian_k10(spark, sf_dir):
+    """Mondrian k-anonymity (anonymize/mondrian.py), k=10, over the
+    (acctbal cents, nationkey) quasi-identifier plane of customers —
+    rank-split round-robin recursion, one window pass per round."""
+    from kgforge.anonymize.mondrian import mondrian_anonymize
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a"),
+        F.col("c_nationkey").cast("bigint").alias("b"),
+    )
+    return mondrian_anonymize(cust, ["a", "b"], _MONDRIAN_K, "id")
+
+
+def _mondrian_k10_oracle() -> str:
+    k2 = 2 * _MONDRIAN_K
+    parts = [
+        """p0 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS a,
+         CAST(c_nationkey AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS pid
+  FROM customer
+)"""
+    ]
+    for r in range(_MONDRIAN_ORACLE_ROUNDS):
+        attr = ["a", "b"][r % 2]
+        parts.append(
+            f"""p{r + 1} AS MATERIALIZED (
+  SELECT id, a, b,
+         pid * 2 + CASE WHEN n >= {k2} AND rn > n // 2
+                        THEN 1 ELSE 0 END AS pid
+  FROM (
+    SELECT id, a, b, pid,
+           row_number() OVER (PARTITION BY pid ORDER BY {attr}, id) AS rn,
+           count(*) OVER (PARTITION BY pid) AS n
+    FROM p{r}
+  )
+)"""
+        )
+    last = f"p{_MONDRIAN_ORACLE_ROUNDS}"
+    return f"""
+WITH {",".join(parts)}
+SELECT id, a, b,
+       min(id) OVER (PARTITION BY pid) AS "group",
+       CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS group_n,
+       min(a) OVER (PARTITION BY pid) AS a_lo,
+       max(a) OVER (PARTITION BY pid) AS a_hi,
+       min(b) OVER (PARTITION BY pid) AS b_lo,
+       max(b) OVER (PARTITION BY pid) AS b_hi
+FROM {last}
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -6895,6 +7105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _snm_pairs,
         "mad_prices": _mad_prices,
         "kg_bipartite": _kg_bipartite,
+        "kg_toposort": _kg_toposort,
+        "target_encoding": _target_encoding,
+        "pseudonymize_names": _pseudonymize_names,
+        "events_attribution": _events_attribution,
+        "mondrian_k10": _mondrian_k10,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -8345,6 +8560,11 @@ def oracle_sql() -> dict[str, str]:
         "snm_pairs": _snm_pairs_oracle(),
         "mad_prices": _mad_prices_oracle(),
         "kg_bipartite": _kg_bipartite_oracle(),
+        "kg_toposort": _kg_toposort_oracle(),
+        "target_encoding": _target_encoding_oracle(),
+        "pseudonymize_names": _pseudonymize_names_oracle(),
+        "events_attribution": _events_attribution_oracle(),
+        "mondrian_k10": _mondrian_k10_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -309,3 +309,43 @@ def rank_swap(
         .join(donors, "_mirror")
         .select(*df.columns, out)
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    prefix: str = "anon_",
+    width: int = 9,
+) -> DataFrame:
+    """Deterministic pseudonym dictionary: every distinct value of
+    ``col`` gets a stable opaque token ``<prefix><dense index>`` (the
+    index is the value's 0-based position in sorted order), and rows are
+    rewritten through the dictionary — consistent tokenization across
+    the corpus (the same direct identifier always maps to the same
+    pseudonym, so joins and group-bys still work downstream), with the
+    original values recoverable only via the dictionary, which this
+    function deliberately does not return.
+
+    Scale: the dictionary is built on the DISTINCT values (one shuffle),
+    indexed with the rank.py offsets discipline — never a
+    single-partition window even for a billion-key dictionary — and
+    joined back on the value (AQE broadcasts small dictionaries).
+    Deterministic: sorted order, no RNG, reproducible across runs —
+    callers needing unlinkability across releases should salt ``col``
+    upstream.  Nulls stay null."""
+    from kgforge.rank import release_rank_caches, with_global_rank
+
+    out = out or f"{col}_pseudo"
+    vals = df.select(col).filter(F.col(col).isNotNull()).distinct()
+    try:
+        ranked = with_global_rank(vals, [F.col(col)])
+        dictionary = ranked.select(
+            F.col(col),
+            F.concat(
+                F.lit(prefix), F.lpad(F.col("_rank").cast("string"), width, "0")
+            ).alias(out),
+        ).localCheckpoint(eager=True)
+    finally:
+        release_rank_caches()
+    return df.join(dictionary, col, "left")

@@ -69,3 +69,40 @@ def groupwise_ols(
         F.round(F.when(ok, intercept), 6).alias("intercept"),
         F.round(F.when(ok & (vary_n != 0), r2), 6).alias("r2"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out: str = "te",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean of its
+    category's OTHER rows' targets, ``(Σ_g − y_i) / (n_g − 1)`` — the
+    feature-engineering standard for high-cardinality categoricals,
+    leave-one-out so a row never leaks its own label into its feature
+    (Micci-Barreca 2001's empirical-Bayes family, LOO variant).
+
+    ``target_col`` must be integral (scale upstream): the per-category
+    sums are exact int64, the only float is the one final division,
+    rounded to 6 — deterministic across engines and partitionings.
+    Singleton categories get null (no other rows to borrow from); null
+    targets are excluded from Σ and n.
+
+    Scale: ONE map-side-combinable groupBy over the categories + a join
+    back that AQE broadcasts whenever the category dictionary is small;
+    never a window, never a self-join on rows."""
+    y = F.col(target_col).cast("long")
+    agg = (
+        df.filter(y.isNotNull())
+        .groupBy(cat_col)
+        .agg(F.sum(y).alias("_sg"), F.count(F.lit(1)).alias("_ng"))
+    )
+    joined = df.join(agg, cat_col, "left")
+    loo = (F.col("_sg") - y).cast("double") / (F.col("_ng") - 1)
+    return joined.withColumn(
+        out,
+        F.round(
+            F.when((F.col("_ng") > 1) & y.isNotNull(), loo), 6
+        ),
+    ).drop("_sg", "_ng")

@@ -344,3 +344,33 @@ def test_session7_ops_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session7_batch2_plan_quality(spark):
+    q = entry.queries()
+    # target encoding: one hash aggregate + join back, all JVM
+    plan = _plan(q["target_encoding"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # pseudonymize: dictionary built on DISTINCT values with the rank
+    # discipline — no single-partition window in the executed plan
+    plan = _plan(q["pseudonymize_names"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # attribution: per-user range windows, one exchange, no join of
+    # conversions against touches
+    plan = _plan(q["events_attribution"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                   "SortMergeJoin"):
+        assert marker not in plan, marker
+
+    # mondrian result: per-region windows only, all JVM
+    plan = _plan(q["mondrian_k10"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker

@@ -54,3 +54,33 @@ def test_empty_group_cols_rejected(spark):
     df = spark.createDataFrame([("a", 1, 1)], "g string, x int, y int")
     with pytest.raises(ValueError):
         groupwise_ols(df, [], "x", "y")
+
+
+def test_target_encode_loo_basic(spark):
+    from kgforge.datapipe.stats import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5), ("b", 7), ("c", 99)],
+        "cat string, y int",
+    )
+    got = {(r["cat"], r["y"]): r["te"] for r in
+           target_encode_loo(df, "cat", "y").collect()}
+    assert got[("a", 10)] == 25.0      # (20+30)/2
+    assert got[("a", 20)] == 20.0
+    assert got[("a", 30)] == 15.0
+    assert got[("b", 5)] == 7.0
+    assert got[("b", 7)] == 5.0
+    assert got[("c", 99)] is None      # singleton
+
+
+def test_target_encode_loo_null_targets_excluded(spark):
+    from kgforge.datapipe.stats import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 20)], "cat string, y int"
+    )
+    got = {(r["cat"], r["y"]): r["te"] for r in
+           target_encode_loo(df, "cat", "y").collect()}
+    assert got[("a", 10)] == 20.0
+    assert got[("a", 20)] == 10.0
+    assert got[("a", None)] is None
