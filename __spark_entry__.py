@@ -4026,6 +4026,256 @@ FROM {last}
 """
 
 
+_DENSEST_ROUNDS = 18  # >= the peel-out round count at every tested SF;
+# rounds after the graph empties contribute no stats rows (v > 0 filter)
+
+
+def _kg_densest(spark, sf_dir):
+    """Densest-subgraph 3-approximation (kg/densest.py, Bahmani
+    threshold peeling) over the capped cosine similarity graph — per
+    round one degree agg + integer cross-multiplied threshold, best
+    prefix state selected by exact rational compare."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.densest import densest_subgraph
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MST_CAP
+    )
+    e0 = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return densest_subgraph(e0, numer=3, denom=1)
+
+
+def _kg_densest_oracle() -> str:
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT CAST(x.vec_id AS VARCHAR) AS a, CAST(y.vec_id AS VARCHAR) AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE x.vec_id < {_MST_CAP} AND y.vec_id < {_MST_CAP}
+    AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+live0 AS MATERIALIZED (
+  SELECT least(a, b) AS a, greatest(a, b) AS b FROM e0 WHERE a <> b
+)"""
+    ]
+    stats, alive = [], []
+    for r in range(_DENSEST_ROUNDS):
+        parts.append(
+            f"""nodes{r} AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM live{r} UNION ALL SELECT b FROM live{r}
+  )
+),
+st{r} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM nodes{r}) AS v,
+         (SELECT count(*) FROM live{r}) AS e
+),
+peel{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT a AS node FROM live{r} UNION ALL SELECT b FROM live{r}
+    ) GROUP BY node
+  ), st{r}
+  WHERE d * v * 1 <= 3 * e
+),
+live{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM live{r} l
+  WHERE NOT EXISTS (SELECT 1 FROM peel{r} p WHERE p.node = l.a)
+    AND NOT EXISTS (SELECT 1 FROM peel{r} p WHERE p.node = l.b)
+)"""
+        )
+        stats.append(
+            f"SELECT {r} AS r, v, e FROM st{r} WHERE v > 0"
+        )
+        alive.append(
+            f"SELECT node, {r} AS r FROM nodes{r}"
+        )
+    return f"""
+WITH {",".join(parts)},
+stats AS MATERIALIZED ({" UNION ALL ".join(stats)}),
+best AS MATERIALIZED (
+  SELECT r, v, e FROM stats q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM stats p
+    WHERE p.e * q.v > q.e * p.v
+       OR (p.e * q.v = q.e * p.v AND p.r < q.r)
+  )
+),
+members AS ({" UNION ALL ".join(alive)})
+SELECT m.node, CAST(best.v AS BIGINT) AS v_best, CAST(best.e AS BIGINT) AS e_best
+FROM members m JOIN best ON m.r = best.r
+"""
+
+
+def _quantile_norm_balances(spark, sf_dir):
+    """Quantile normalization (datapipe/stats.py quantile_normalize):
+    every market segment's balance distribution mapped onto the pooled
+    one via exact ceil-position arithmetic — per-group windows + the
+    rank.py pooled rank, one dense-position join."""
+    from kgforge.datapipe.stats import quantile_normalize
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    return quantile_normalize(cust, "segment", "bal", "custkey")
+
+
+def _quantile_norm_balances_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer
+),
+pooled AS (
+  SELECT bal AS normalized,
+         CAST(row_number() OVER (ORDER BY bal, custkey) AS BIGINT) AS pos
+  FROM c
+),
+ranked AS (
+  SELECT custkey, segment, bal,
+         CAST(row_number() OVER (PARTITION BY segment ORDER BY bal, custkey)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY segment) AS BIGINT) AS ng,
+         CAST((SELECT count(*) FROM c) AS BIGINT) AS n
+  FROM c
+)
+SELECT custkey, segment, bal, p.normalized
+FROM ranked x JOIN pooled p ON p.pos = (x.r * x.n + x.ng - 1) // x.ng
+"""
+
+
+def _fd_check(spark, sf_dir):
+    """Functional-dependency violation detector (datapipe/profile.py
+    fd_violations): evidence rows of orders whose lineitems mix return
+    flags (l_orderkey → l_returnflag is NOT functional exactly where
+    partial returns happened)."""
+    from kgforge.datapipe.profile import fd_violations
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("okey"),
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.col("l_returnflag").alias("rf"),
+    )
+    return fd_violations(li, ["okey"], "rf")
+
+
+def _fd_check_oracle() -> str:
+    return """
+WITH li AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+         CAST(l_linenumber AS BIGINT) AS line, l_returnflag AS rf
+  FROM lineitem
+),
+viol AS (
+  SELECT okey, CAST(count(*) AS BIGINT) AS n_rhs
+  FROM (SELECT DISTINCT okey, rf FROM li)
+  GROUP BY okey HAVING count(*) > 1
+)
+SELECT li.okey, li.line, li.rf, viol.n_rhs
+FROM li JOIN viol USING (okey)
+"""
+
+
+_FS_PARAMS = [
+    ("same_nation", 0.9, 0.04),
+    ("same_segment", 0.85, 0.2),
+    ("close_bal", 0.95, 0.3),
+]
+_FS_UPPER, _FS_LOWER = 2.0, 0.0
+_FS_BAL_BAND = 100_000  # cents
+
+
+def _fs_scores(spark, sf_dir):
+    """Fellegi-Sunter linkage decisions (datapipe/blocking.py
+    fellegi_sunter_scores) over sorted-neighborhood candidates blocked
+    on account balance: literal log-likelihood weights over three field
+    agreements, thresholded match/possible/non_match."""
+    from kgforge.datapipe.blocking import (
+        fellegi_sunter_scores,
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pairs = sorted_neighborhood_pairs(cust, "custkey", "bal", window=4)
+    a = cust.select(
+        F.col("custkey").alias("id_a"),
+        F.col("nation").alias("na"),
+        F.col("segment").alias("sa"),
+    )
+    b = cust.select(
+        F.col("custkey").alias("id_b"),
+        F.col("nation").alias("nb"),
+        F.col("segment").alias("sb"),
+    )
+    cand = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("na") == F.col("nb")).alias("same_nation"),
+            (F.col("sa") == F.col("sb")).alias("same_segment"),
+            (
+                F.abs(F.col("key_a") - F.col("key_b")) <= _FS_BAL_BAND
+            ).alias("close_bal"),
+        )
+    )
+    return fellegi_sunter_scores(cand, _FS_PARAMS, _FS_UPPER, _FS_LOWER)
+
+
+def _fs_scores_oracle() -> str:
+    import math
+
+    terms = []
+    for col, m, u in _FS_PARAMS:
+        wa, wd = math.log2(m / u), math.log2((1 - m) / (1 - u))
+        # CAST: DuckDB parses bare decimal literals as DECIMAL — the
+        # arithmetic must run in DOUBLE to match Spark bit for bit
+        terms.append(
+            f"CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(terms)
+    return f"""
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+  FROM customer
+),
+r AS (
+  SELECT custkey, bal, nation, segment,
+         row_number() OVER (ORDER BY bal, custkey) AS rk
+  FROM c
+),
+cand AS (
+  SELECT x.custkey AS id_a, y.custkey AS id_b,
+         x.nation = y.nation AS same_nation,
+         x.segment = y.segment AS same_segment,
+         abs(x.bal - y.bal) <= {_FS_BAL_BAND} AS close_bal
+  FROM r x JOIN r y ON y.rk - x.rk IN (1, 2, 3)
+),
+scored AS (
+  SELECT *, round({score}, 6) AS score FROM cand
+)
+SELECT id_a, id_b, same_nation, same_segment, close_bal, score,
+       CASE WHEN score >= {_FS_UPPER!r} THEN 'match'
+            WHEN score < {_FS_LOWER!r} THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM scored
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -7110,6 +7360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_names": _pseudonymize_names,
         "events_attribution": _events_attribution,
         "mondrian_k10": _mondrian_k10,
+        "kg_densest": _kg_densest,
+        "quantile_norm_balances": _quantile_norm_balances,
+        "fd_check": _fd_check,
+        "fs_scores": _fs_scores,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -8565,6 +8819,10 @@ def oracle_sql() -> dict[str, str]:
         "pseudonymize_names": _pseudonymize_names_oracle(),
         "events_attribution": _events_attribution_oracle(),
         "mondrian_k10": _mondrian_k10_oracle(),
+        "kg_densest": _kg_densest_oracle(),
+        "quantile_norm_balances": _quantile_norm_balances_oracle(),
+        "fd_check": _fd_check_oracle(),
+        "fs_scores": _fs_scores_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

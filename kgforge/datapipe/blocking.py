@@ -63,3 +63,47 @@ def sorted_neighborhood_pairs(
         F.col("_id").alias("id_b"),
         F.col("_key").alias("key_b"),
     )
+
+
+# Fellegi-Sunter agreement weights are log-likelihood ratios log(m/u)
+# (agreement) and log((1-m)/(1-u)) (disagreement) under the match/
+# non-match hypotheses; fixed literal (m, u) per field keeps the score a
+# deterministic literal expression in BOTH engines (EM-fitting them is a
+# separate estimation problem, deliberately out of scope here).
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    fields: list[tuple],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage decision model over candidate
+    pairs: ``fields`` is a list of ``(agree_col, m, u)`` — a boolean
+    agreement column plus its match/non-match probabilities — and each
+    pair gets ``score = Σ log2(m/u) if agree else log2((1-m)/(1-u))``,
+    classified ``match`` / ``possible`` / ``non_match`` against the two
+    thresholds (the 1969 decision rule).
+
+    Scale: pure projection over the candidate-pair table (blocking —
+    e.g. :func:`sorted_neighborhood_pairs` — already bounded it);
+    weights fold to literals, the sum is one codegen expression, rounded
+    to 6 for engine parity."""
+    import math
+
+    if not fields or upper < lower:
+        raise ValueError("need fields and upper >= lower")
+    score = F.lit(0.0)
+    for agree_col, m, u in fields:
+        if not (0 < u < m < 1):
+            raise ValueError(f"need 0 < u < m < 1 for {agree_col}")
+        wa = math.log2(m / u)
+        wd = math.log2((1 - m) / (1 - u))
+        score = score + F.when(F.col(agree_col), F.lit(wa)).otherwise(
+            F.lit(wd)
+        )
+    out = pairs.withColumn("score", F.round(score, 6))
+    return out.withColumn(
+        "decision",
+        F.when(F.col("score") >= upper, F.lit("match"))
+        .when(F.col("score") < lower, F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )

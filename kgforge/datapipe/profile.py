@@ -280,3 +280,30 @@ def mad_outliers(
     return d2.withColumn(
         "is_outlier", F.abs(v - F.col("_median")) > F.lit(k) * F.col("_mad")
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency violation detector: rows whose ``lhs_cols``
+    key maps to MORE than one distinct ``rhs_col`` value — the
+    data-quality probe behind "order_id → customer_id should be
+    functional" assertions, returned as evidence rows (the violating
+    tuples plus ``n_rhs``, how many distinct right-hand sides the key
+    has).
+
+    Scale: one distinct + one map-side-combinable groupBy over the key,
+    one semi-join back (AQE broadcasts small violation sets); never a
+    self-join of rows against rows."""
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    viol = (
+        df.select(*lhs_cols, rhs_col)
+        .distinct()
+        .groupBy(*lhs_cols)
+        .agg(F.count(F.lit(1)).alias("n_rhs"))
+        .filter(F.col("n_rhs") > 1)
+    )
+    return df.join(viol, lhs_cols)

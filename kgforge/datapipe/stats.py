@@ -106,3 +106,52 @@ def target_encode_loo(
             F.when((F.col("_ng") > 1) & y.isNotNull(), loo), 6
         ),
     ).drop("_sg", "_ng")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out: str = "normalized",
+) -> DataFrame:
+    """Quantile normalization: every group's distribution is mapped onto
+    the POOLED distribution, so downstream comparisons see identical
+    marginals per group (the microarray-normalization standard, applied
+    per source/batch).  This is the discrete variant: the row at rank r
+    of its group (size n_g) takes the pooled value at 1-indexed position
+    ``ceil(r · N / n_g)`` — pure integer position arithmetic, no
+    interpolation, exact for any value type.
+
+    Scale: one window per group for the in-group rank (bounded by the
+    largest group), the pooled ranks via the rank.py offsets discipline
+    (never a single-partition window), and one equi-join on the dense
+    position — hot groups cost their own history, the pooled side is
+    ranked once."""
+    from pyspark.sql import Window
+
+    from kgforge.rank import release_rank_caches, with_global_rank
+
+    n_total = df.count()
+    if n_total == 0:
+        return df.withColumn(out, F.col(value_col))
+    try:
+        pooled = with_global_rank(
+            df.select(value_col, id_col), [F.col(value_col), F.col(id_col)]
+        )
+        ref = pooled.select(
+            (F.col("_rank") + 1).alias("_pos"),
+            F.col(value_col).alias(out),
+        ).localCheckpoint(eager=True)
+    finally:
+        release_rank_caches()
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    part = Window.partitionBy(group_col)
+    r = F.row_number().over(w).cast("bigint")
+    ng = F.count(F.lit(1)).over(part).cast("bigint")
+    # ceil(r * N / n_g): the double division is exact while r·N < 2^53
+    # (~9e15 — beyond any tested SF; swap to a decimal div past that)
+    pos = ((r * F.lit(n_total) + ng - F.lit(1)) / ng).cast("bigint")
+    ranked = df.withColumn("_pos", pos)
+    return ranked.join(ref, "_pos").drop("_pos")
+

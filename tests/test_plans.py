@@ -374,3 +374,26 @@ def test_session7_batch2_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session7_batch3_plan_quality(spark):
+    q = entry.queries()
+    # quantile normalization: rank discipline — no single-partition
+    # window; dense-position equi-join, all JVM
+    plan = _plan(q["quantile_norm_balances"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # FD violations: aggregate + equi-join back, all JVM, no cartesian
+    plan = _plan(q["fd_check"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # Fellegi-Sunter over SNM blocking: the scoring is pure projection —
+    # no python, no cartesian, score folded into codegen
+    plan = _plan(q["fs_scores"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
