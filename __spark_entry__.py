@@ -4276,6 +4276,270 @@ FROM scored
 """
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB left-fold dot product ≡ similarity._dot's F.aggregate."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    """DuckDB left-fold L2 norm ≡ similarity._norm."""
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (acc, v) -> acc + v))"
+    )
+
+
+_BM25_TERMS = ["join", "merge", "scan"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_search(spark, sf_dir):
+    """BM25 lexical scoring (datapipe/retrieval.py bm25_scores) over the
+    documents corpus for a fixed query — per-row ARRAY term frequencies
+    (no explode), one broadcast corpus-stats aggregate, all codegen."""
+    from kgforge.datapipe.retrieval import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+    )
+    return out.select(F.col("id").cast("bigint").alias("id"), "score")
+
+
+def _bm25_search_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    terms_sql = []
+    for i, t in enumerate(_BM25_TERMS):
+        terms_sql.append(
+            f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        )
+    score_terms, match_terms = [], []
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"ln(CAST(1 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        )
+        denom = (
+            f"(CAST(tf{i} AS DOUBLE) + CAST({k1!r} AS DOUBLE) * "
+            f"(CAST(1 AS DOUBLE) - CAST({b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)"
+            f" * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE)))"
+        )
+        score_terms.append(
+            f"{idf} * CAST(tf{i} AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE) / {denom}"
+        )
+        match_terms.append(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END")
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(len(toks) AS BIGINT) AS dl, {", ".join(terms_sql)}
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents)
+),
+st AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         {dfs}
+  FROM d
+)
+SELECT id,
+       round(CAST(0.0 AS DOUBLE) + {" + ".join(score_terms)}, 6) AS score
+FROM d, st
+WHERE ({" + ".join(match_terms)}) > 0
+"""
+
+
+_RRF_CAP = 300
+_RRF_QUERIES = (0, 1, 2)
+
+
+def _rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (datapipe/retrieval.py rrf_fuse) of three
+    cosine retrievers (query vectors = embeddings 0/1/2) — sorted-fold
+    reciprocal sums, one window per retriever."""
+    from kgforge.datapipe.retrieval import rrf_fuse
+    from kgforge.datapipe.similarity import with_cosine
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _RRF_CAP
+    )
+    frames = []
+    for j in _RRF_QUERIES:
+        q = emb.filter(F.col("vec_id") == j).select("embedding").collect()[0][0]
+        frames.append(
+            with_cosine(emb, "embedding", list(q)).select(
+                F.lit(f"q{j}").alias("ret"),
+                F.col("vec_id"),
+                F.col("cosine"),
+            )
+        )
+    u = frames[0]
+    for fdf in frames[1:]:
+        u = u.unionByName(fdf)
+    out = rrf_fuse(u, "ret", "vec_id", "cosine")
+    return out.select(F.col("id").cast("bigint").alias("id"), "n_lists", "rrf")
+
+
+def _rrf_fusion_oracle() -> str:
+    dot = _sql_dot("e.v", "q.v")
+    nv, nq = _sql_norm("e.v"), _sql_norm("q.v")
+    ranked = []
+    for j in _RRF_QUERIES:
+        ranked.append(
+            f"""r{j} AS MATERIALIZED (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+  FROM (
+    SELECT e.vec_id, {dot} / ({nv} * {nq}) AS c
+    FROM e, (SELECT v FROM e WHERE vec_id = {j}) q
+  )
+)"""
+        )
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_sort(list(rank)), "
+        "r -> CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r AS DOUBLE)))), "
+        "(acc, v) -> acc + v)"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {_RRF_CAP}
+),
+{",".join(ranked)},
+allr AS ({" UNION ALL ".join(f"SELECT * FROM r{j}" for j in _RRF_QUERIES)})
+SELECT CAST(vec_id AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS n_lists,
+       round({fold}, 6) AS rrf
+FROM allr GROUP BY vec_id
+"""
+
+
+_MMR_K, _MMR_LAM, _MMR_CAP = 8, 0.7, 300
+
+
+def _mmr_diversify(spark, sf_dir):
+    """MMR diversity re-ranking (datapipe/retrieval.py mmr_select):
+    greedy k=8 selection against embedding 0 as the query — k
+    distributed argmax steps over bit-exact left-fold cosines."""
+    from kgforge.datapipe.retrieval import mmr_select
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MMR_CAP
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = mmr_select(
+        emb, "vec_id", "embedding", list(q), k=_MMR_K, lam=_MMR_LAM
+    )
+    return out.select("rank", F.col("id").cast("bigint").alias("id"), "score")
+
+
+def _mmr_diversify_oracle() -> str:
+    lam = repr(_MMR_LAM)
+    one_minus = repr(1.0 - _MMR_LAM)
+    dotq = _sql_dot("e.v", "q.v")
+    nv, nq = _sql_norm("e.v"), _sql_norm("q.v")
+    dots = _sql_dot("c.v", "s.v")
+    ncv, nsv = _sql_norm("c.v"), _sql_norm("s.v")
+    parts = [
+        f"""rel AS MATERIALIZED (
+  SELECT e.vec_id, e.v, {dotq} / ({nv} * {nq}) AS rel
+  FROM e, (SELECT v FROM e WHERE vec_id = 0) q
+),
+pick1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, v, CAST({lam} AS DOUBLE) * rel AS sc
+  FROM rel ORDER BY sc DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT * FROM pick1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""mx{i} AS MATERIALIZED (
+  SELECT c.vec_id, max({dots} / ({ncv} * {nsv})) AS maxsim
+  FROM rel c CROSS JOIN sel{i - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id
+),
+pick{i} AS MATERIALIZED (
+  SELECT {i} AS rank, r.vec_id, r.v,
+         CAST({lam} AS DOUBLE) * r.rel
+           - CAST({one_minus} AS DOUBLE) * m.maxsim AS sc
+  FROM rel r JOIN mx{i} m ON r.vec_id = m.vec_id
+  ORDER BY sc DESC, r.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i}
+)"""
+        )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {_MMR_CAP}
+),
+{",".join(parts)}
+SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS id,
+       round(sc, 6) AS score
+FROM sel{_MMR_K}
+"""
+
+
+_SETSIM_CAP, _SETSIM_TAU = 300, 0.5
+
+
+def _setsim_pairs(spark, sf_dir):
+    """Exact set-similarity join (datapipe/setsim.py, PPJoin prefix
+    filtering) over capped documents at Jaccard >= 0.5 — the oracle is
+    the NAIVE all-pairs join, so the prefix filter's completeness (no
+    false negatives) is end-to-end checked by a different algorithm."""
+    from kgforge.datapipe.setsim import set_similarity_join
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SETSIM_CAP
+    )
+    out = set_similarity_join(docs, "doc_id", "text", _SETSIM_TAU)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "inter",
+        "union_n",
+        "jaccard",
+    )
+
+
+def _setsim_pairs_oracle() -> str:
+    from fractions import Fraction
+
+    fr = Fraction(str(_SETSIM_TAU))
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT id, tok FROM (
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS tok
+    FROM documents WHERE doc_id < {_SETSIM_CAP}
+  ) WHERE tok <> ''
+),
+sz AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY id
+),
+inter AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM t x JOIN t y ON x.tok = y.tok AND x.id < y.id
+  GROUP BY x.id, y.id
+)
+SELECT a, b, inter,
+       na.n + nb.n - inter AS union_n,
+       round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sz na ON na.id = a JOIN sz nb ON nb.id = b
+WHERE inter * {fr.denominator} >= (na.n + nb.n - inter) * {fr.numerator}
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -7364,6 +7628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm_balances": _quantile_norm_balances,
         "fd_check": _fd_check,
         "fs_scores": _fs_scores,
+        "bm25_search": _bm25_search,
+        "rrf_fusion": _rrf_fusion,
+        "mmr_diversify": _mmr_diversify,
+        "setsim_pairs": _setsim_pairs,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -8823,6 +9091,10 @@ def oracle_sql() -> dict[str, str]:
         "quantile_norm_balances": _quantile_norm_balances_oracle(),
         "fd_check": _fd_check_oracle(),
         "fs_scores": _fs_scores_oracle(),
+        "bm25_search": _bm25_search_oracle(),
+        "rrf_fusion": _rrf_fusion_oracle(),
+        "mmr_diversify": _mmr_diversify_oracle(),
+        "setsim_pairs": _setsim_pairs_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -397,3 +397,25 @@ def test_session7_batch3_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert marker not in plan, marker
+
+
+def test_session7_retrieval_plan_quality(spark):
+    q = entry.queries()
+    # BM25: term frequencies are array expressions — NO explode/Generate
+    # for tf, one broadcast stats join, all JVM
+    plan = _plan(q["bm25_search"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # RRF: per-retriever windows (partitioned by the retriever tag) +
+    # one doc groupBy, all JVM, no cartesian
+    plan = _plan(q["rrf_fusion"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # set-similarity join: prefix-filter equi-joins only — never a
+    # cartesian pair product
+    plan = _plan(q["setsim_pairs"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
