@@ -4540,6 +4540,180 @@ WHERE inter * {fr.denominator} >= (na.n + nb.n - inter) * {fr.numerator}
 """
 
 
+def _golden_records(spark, sf_dir):
+    """End-to-end entity resolution capstone: sorted-neighborhood
+    blocking → Fellegi-Sunter decisions → transitive merge (hash-min
+    components) → golden-record survivorship
+    (datapipe/survivorship.py) — max balance, longest segment string,
+    min nation per merged entity; unmatched customers survive as their
+    own cluster."""
+    from kgforge.datapipe.survivorship import golden_records
+    from kgforge.kg.components import connected_components
+
+    scored = _fs_scores(spark, sf_dir)
+    edges = scored.filter(F.col("decision") == "match").select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    comp = connected_components(edges)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    full = cust.join(
+        comp.select(F.col("node").alias("custkey"), "comp"),
+        "custkey",
+        "left",
+    ).select(
+        F.coalesce("comp", "custkey").alias("cl"),
+        "bal",
+        "nation",
+        "segment",
+    )
+    out = golden_records(
+        full,
+        "cl",
+        [("bal", "max"), ("segment", "longest"), ("nation", "min")],
+    )
+    return out.select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_members",
+        "bal",
+        "segment",
+        "nation",
+    )
+
+
+def _golden_records_oracle() -> str:
+    import math
+
+    terms = []
+    for col, m, u in _FS_PARAMS:
+        wa, wd = math.log2(m / u), math.log2((1 - m) / (1 - u))
+        terms.append(
+            f"CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(terms)
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+  FROM customer
+),
+r AS MATERIALIZED (
+  SELECT custkey, bal, nation, segment,
+         row_number() OVER (ORDER BY bal, custkey) AS rk
+  FROM c
+),
+matches AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM (
+    SELECT x.custkey AS id_a, y.custkey AS id_b,
+           round({score}, 6) AS score
+    FROM r x JOIN r y ON y.rk - x.rk IN (1, 2, 3),
+         LATERAL (SELECT x.nation = y.nation AS same_nation,
+                         x.segment = y.segment AS same_segment,
+                         abs(x.bal - y.bal) <= {_FS_BAL_BAND} AS close_bal) f
+  ) WHERE score >= {_FS_UPPER!r}
+),
+e AS (SELECT a AS s, b AS t FROM matches UNION ALL SELECT b, a FROM matches),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.x, e.t FROM reach JOIN e ON reach.y = e.s
+),
+comp AS MATERIALIZED (SELECT x AS node, min(y) AS comp FROM reach GROUP BY x),
+fullrec AS MATERIALIZED (
+  SELECT coalesce(comp.comp, c.custkey) AS cl, c.bal, c.nation, c.segment
+  FROM c LEFT JOIN comp ON c.custkey = comp.node
+)
+SELECT CAST(cl AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(bal) AS bal,
+       list_transform(
+         list_sort(list(struct_pack(l := length(segment), v := segment))),
+         s -> s.v)[-1] AS segment,
+       min(nation) AS nation
+FROM fullrec GROUP BY cl
+"""
+
+
+def _weighted_median_prices(spark, sf_dir):
+    """Lower weighted median (datapipe/stats.py weighted_median) of
+    lineitem prices weighted by quantity, per return flag — cumulative
+    per-group window with an integer cross-multiplied half test."""
+    from kgforge.datapipe.stats import weighted_median
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("bigint")
+        .alias("lid"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median(li, ["rf"], "price", "qty", "lid")
+
+
+def _weighted_median_prices_oracle() -> str:
+    return """
+WITH li AS (
+  SELECT l_returnflag AS rf,
+         CAST(l_orderkey * 8 + l_linenumber AS BIGINT) AS lid,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+cum AS (
+  SELECT rf, price,
+         CAST(sum(qty) OVER (PARTITION BY rf ORDER BY price, lid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cw,
+         CAST(sum(qty) OVER (PARTITION BY rf) AS BIGINT) AS tot
+  FROM li
+)
+SELECT rf, min(price) AS wmedian
+FROM cum WHERE cw * 2 >= tot
+GROUP BY rf
+"""
+
+
+def _mondrian_ncp_q(spark, sf_dir):
+    """Information loss of the mondrian_k10 recoding as the normalized
+    certainty penalty (anonymize/mondrian.py mondrian_ncp) — the
+    utility number that belongs next to k."""
+    from kgforge.anonymize.mondrian import mondrian_ncp
+
+    return mondrian_ncp(_mondrian_k10(spark, sf_dir), ["a", "b"])
+
+
+def _mondrian_ncp_oracle() -> str:
+    inner = _mondrian_k10_oracle()
+    return f"""
+WITH mres AS MATERIALIZED ({inner}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a_hi - a_lo) AS BIGINT) AS span_a,
+         CAST(sum(b_hi - b_lo) AS BIGINT) AS span_b,
+         min(a) AS lo_a, max(a) AS hi_a, min(b) AS lo_b, max(b) AS hi_b
+  FROM mres
+)
+SELECT n,
+  round((CAST(0.0 AS DOUBLE)
+    + CASE WHEN CAST(hi_a - lo_a AS DOUBLE) > 0
+           THEN CAST(span_a AS DOUBLE) / CAST(hi_a - lo_a AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END
+    + CASE WHEN CAST(hi_b - lo_b AS DOUBLE) > 0
+           THEN CAST(span_b AS DOUBLE) / CAST(hi_b - lo_b AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END)
+    / (2 * CAST(n AS DOUBLE)), 6) AS ncp
+FROM agg
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -7632,6 +7806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _rrf_fusion,
         "mmr_diversify": _mmr_diversify,
         "setsim_pairs": _setsim_pairs,
+        "golden_records": _golden_records,
+        "weighted_median_prices": _weighted_median_prices,
+        "mondrian_ncp": _mondrian_ncp_q,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -9095,6 +9272,9 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _rrf_fusion_oracle(),
         "mmr_diversify": _mmr_diversify_oracle(),
         "setsim_pairs": _setsim_pairs_oracle(),
+        "golden_records": _golden_records_oracle(),
+        "weighted_median_prices": _weighted_median_prices_oracle(),
+        "mondrian_ncp": _mondrian_ncp_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

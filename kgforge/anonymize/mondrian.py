@@ -95,3 +95,40 @@ def mondrian_anonymize(
         F.count(F.lit(1)).over(gw).cast("bigint").alias("group_n"),
         *bounds,
     )
+
+
+def mondrian_ncp(
+    anonymized: DataFrame,
+    qi_cols: list[str],
+) -> DataFrame:
+    """Information loss of a :func:`mondrian_anonymize` result as the
+    normalized certainty penalty (Xu et al. 2006): ``NCP = (1/(d·n)) ·
+    Σ_rows Σ_attr (hi_a − lo_a)/(gmax_a − gmin_a)`` — 0 when nothing was
+    generalized, 1 when every region spans the whole attribute range.
+    The utility metric every k-anonymity paper reports next to k.
+
+    One aggregate job: per-attribute interval sums and global ranges are
+    exact int64; the division is the single final float expression
+    (rounded 6).  Constant attributes (gmax = gmin) contribute 0."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for a in qi_cols:
+        aggs.append(
+            F.sum(F.col(f"{a}_hi") - F.col(f"{a}_lo")).alias(f"_span_{a}")
+        )
+        aggs.append(F.min(a).alias(f"_lo_{a}"))
+        aggs.append(F.max(a).alias(f"_hi_{a}"))
+    m = anonymized.agg(*aggs)
+    d = len(qi_cols)
+    ncp = F.lit(0.0)
+    for a in qi_cols:
+        rng = (F.col(f"_hi_{a}") - F.col(f"_lo_{a}")).cast("double")
+        term = F.when(
+            rng > 0, F.col(f"_span_{a}").cast("double") / rng
+        ).otherwise(F.lit(0.0))
+        ncp = ncp + term
+    return m.select(
+        "n",
+        F.round(ncp / (F.lit(d) * F.col("n").cast("double")), 6).alias("ncp"),
+    )

@@ -155,3 +155,40 @@ def quantile_normalize(
     ranked = df.withColumn("_pos", pos)
     return ranked.join(ref, "_pos").drop("_pos")
 
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total
+    (``2·cum >= total``) — the robust center for weighted feeds
+    (sampled events, importance-weighted corpora) where the plain
+    median over rows is wrong.
+
+    Exact integer arithmetic end to end (weights must be integral —
+    scale upstream): the half test cross-multiplies instead of dividing.
+    Scale: one cumulative window per group ordered by ``(value, id)``
+    plus one min aggregate — per-task memory bounded by the largest
+    group; rank globally with the ``kgforge.rank`` helpers for a single
+    giant group."""
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = Window.partitionBy(*group_cols)
+    wt = F.col(weight_col).cast("long")
+    cum = F.sum(wt).over(w)
+    tot = F.sum(wt).over(part)
+    hit = df.withColumn("_ok", cum * 2 >= tot).filter(F.col("_ok"))
+    return hit.groupBy(*group_cols).agg(
+        F.min(F.col(value_col)).alias("wmedian")
+    )

@@ -419,3 +419,21 @@ def test_session7_retrieval_plan_quality(spark):
     plan = _plan(q["setsim_pairs"](spark, SF))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert marker not in plan, marker
+
+
+def test_session7_batch5_plan_quality(spark):
+    q = entry.queries()
+    # golden records: the whole ER chain stays JVM — blocking join,
+    # literal-weight scoring, component loop, one survivorship groupBy
+    plan = _plan(q["golden_records"](spark, SF))
+    # struct-valued max (the longest rule) plans as SortAggregate — the
+    # groupBy is still one partial-aggregated pass either way
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # weighted median: per-group cumulative window, never global
+    plan = _plan(q["weighted_median_prices"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
