@@ -4714,6 +4714,168 @@ FROM agg
 """
 
 
+def _allen_relations(spark, sf_dir):
+    """Allen interval-algebra join (datapipe/intervals.py): per-customer
+    order activity windows [day, day + okey%30] classified into the
+    thirteen-relation vocabulary (intersecting/meeting pairs only) —
+    one equi-join on the key with the interval predicate residual."""
+    from kgforge.datapipe.intervals import allen_join
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("o_orderkey").cast("bigint").alias("okey"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("lo"),
+    ).withColumn("hi", F.col("lo") + F.col("okey") % 30)
+    return allen_join(o, o, "custkey", "okey", "lo", "hi")
+
+
+def _allen_relations_oracle() -> str:
+    return """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS key, CAST(o_orderkey AS BIGINT) AS id,
+         CAST(datediff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS lo
+  FROM orders
+),
+i AS (SELECT key, id, lo, lo + id % 30 AS hi FROM o)
+SELECT a.key, a.id AS id_a, b.id AS id_b,
+  CASE WHEN a.lo = b.lo AND a.hi = b.hi THEN 'equals'
+       WHEN a.hi = b.lo THEN 'meets'
+       WHEN b.hi = a.lo THEN 'met_by'
+       WHEN a.lo = b.lo AND a.hi < b.hi THEN 'starts'
+       WHEN a.lo = b.lo AND a.hi > b.hi THEN 'started_by'
+       WHEN a.hi = b.hi AND a.lo > b.lo THEN 'finishes'
+       WHEN a.hi = b.hi AND a.lo < b.lo THEN 'finished_by'
+       WHEN a.lo > b.lo AND a.hi < b.hi THEN 'during'
+       WHEN a.lo < b.lo AND a.hi > b.hi THEN 'contains'
+       WHEN a.lo < b.lo THEN 'overlaps'
+       ELSE 'overlapped_by' END AS relation
+FROM i a JOIN i b ON a.key = b.key AND a.id <> b.id
+WHERE a.lo <= b.hi AND b.lo <= a.hi
+"""
+
+
+def _phonetic_blocks(spark, sf_dir):
+    """Phonetic blocking panel (datapipe/phonetic.py soundex_key): part
+    names bucketed by the portable Soundex of their first token —
+    ``(sx, n_parts)`` block sizes, the census-linkage blocking shape."""
+    from kgforge.datapipe.phonetic import soundex_key
+
+    p = _read(spark, sf_dir, "part").select(
+        F.split(F.col("p_name"), " ").getItem(0).alias("w")
+    )
+    return (
+        p.select(soundex_key(F.col("w")).alias("sx"))
+        .groupBy("sx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+
+
+def _phonetic_blocks_oracle() -> str:
+    from kgforge.datapipe.phonetic import _ALPHA, _DIGITS
+
+    tr = f"translate(ch, '{_ALPHA}', '{_DIGITS}')"
+    step = (
+        f"(acc, ch) -> CASE "
+        f"WHEN ch = '' OR {tr} = '7' THEN acc "
+        f"WHEN {tr} = '0' THEN '0' || substring(acc, 2, 3) "
+        f"WHEN {tr} = substring(acc, 1, 1) THEN acc "
+        f"ELSE {tr} || substring(acc, 2, 3) || {tr} END"
+    )
+    return f"""
+WITH w AS (
+  SELECT regexp_replace(upper(string_split(p_name, ' ')[1]),
+                        '[^A-Z]', '', 'g') AS clean
+  FROM part
+),
+d AS (
+  SELECT clean,
+         CASE WHEN translate(substring(clean, 1, 1), '{_ALPHA}', '{_DIGITS}') = '7'
+              THEN '0'
+              ELSE translate(substring(clean, 1, 1), '{_ALPHA}', '{_DIGITS}')
+         END AS init,
+         string_split_regex(clean, '')[2:] AS rest
+  FROM w
+),
+k AS (
+  SELECT CASE WHEN length(clean) > 0 THEN
+           substring(clean, 1, 1) ||
+           rpad(substring(list_reduce(list_prepend(init, rest), {step}),
+                          2, 3), 3, '0')
+         END AS sx
+  FROM d
+)
+SELECT sx, CAST(count(*) AS BIGINT) AS n_parts FROM k GROUP BY sx
+"""
+
+
+_CUSUM_SLACK, _CUSUM_H = 0, 50_000  # cents
+
+
+def _events_cusum(spark, sf_dir):
+    """CUSUM level-shift detection (datapipe/profile.py
+    cusum_changepoints) over per-bucket daily spend — the max(0,·)
+    recurrence as cumsum minus running min, integer-exact via
+    n-scaling."""
+    from kgforge.datapipe.profile import cusum_changepoints
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).cast("bigint").alias("ukey"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("ukey", "day").agg(
+        F.sum("cents").alias("spend")
+    )
+    return cusum_changepoints(
+        daily, "ukey", "day", "spend", _CUSUM_SLACK, _CUSUM_H
+    )
+
+
+def _events_cusum_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id % 20 AS ukey,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT CAST(ukey AS BIGINT) AS ukey, day,
+         CAST(sum(cents) AS BIGINT) AS spend
+  FROM ev GROUP BY ukey, day
+),
+scaled AS (
+  SELECT ukey, day, spend,
+         CAST(count(*) OVER (PARTITION BY ukey) AS BIGINT) AS n,
+         CAST(sum(spend) OVER (PARTITION BY ukey) AS BIGINT) AS s
+  FROM daily
+),
+cum AS (
+  SELECT ukey, day, spend, n,
+         CAST(sum(spend * n - s - {_CUSUM_SLACK} * n) OVER (
+           PARTITION BY ukey ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM scaled
+),
+mn AS (
+  SELECT ukey, day, spend, n, c,
+         min(c) OVER (PARTITION BY ukey ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM cum
+)
+SELECT ukey, day, spend, n,
+       c - least(rm, 0) AS cusum_scaled,
+       c - least(rm, 0) > {_CUSUM_H} * n AS shifted
+FROM mn
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -7809,6 +7971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": _golden_records,
         "weighted_median_prices": _weighted_median_prices,
         "mondrian_ncp": _mondrian_ncp_q,
+        "allen_relations": _allen_relations,
+        "phonetic_blocks": _phonetic_blocks,
+        "events_cusum": _events_cusum,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -9275,6 +9440,9 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": _golden_records_oracle(),
         "weighted_median_prices": _weighted_median_prices_oracle(),
         "mondrian_ncp": _mondrian_ncp_oracle(),
+        "allen_relations": _allen_relations_oracle(),
+        "phonetic_blocks": _phonetic_blocks_oracle(),
+        "events_cusum": _events_cusum_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -307,3 +307,64 @@ def fd_violations(
         .filter(F.col("n_rhs") > 1)
     )
     return df.join(viol, lhs_cols)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    slack: int = 0,
+    threshold: int = 10,
+) -> DataFrame:
+    """Page's CUSUM upward-shift detector per key: the recurrence
+    ``s_t = max(0, s_{t-1} + (x_t − μ − slack))`` flags a sustained
+    level shift when ``s_t > threshold`` — the classic sequential
+    change-point test (Page 1954), run here against each key's own mean.
+
+    The max(0, ·) recurrence is NOT a window primitive, but it equals
+    ``cum_t − min(0, min_{i<=t} cum_i)`` where ``cum`` is the plain
+    running sum of deviations — two stacked windows per key, no
+    recursion.  To stay integer-exact the mean never gets divided out:
+    everything is scaled by the key's observation count n (deviation
+    ``x_t·n − S − slack·n``), so ``cusum_scaled`` is s_t·n and the flag
+    compares against ``threshold·n`` — bit-identical across engines and
+    partitionings.  Detect downward shifts by negating the value
+    upstream.
+
+    Scale: two per-key windows sharing one exchange (cumsum, then
+    running min of it) + per-key scalar aggregates as partition windows
+    — per-task memory is the key's own history."""
+    if slack < 0 or threshold <= 0:
+        raise ValueError("slack must be >= 0 and threshold > 0")
+    part = Window.partitionBy(key_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(part).cast("bigint")
+    s = F.sum(x).over(part).cast("bigint")
+    dev = x * n - s - F.lit(slack) * n
+    d1 = df.select(
+        key_col,
+        ts_col,
+        value_col,
+        n.alias("_n"),
+        F.sum(dev).over(w).alias("_cum"),
+    )
+    runmin = F.min(F.col("_cum")).over(
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.col("_cum") - F.least(runmin, F.lit(0))
+    return d1.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.col("_n").alias("n"),
+        cusum.alias("cusum_scaled"),
+        (cusum > F.lit(threshold) * F.col("_n")).alias("shifted"),
+    )

@@ -437,3 +437,25 @@ def test_session7_batch5_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session7_batch6_plan_quality(spark):
+    q = entry.queries()
+    # allen join: equi-join on the key with interval residual — a hash
+    # join, never a nested loop over the pair space
+    plan = _plan(q["allen_relations"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"):
+        assert marker not in plan, marker
+
+    # soundex: one codegen fold per row + a hash aggregate — no UDF
+    plan = _plan(q["phonetic_blocks"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # cusum: stacked per-key windows, never single-partition
+    plan = _plan(q["events_cusum"](spark, SF))
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
