@@ -4876,6 +4876,163 @@ FROM mn
 """
 
 
+def _er_quality(spark, sf_dir):
+    """Pairwise ER evaluation (datapipe/clustereval.py): the FS-chain
+    customer clusters scored against nationality labels — TP/precision/
+    recall/F1 from the contingency identity, never a pair set."""
+    from kgforge.datapipe.clustereval import cluster_pairwise_eval
+    from kgforge.kg.components import connected_components
+
+    scored = _fs_scores(spark, sf_dir)
+    edges = scored.filter(F.col("decision") == "match").select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    comp = connected_components(edges)
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    pred = cust.join(
+        comp.select(F.col("node").alias("custkey"), "comp"), "custkey", "left"
+    ).select("custkey", F.coalesce("comp", "custkey").alias("cluster"))
+    truth = cust.select("custkey", "nation")
+    return cluster_pairwise_eval(pred, truth, "custkey", "cluster", "nation")
+
+
+def _er_quality_oracle() -> str:
+    import math
+
+    terms = []
+    for col, m, u in _FS_PARAMS:
+        wa, wd = math.log2(m / u), math.log2((1 - m) / (1 - u))
+        terms.append(
+            f"CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+    score = "CAST(0.0 AS DOUBLE) + " + " + ".join(terms)
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+  FROM customer
+),
+r AS MATERIALIZED (
+  SELECT custkey, bal, nation, segment,
+         row_number() OVER (ORDER BY bal, custkey) AS rk
+  FROM c
+),
+matches AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM (
+    SELECT x.custkey AS id_a, y.custkey AS id_b,
+           round({score}, 6) AS score
+    FROM r x JOIN r y ON y.rk - x.rk IN (1, 2, 3),
+         LATERAL (SELECT x.nation = y.nation AS same_nation,
+                         x.segment = y.segment AS same_segment,
+                         abs(x.bal - y.bal) <= {_FS_BAL_BAND} AS close_bal) f
+  ) WHERE score >= {_FS_UPPER!r}
+),
+e AS (SELECT a AS s, b AS t FROM matches UNION ALL SELECT b, a FROM matches),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(x, y) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.x, e.t FROM reach JOIN e ON reach.y = e.s
+),
+comp AS MATERIALIZED (SELECT x AS node, min(y) AS comp FROM reach GROUP BY x),
+labeled AS MATERIALIZED (
+  SELECT coalesce(comp.comp, c.custkey) AS p, c.nation AS t
+  FROM c LEFT JOIN comp ON c.custkey = comp.node
+),
+cells AS (SELECT p, t, CAST(count(*) AS BIGINT) AS n FROM labeled GROUP BY p, t),
+stats AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_items,
+         CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS tp
+  FROM cells
+),
+pp AS (
+  SELECT CAST(sum(np * (np - 1)) // 2 AS BIGINT) AS pred_pairs
+  FROM (SELECT CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY p)
+),
+tt AS (
+  SELECT CAST(sum(nt * (nt - 1)) // 2 AS BIGINT) AS true_pairs
+  FROM (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY t)
+)
+SELECT n_items, tp, pred_pairs, true_pairs,
+  round(CASE WHEN pred_pairs > 0
+        THEN CAST(tp AS DOUBLE) / CAST(pred_pairs AS DOUBLE) END, 6)
+    AS precision,
+  round(CASE WHEN true_pairs > 0
+        THEN CAST(tp AS DOUBLE) / CAST(true_pairs AS DOUBLE) END, 6)
+    AS recall,
+  round(CASE WHEN pred_pairs > 0 AND true_pairs > 0
+         AND (CAST(tp AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+              + CAST(tp AS DOUBLE) / CAST(true_pairs AS DOUBLE)) > 0
+        THEN 2 * (CAST(tp AS DOUBLE) / CAST(pred_pairs AS DOUBLE))
+               * (CAST(tp AS DOUBLE) / CAST(true_pairs AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+                + CAST(tp AS DOUBLE) / CAST(true_pairs AS DOUBLE)) END, 6)
+    AS f1
+FROM stats, pp, tt
+"""
+
+
+_KMV_K = 64
+
+
+def _kmv_source_overlap(spark, sf_dir):
+    """KMV set-operation sketches (datapipe/sketch.py kmv_sketch +
+    kmv_jaccard_pairs): per-source token sketches → pairwise Jaccard
+    estimates between sources.  The estimate itself is deterministic
+    (portable two-stage hashes), mirrored register-exactly."""
+    from kgforge.datapipe.sketch import kmv_jaccard_pairs, kmv_sketch
+
+    toks = _read(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sk = kmv_sketch(toks, ["source"], "tok", k=_KMV_K)
+    return kmv_jaccard_pairs(sk, "source", k=_KMV_K)
+
+
+def _kmv_source_overlap_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    h = _stage2_padded_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT source, tok FROM (
+    SELECT source,
+           unnest(string_split(lower(trim(text)), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (
+  SELECT DISTINCT source, CAST(({h}) + 1 AS BIGINT) AS hv FROM toks
+),
+topk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+sk AS MATERIALIZED (
+  SELECT source, list_sort(list(hv)) AS sketch FROM topk GROUP BY source
+)
+SELECT a.source AS g_a, b.source AS g_b,
+  round(CAST(len(list_filter(
+          list_sort(list_distinct(a.sketch || b.sketch))[:{_KMV_K}],
+          x -> list_contains(a.sketch, x) AND list_contains(b.sketch, x)))
+        AS DOUBLE)
+      / CAST(len(list_sort(list_distinct(a.sketch || b.sketch))[:{_KMV_K}])
+        AS DOUBLE), 6) AS jaccard_est
+FROM sk a JOIN sk b ON a.source < b.source
+"""
+
+
 _HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 256
 
 
@@ -7974,6 +8131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allen_relations": _allen_relations,
         "phonetic_blocks": _phonetic_blocks,
         "events_cusum": _events_cusum,
+        "er_quality": _er_quality,
+        "kmv_source_overlap": _kmv_source_overlap,
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
@@ -9443,6 +9602,8 @@ def oracle_sql() -> dict[str, str]:
         "allen_relations": _allen_relations_oracle(),
         "phonetic_blocks": _phonetic_blocks_oracle(),
         "events_cusum": _events_cusum_oracle(),
+        "er_quality": _er_quality_oracle(),
+        "kmv_source_overlap": _kmv_source_overlap_oracle(),
         "vocab_topk": """
         WITH toks AS (
           SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

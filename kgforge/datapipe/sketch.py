@@ -305,3 +305,104 @@ def bloom_probe(
     return cand.join(hits, "value", "left").select(
         "value", (F.coalesce("_hits", F.lit(0)) == depth).alias("in_bloom")
     )
+
+
+_KMV_M = 2**31  # padded lane shifted to [1, 2^31): est uses (k-1)·M/h_k
+
+
+def _stage2_padded(col, mult1: int = 1000003, mult2: int = 1009):
+    """Order-uniform portable hash: char-fold, then re-fold the decimal
+    digits LPADDED to fixed width 10.
+
+    The bucket-uniform ``_stage2`` is NOT magnitude-uniform — short
+    inputs produce short stage-1 decimals, and the varying fold length
+    stratifies the output ORDER so badly that two overlapping value
+    sets' k-minimum sketches can share zero hashes (observed).  Fixing
+    the second fold's length (lpad 10) removes the stratification:
+    rank-order balance ~k/2 per population and KMV estimates land
+    within their 1/√(k−1) envelope (empirically 2.7% at k=128 on 2k
+    sequential keys)."""
+    return poly_hash(
+        F.lpad(poly_hash(col, mult1).cast("string"), 10, "0"), mult2
+    )
+
+
+def _stage2_padded_sql(col: str, mult1: int = 1000003,
+                       mult2: int = 1009) -> str:
+    return _poly_sql(
+        f"lpad(CAST(({_poly_sql(col, mult1)}) AS VARCHAR), 10, '0')", mult2
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct sketch: ``(*group_cols,
+    sketch: array<bigint>, present, est_distinct)`` — Bar-Yossef et al.
+    2002.  Unlike HLL, the KMV register set supports SET OPERATIONS:
+    two groups' sketches estimate their Jaccard and union sizes
+    (:func:`kmv_jaccard_pairs`), which is what join-size estimation and
+    source-overlap audits need.
+
+    The sketch is the k smallest two-stage hash values of the group's
+    distinct values; the estimator is exact below k (``present`` values
+    seen) and ``(k-1)·M/h_k`` at k.  Build shape: one distinct + a
+    per-group top-k that Spark plans as WindowGroupLimit (hubs cut
+    map-side); the sketch row is k int64s per group regardless of input
+    size — mergeable downstream with ``array_union`` + re-truncation."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = (_stage2_padded(F.col(value_col).cast("string")) + 1).alias("_h")
+    d = df.select(*group_cols, h).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = d.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    g = topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("_h")).alias("sketch"),
+        F.count(F.lit(1)).cast("bigint").alias("present"),
+    )
+    hk = F.element_at("sketch", k).cast("double")
+    est = F.when(F.col("present") < k, F.col("present").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_KMV_M)) / hk
+    )
+    return g.withColumn("est_distinct", F.round(est, 6))
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups' KMV
+    sketches: ``(g_a, g_b, jaccard_est)`` with g_a < g_b.
+
+    For each pair, the k smallest values of the UNION of both sketches
+    are themselves the union's KMV sketch; the fraction of them present
+    in BOTH inputs estimates the Jaccard (Beyer et al. 2007).  Pure
+    array expressions over ≤k-element arrays — the pair join touches
+    sketch rows (one per group), never the data."""
+    a = sketches.select(
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("_sa")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("_sb")
+    )
+    j = a.join(b, F.col("g_a") < F.col("g_b"))
+    merged = F.slice(
+        F.sort_array(F.array_union(F.col("_sa"), F.col("_sb"))), 1, k
+    )
+    inter = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("_sa"), x)
+            & F.array_contains(F.col("_sb"), x),
+        )
+    )
+    est = inter.cast("double") / F.size(merged).cast("double")
+    return j.select("g_a", "g_b", F.round(est, 6).alias("jaccard_est"))

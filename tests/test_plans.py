@@ -459,3 +459,19 @@ def test_session7_batch6_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session7_batch7_plan_quality(spark):
+    q = entry.queries()
+    # pairwise ER eval: contingency aggregates only — never a pair set
+    plan = _plan(q["er_quality"](spark, SF))
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+    # KMV sketches: per-group top-k must plan as WindowGroupLimit (the
+    # map-side cut), pair estimates as array expressions over sketch rows
+    plan = _plan(q["kmv_source_overlap"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
