@@ -7977,6 +7977,124 @@ SELECT node AS eid, round(rank, 6) AS rank FROM {prev}
 """
 
 
+def _fk_orphans(spark, sf_dir):
+    """Referential-integrity audit (datapipe/profile.py fk_orphans) over
+    three declared foreign keys.  Two parent tables are filtered by a
+    modulus so the audit is NON-vacuous at every scale factor (orders
+    whose customer key ≡ 3 mod 97 and lineitems whose part key ≡ 7 mod
+    101 become orphans); the lineitem→orders key stays clean to show a
+    passing constraint."""
+    from kgforge.datapipe.profile import fk_orphans
+
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    customer = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 != 3
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_partkey") % 101 != 7)
+    return fk_orphans(
+        [
+            ("orders.custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+            ("lineitem.orderkey->orders", lineitem, "l_orderkey",
+             orders, "o_orderkey"),
+            ("lineitem.partkey->part", lineitem, "l_partkey",
+             part, "p_partkey"),
+        ]
+    )
+
+
+_FK_ORPHANS_ORACLE = """
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 3),
+prt AS (SELECT p_partkey FROM part WHERE p_partkey % 101 <> 7)
+SELECT 'orders.custkey->customer' AS fk_name,
+  (SELECT count(*) FROM orders) AS child_rows,
+  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_keys,
+  (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM cust c WHERE c.c_custkey = o.o_custkey))
+     AS orphan_rows,
+  (SELECT count(DISTINCT o_custkey) FROM orders o WHERE o_custkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM cust c WHERE c.c_custkey = o.o_custkey))
+     AS orphan_keys
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+  (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+  (SELECT count(DISTINCT l_orderkey) FROM lineitem l WHERE l_orderkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.partkey->part',
+  (SELECT count(*) FROM lineitem),
+  (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+  (SELECT count(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM prt p WHERE p.p_partkey = l.l_partkey)),
+  (SELECT count(DISTINCT l_partkey) FROM lineitem l WHERE l_partkey IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM prt p WHERE p.p_partkey = l.l_partkey))
+"""
+
+
+def _benford_prices(spark, sf_dir):
+    """Benford first-digit audit (datapipe/profile.py benford_digits) over
+    order totals in integer cents — first digit from the decimal string,
+    never float log10."""
+    from kgforge.datapipe.profile import benford_digits
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return benford_digits(o, "cents")
+
+
+_BENFORD_ORACLE = """
+WITH v AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM v WHERE cents > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(CAST(n AS DOUBLE) / total, 6) AS share,
+  round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6)
+    AS benford_share,
+  round(CAST(n AS DOUBLE) / total
+        - log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6) AS excess
+FROM c, tot
+"""
+
+
+def _readability(spark, sf_dir):
+    """Flesch reading-ease curation scores (datapipe/textstats.py
+    readability_scores) per document — pure-JVM regex counts."""
+    from kgforge.datapipe.textstats import readability_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")
+
+
+_READABILITY_ORACLE = """
+WITH t AS (SELECT doc_id AS id, lower(text) AS t FROM documents),
+c AS (
+  SELECT id,
+    CAST(len(regexp_extract_all(t, '[a-z0-9]+')) AS BIGINT) AS n_words,
+    CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+      AS n_sents,
+    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS n_syll
+  FROM t
+)
+SELECT id, n_words, n_sents, n_syll,
+  round(CAST(206.835 AS DOUBLE)
+        - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+        - CAST(84.6 AS DOUBLE)
+          * (CAST(n_syll AS DOUBLE) / greatest(n_words, 1)), 6) AS flesch
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8183,6 +8301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _events_json_props,
         "nation_balance_full_outer": _nation_balance_full_outer,
         "retention_cohorts": _retention_cohorts,
+        "fk_orphans": _fk_orphans,
+        "benford_prices": _benford_prices,
+        "readability": _readability,
     }
 
 
@@ -10023,6 +10144,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": _kg_closeness_oracle(),
         "kg_diff": _kg_diff_oracle(),
         "kg_mis": _kg_mis_oracle(),
+        "fk_orphans": _FK_ORPHANS_ORACLE,
+        "benford_prices": _BENFORD_ORACLE,
+        "readability": _READABILITY_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

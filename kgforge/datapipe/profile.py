@@ -368,3 +368,97 @@ def cusum_changepoints(
         cusum.alias("cusum_scaled"),
         (cusum > F.lit(threshold) * F.col("_n")).alias("shifted"),
     )
+
+
+def fk_orphans(
+    constraints: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each declared foreign key
+    ``(name, child, child_key, parent, parent_key)`` report how many child
+    rows carry a key with no matching parent row — the orphan scan behind
+    "every order must reference a live customer" contracts (the KG twin of
+    dangling-object detection: a triple whose object IRI has no subject
+    row).  NULL foreign keys are counted separately, not as violations
+    (SQL FK semantics: NULL never fails a reference).
+
+    Output: one row per constraint —
+    ``(fk_name, child_rows, null_keys, orphan_rows, orphan_keys)``.
+
+    Scale: per constraint, one left-anti equi-join of the child's key
+    column against the parent's distinct keys (AQE broadcasts small
+    parents; big-big anti-joins shuffle on the key — the same plan a
+    referential JOIN would need) plus map-side-combinable count
+    aggregates.  The result is |constraints| rows; no row-level evidence
+    is materialized (point a follow-up query at one constraint for that).
+    """
+    from functools import reduce
+
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    outs = []
+    for name, child, ck, parent, pk in constraints:
+        keys = child.select(F.col(ck).alias("_k"))
+        parents = parent.select(F.col(pk).alias("_k")).distinct()
+        orphans = keys.filter(F.col("_k").isNotNull()).join(
+            parents, "_k", "left_anti"
+        )
+        totals = keys.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col("_k").isNull(), 1)).alias("null_keys"),
+        )
+        bad = orphans.agg(
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.countDistinct("_k").alias("orphan_keys"),
+        )
+        outs.append(
+            totals.crossJoin(bad).select(
+                F.lit(name).alias("fk_name"),
+                "child_rows",
+                "null_keys",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit (Benford's law) audit over a positive
+    integer amount column: observed digit shares vs the Benford expectation
+    ``log10(1 + 1/d)`` — the classic fabricated-data / unit-mixup smell
+    test for financial columns (Benford 1938, Nigrini's audit usage).
+
+    The first digit is taken from the integer's decimal string (exact —
+    no float log10 near power-of-ten boundaries); callers convert money to
+    integer cents upstream.  Non-positive values are excluded (Benford is
+    defined on magnitudes).
+
+    Output: ``(digit, n, share, benford_share, excess)`` — shares rounded
+    to 6 decimals, ``excess = share − benford_share``.
+
+    Scale: one map-side-combinable groupBy onto ≤9 rows; the total joins
+    back as a broadcast one-row cross join (never a global window over
+    the raw data)."""
+    counts = (
+        df.select(F.col(amount_col).cast("bigint").alias("_v"))
+        .filter(F.col("_v") > 0)
+        .select(
+            F.substring(F.col("_v").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("_total"))
+    share = F.col("n").cast("double") / F.col("_total")
+    benford = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(share - benford, 6).alias("excess"),
+    )

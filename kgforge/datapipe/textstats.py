@@ -539,3 +539,55 @@ def collocations_pmi(
         .otherwise(F.round(npmi, 6))
         .alias("npmi"),
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document — the standard curation signal for
+    "is this prose or boilerplate" filtering:
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with regex-countable proxies: words = ``[a-z0-9]+`` runs of the
+    lowercased text, sentences = ``[.!?]+`` runs (min 1 so headlines don't
+    divide by zero), syllables = ``[aeiouy]+`` vowel groups (the classic
+    one-pass heuristic; vowel runs never span a word boundary, so the
+    global count equals the per-word sum).  Score rounded to 6 decimals.
+
+    Scale: three JVM regex counts per row inside one codegen stage — no
+    shuffle, no Python, prunes to (id, text) at the scan."""
+    t = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    words = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit("[a-z0-9]+"), F.lit(0))
+    ).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    syll = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    c = t.select(
+        "id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syll").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1))
+        )
+    )
+    return c.select(
+        "id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(flesch, 6).alias("flesch"),
+    )
