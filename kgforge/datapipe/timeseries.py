@@ -73,3 +73,174 @@ def fill_gaps(
         F.coalesce(F.col("_obs"), F.lit(False)).alias("is_observed"),
         *filled,
     )
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of an ordered series — the standard
+    "is this metric mean-reverting / trending / noise" probe for anomaly
+    baselining:
+
+        r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    To stay integer-exact across engines and partitionings the mean is
+    never divided out: with n the key's length and S its sum, the centered
+    term is ``d_t = x_t·n − S`` (a bigint), and the n² scaling cancels in
+    the ratio.  Only the final num/den division is float (rounded to 6).
+    Constant series (den = 0) yield NULL.
+
+    Scale: one window exchange per key (partition aggregates + max_lag
+    leads in the same ordered window), then a map-side-combinable groupBy
+    — per-task state is the key's own history, never the corpus.  Lags
+    index OBSERVATIONS in ``ts_col`` order (densify with ``fill_gaps``
+    upstream if calendar lags are wanted)."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    part = Window.partitionBy(key_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    x = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(part).cast("bigint")
+    s = F.sum(x).over(part).cast("bigint")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_t"),
+        (x * n - s).alias("_d"),
+    )
+    leads = d.select(
+        "key",
+        "_d",
+        *[F.lead("_d", k).over(
+            Window.partitionBy("key").orderBy("_t")
+        ).alias(f"_d{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [F.sum(F.col("_d") * F.col("_d")).cast("bigint").alias("_den")]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(F.col("_d") * F.col(f"_d{k}")).cast("bigint").alias(f"_num{k}")
+        )
+        aggs.append(F.count(F.col(f"_d{k}")).cast("bigint").alias(f"_np{k}"))
+    g = leads.groupBy("key").agg(*aggs)
+    lagged = g.select(
+        "key",
+        "_den",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"_num{k}").alias("_num"),
+                        F.col(f"_np{k}").alias("n_pairs"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_l"),
+    )
+    return lagged.select(
+        "key",
+        F.col("_l.lag").alias("lag"),
+        F.col("_l.n_pairs").alias("n_pairs"),
+        F.when(
+            F.col("_den") != 0,
+            F.round(F.col("_l._num").cast("double") / F.col("_den"), 6),
+        ).alias("acf"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Theil–Sen trend estimate: the MEDIAN of all pairwise slopes
+    ``(x_j − x_i)/(t_j − t_i)`` over ``t_i < t_j`` — the robust twin of the
+    OLS trend (breakdown point ~29%, immune to the outlier days that drag
+    a least-squares fit).
+
+    Median convention: average of the two middle order statistics (equal
+    for odd counts) — sorting and averaging identical IEEE doubles is
+    engine-exact; the result is rounded to 6.
+
+    Scale: the pair set is a per-key self-equi-join, O(m²) in the KEY'S
+    OWN tick count m (a daily series costs days², never corpus²) — the
+    caller controls m by the tick unit, same contract as ``fill_gaps``.
+    The median is one ordered window per key over those pairs.  Keys with
+    a single observation have no pairs and are absent."""
+    a = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_t1"),
+        F.col(value_col).alias("_x1"),
+    )
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("_t2"),
+        F.col(value_col).alias("_x2"),
+    )
+    pairs = a.join(b, "key").filter(F.col("_t2") > F.col("_t1"))
+    slopes = pairs.select(
+        "key",
+        (
+            (F.col("_x2") - F.col("_x1")).cast("double")
+            / (F.col("_t2") - F.col("_t1"))
+        ).alias("_slope"),
+    )
+    w = Window.partitionBy("key").orderBy("_slope")
+    part = Window.partitionBy("key")
+    ranked = slopes.select(
+        "key",
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("_np"),
+    )
+    mid = ranked.filter(
+        (F.col("_rn") == F.floor((F.col("_np") + 1) / 2))
+        | (F.col("_rn") == F.floor((F.col("_np") + 2) / 2))
+    )
+    return mid.groupBy("key").agg(
+        F.max("_np").alias("n_pairs"),
+        F.round(F.avg("_slope"), 6).alias("slope"),
+    )
+
+
+def seasonal_dow_index(
+    df: DataFrame, key_col: str, day_col: str, value_col: str
+) -> DataFrame:
+    """Per-key day-of-week seasonal index: mean(value | weekday) divided by
+    the key's overall mean — the multiplicative seasonality profile behind
+    "weekends run at 40% of weekday volume" adjustments.  ``day_col`` is
+    integral epoch days; weekday = ``(day + 4) mod 7`` (0 = Monday, epoch
+    day 0 was a Thursday).
+
+    Integer-exact: index = (s_d·N) / (n_d·S) with per-weekday sum/count
+    (s_d, n_d) and per-key totals (S, N) — one float division at the end,
+    rounded to 6.
+
+    Scale: two map-side-combinable groupBys and a per-key equi-join of a
+    ≤7-row-per-key table — AQE broadcasts the totals side."""
+    x = F.col(value_col).cast("long")
+    dow = ((F.col(day_col) + 4) % 7).cast("int")
+    per = (
+        df.select(F.col(key_col).alias("key"), dow.alias("dow"), x.alias("_x"))
+        .groupBy("key", "dow")
+        .agg(
+            F.sum("_x").cast("bigint").alias("_sd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    tot = per.groupBy("key").agg(
+        F.sum("_sd").cast("bigint").alias("_s"),
+        F.sum("n_days").cast("bigint").alias("_n"),
+    )
+    return per.join(tot, "key").select(
+        "key",
+        "dow",
+        "n_days",
+        F.round(
+            (F.col("_sd") * F.col("_n")).cast("double")
+            / (F.col("n_days") * F.col("_s")),
+            6,
+        ).alias("seasonal_index"),
+    )
