@@ -8228,6 +8228,102 @@ FROM per JOIN tot ON per.key = tot.key
 """
 
 
+def _nb_lang_scores(spark, sf_dir):
+    """Multinomial naive-Bayes language scoring (datapipe/classify.py
+    naive_bayes_scores): self-train on the documents' lang labels, score
+    every document against every label, flag the deterministic argmax."""
+    from kgforge.datapipe.classify import naive_bayes_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return naive_bayes_scores(docs, "doc_id", "text", "lang")
+
+
+_NB_SCORES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id, lang AS doc_label,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+doc_toks AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+),
+model AS (
+  SELECT doc_label AS label, tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+totals AS (
+  SELECT doc_label AS label, CAST(count(*) AS BIGINT) AS t
+  FROM toks GROUP BY 1
+),
+priors AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd
+  FROM documents GROUP BY 1
+),
+scalars AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS nn
+  FROM toks
+),
+lab AS (
+  SELECT p.label, nd, t, v, nn
+  FROM priors p JOIN totals USING (label) CROSS JOIN scalars
+),
+pairs AS (SELECT d.id, d.tok, d.cnt, l.* FROM doc_toks d CROSS JOIN lab l),
+joined AS (
+  SELECT p.*, coalesce(m.c, 0) AS c2
+  FROM pairs p LEFT JOIN model m ON m.label = p.label AND m.tok = p.tok
+),
+scored AS (
+  SELECT id, label,
+         round(sum(cnt * ln(CAST(c2 + 1 AS DOUBLE) / (t + v)))
+               + any_value(ln(CAST(nd AS DOUBLE) / nn)), 6) AS score
+  FROM joined GROUP BY 1, 2
+)
+SELECT id, label, score,
+       row_number() OVER (PARTITION BY id ORDER BY score DESC, label) = 1
+         AS is_pred
+FROM scored
+"""
+
+
+def _customer_mi(spark, sf_dir):
+    """Mutual information / NMI between customer nation and market segment
+    (datapipe/stats.py mutual_information) — the soft-FD redundancy probe."""
+    from kgforge.datapipe.stats import mutual_information
+
+    c = _read(spark, sf_dir, "customer")
+    return mutual_information(c, "c_nationkey", "c_mktsegment")
+
+
+_CUSTOMER_MI_ORACLE = """
+WITH cells AS (
+  SELECT c_nationkey AS x, c_mktsegment AS y, CAST(count(*) AS BIGINT) AS nxy
+  FROM customer GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS cells,
+         round(sum((CAST(nxy AS DOUBLE) / n)
+                   * ln(CAST(nxy * n AS DOUBLE) / (nx * ny))), 6) AS mi
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+hx AS (
+  SELECT round(-sum((CAST(nx AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n)), 6)
+    AS h_x FROM mx CROSS JOIN tot
+),
+hy AS (
+  SELECT round(-sum((CAST(ny AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n)), 6)
+    AS h_y FROM my CROSS JOIN tot
+)
+SELECT n, cells, mi, h_x, h_y,
+       CASE WHEN h_x > 0 AND h_y > 0
+            THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8440,6 +8536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": _events_acf,
         "events_theil_sen": _events_theil_sen,
         "events_seasonality": _events_seasonal,
+        "nb_lang_scores": _nb_lang_scores,
+        "customer_mi": _customer_mi,
     }
 
 
@@ -10286,6 +10384,8 @@ def oracle_sql() -> dict[str, str]:
         "events_acf": _EVENTS_ACF_ORACLE,
         "events_theil_sen": _EVENTS_THEIL_ORACLE,
         "events_seasonality": _EVENTS_SEASONAL_ORACLE,
+        "nb_lang_scores": _NB_SCORES_ORACLE,
+        "customer_mi": _CUSTOMER_MI_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -192,3 +192,73 @@ def weighted_median(
     return hit.groupBy(*group_cols).agg(
         F.min(F.col(value_col)).alias("wmedian")
     )
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    data-profiling probe behind "is this column derivable from that one"
+    (soft functional dependency) and feature-redundancy checks:
+
+        MI = Σ_{x,y} (n_xy/N) · ln( n_xy·N / (n_x·n_y) )
+
+    plus the marginal entropies and the normalized score
+    ``nmi = MI / sqrt(H(X)·H(Y))`` (NULL when either entropy is 0).
+    All counts are exact integers; the only float work is per-cell
+    ``ln`` of an integer ratio and the final sums, rounded to 6.
+
+    Output: one row ``(n, cells, mi, h_x, h_y, nmi)``.
+
+    Scale: one groupBy on (x, y) — the contingency table, bounded by the
+    product of the two cardinalities — then marginals re-aggregated FROM
+    the cells (never a second scan) and one scalar cross join.  NULL
+    categories participate as ordinary values (eqNullSafe-style grouping
+    comes free from groupBy)."""
+    cells = (
+        df.select(F.col(col_x).alias("x"), F.col(col_y).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        (F.col("nxy") * F.col("n")).cast("double")
+        / (F.col("nx") * F.col("ny"))
+    )
+    mi_row = j.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("cells"),
+        F.round(F.sum(mi_term), 6).alias("mi"),
+    )
+
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        t = (F.col(cnt).cast("double") / F.col("_n")) * F.log(
+            F.col(cnt).cast("double") / F.col("_n")
+        )
+        return (
+            marg.crossJoin(F.broadcast(tot.select(F.col("n").alias("_n"))))
+            .agg(F.round(-F.sum(t), 6).alias(out))
+        )
+
+    out = (
+        mi_row.crossJoin(F.broadcast(_entropy(mx, "nx", "h_x")))
+        .crossJoin(F.broadcast(_entropy(my, "ny", "h_y")))
+    )
+    return out.select(
+        "n",
+        "cells",
+        "mi",
+        "h_x",
+        "h_y",
+        F.when(
+            (F.col("h_x") > 0) & (F.col("h_y") > 0),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6
+            ),
+        ).alias("nmi"),
+    )
