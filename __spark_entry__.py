@@ -8324,6 +8324,185 @@ FROM mi CROSS JOIN hx CROSS JOIN hy
 """
 
 
+def _kg_rich_club(spark, sf_dir):
+    """Rich-club coefficients (kg/graphstats.py rich_club) of the
+    cosine>=0.25 similarity graph — does the hub set form its own dense
+    core (the subgraph that mandates salting)."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.graphstats import rich_club
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    )
+    return rich_club(e, src="a", dst="b", ks=[2, 4, 8, 16, 32])
+
+
+def _kg_rich_club_oracle() -> str:
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+deg AS MATERIALIZED (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY n
+),
+ej AS MATERIALIZED (
+  SELECT da.d AS da, db.d AS db
+  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+),
+ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+stats AS (
+  SELECT k,
+    (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > k) AS n_nodes,
+    (SELECT CAST(count(*) AS BIGINT) FROM ej WHERE least(da, db) > k)
+      AS n_edges
+  FROM ks
+)
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN round(CAST(2 * n_edges AS DOUBLE)
+                       / (n_nodes * (n_nodes - 1)), 6) END AS phi
+FROM stats
+"""
+
+
+def _scc_digraph(spark, sf_dir):
+    m = _SCC_MOD
+    n = (
+        _read(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % m).alias("n"))
+        .distinct()
+    )
+    return n.select(
+        F.col("n").alias("src"), ((F.col("n") * 7 + 3) % m).alias("dst")
+    ).unionByName(
+        n.select(
+            F.col("n").alias("src"), ((F.col("n") * 11 + 5) % m).alias("dst")
+        )
+    )
+
+
+_SCC_DIGRAPH_CTE = """
+cnodes AS MATERIALIZED (
+  SELECT DISTINCT c_custkey % {m} AS n FROM customer
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT n AS u, (n * 7 + 3) % {m} AS v FROM cnodes
+    UNION ALL SELECT n, (n * 11 + 5) % {m} FROM cnodes
+  ) WHERE u <> v
+),
+gnodes AS MATERIALIZED (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+)
+"""
+
+
+def _kg_simrank(spark, sf_dir):
+    """Fixed-point SimRank (kg/simrank.py) over the rho-shaped functional
+    digraph — 3 power-iteration rounds in 10^-6 integer units, sparse
+    pair state, truncation as the only rounding."""
+    from kgforge.kg.simrank import simrank
+
+    return simrank(_scc_digraph(spark, sf_dir), iterations=3)
+
+
+def _kg_simrank_oracle() -> str:
+    base = _SCC_DIGRAPH_CTE.format(m=_SCC_MOD).strip()
+    rounds = []
+    prev = "s0"
+    for i in range(1, 4):
+        rounds.append(f"""
+u{i} AS MATERIALIZED (
+  SELECT e1.v AS x, e2.v AS y, CAST(sum(s.s) AS BIGINT) AS ssum
+  FROM {prev} s JOIN e e1 ON e1.u = s.a JOIN e e2 ON e2.u = s.b
+  WHERE e1.v <> e2.v GROUP BY 1, 2
+),
+s{i} AS MATERIALIZED (
+  SELECT a, b, s FROM (
+    SELECT u{i}.x AS a, u{i}.y AS b,
+           (8 * ssum) // (10 * ia.ind * ib.ind) AS s
+    FROM u{i} JOIN ind ia ON ia.n = u{i}.x JOIN ind ib ON ib.n = u{i}.y
+  ) WHERE s > 0
+  UNION ALL SELECT n, n, CAST(1000000 AS BIGINT) FROM gnodes
+)""")
+        prev = f"s{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH {base},
+ind AS MATERIALIZED (
+  SELECT v AS n, CAST(count(*) AS BIGINT) AS ind FROM e GROUP BY v
+),
+s0 AS MATERIALIZED (
+  SELECT n AS a, n AS b, CAST(1000000 AS BIGINT) AS s FROM gnodes
+),{chain}
+SELECT a, b, CAST(s AS DOUBLE) / 1000000 AS simrank
+FROM {prev} WHERE a < b
+"""
+
+
+def _kg_bowtie(spark, sf_dir):
+    """Bow-tie decomposition (kg/bowtie.py) of the functional digraph:
+    largest SCC as the core, frontier-BFS IN/OUT sets, lexicographic
+    min-node witnesses."""
+    from kgforge.kg.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(_scc_digraph(spark, sf_dir))
+
+
+def _kg_bowtie_oracle() -> str:
+    base = _SCC_DIGRAPH_CTE.format(m=_SCC_MOD).strip()
+    return f"""
+WITH RECURSIVE {base},
+reach AS (
+  SELECT u AS a, v AS b FROM e
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b
+),
+mutual AS MATERIALIZED (
+  SELECT r1.a, r1.b FROM reach r1
+  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+lab AS MATERIALIZED (
+  SELECT n, min(v) AS scc FROM (
+    SELECT CAST(n AS VARCHAR) AS n, CAST(n AS VARCHAR) AS v FROM gnodes
+    UNION ALL SELECT CAST(a AS VARCHAR), CAST(b AS VARCHAR) FROM mutual
+  ) GROUP BY n
+),
+core_lab AS (
+  SELECT scc FROM lab GROUP BY scc
+  ORDER BY count(*) DESC, scc ASC LIMIT 1
+),
+core AS MATERIALIZED (
+  SELECT n FROM lab WHERE scc = (SELECT scc FROM core_lab)
+),
+reaches_core AS MATERIALIZED (
+  SELECT DISTINCT CAST(a AS VARCHAR) AS n FROM reach
+  WHERE CAST(b AS VARCHAR) IN (SELECT n FROM core)
+),
+reached_from_core AS MATERIALIZED (
+  SELECT DISTINCT CAST(b AS VARCHAR) AS n FROM reach
+  WHERE CAST(a AS VARCHAR) IN (SELECT n FROM core)
+),
+parts AS (
+  SELECT CAST(n AS VARCHAR) AS node,
+    CASE WHEN CAST(n AS VARCHAR) IN (SELECT n FROM core) THEN 'core'
+         WHEN CAST(n AS VARCHAR) IN (SELECT n FROM reaches_core) THEN 'in'
+         WHEN CAST(n AS VARCHAR) IN (SELECT n FROM reached_from_core)
+           THEN 'out'
+         ELSE 'other' END AS part
+  FROM gnodes
+)
+SELECT part, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS min_node
+FROM parts GROUP BY part
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8538,6 +8717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": _events_seasonal,
         "nb_lang_scores": _nb_lang_scores,
         "customer_mi": _customer_mi,
+        "kg_rich_club": _kg_rich_club,
+        "kg_simrank": _kg_simrank,
+        "kg_bowtie": _kg_bowtie,
     }
 
 
@@ -10386,6 +10568,9 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality": _EVENTS_SEASONAL_ORACLE,
         "nb_lang_scores": _NB_SCORES_ORACLE,
         "customer_mi": _CUSTOMER_MI_ORACLE,
+        "kg_rich_club": _kg_rich_club_oracle(),
+        "kg_simrank": _kg_simrank_oracle(),
+        "kg_bowtie": _kg_bowtie_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

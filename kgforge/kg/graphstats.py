@@ -85,3 +85,85 @@ def degree_assortativity(
             deg.unpersist()
         except NameError:
             pass
+
+
+def rich_club(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ks: list[int] | None = None,
+) -> DataFrame:
+    """Rich-club coefficient φ(k) per degree threshold: among the nodes of
+    degree > k, the fraction of possible edges actually present —
+
+        φ(k) = 2·E_k / (n_k · (n_k − 1))
+
+    (Colizza et al. 2006).  A rising φ(k) means the hubs form their own
+    dense core — operationally, the subgraph you must NEVER self-join
+    without salting, so this is the planning diagnostic that says whether
+    hub-core blowup exists at all.
+
+    Input is a simple undirected edge list (one row per edge, either
+    orientation).  Output: one row per threshold ``(k, n_nodes, n_edges,
+    phi)`` — φ NULL when fewer than 2 nodes qualify.
+
+    Scale: one degree aggregation, one edge×degree join (degree table
+    broadcast by AQE when small), then ONE conditional aggregate over the
+    edge list for ALL thresholds — the threshold sweep costs a constant
+    factor, not a pass per k."""
+    if ks is None:
+        ks = [1, 2, 4, 8, 16]
+    if not ks or any(k < 0 for k in ks):
+        raise ValueError("ks must be non-empty, non-negative")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    j = e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a").join(
+        deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b"
+    )
+    e_aggs = j.agg(
+        *[
+            F.count(
+                F.when(F.least(F.col("da"), F.col("db")) > k, 1)
+            ).cast("bigint").alias(f"_e{k}")
+            for k in ks
+        ]
+    )
+    n_aggs = deg.agg(
+        *[
+            F.count(F.when(F.col("d") > k, 1)).cast("bigint").alias(f"_n{k}")
+            for k in ks
+        ]
+    )
+    both = e_aggs.crossJoin(F.broadcast(n_aggs))
+    rows = both.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"_n{k}").alias("n_nodes"),
+                        F.col(f"_e{k}").alias("n_edges"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.k", "_r.n_nodes", "_r.n_edges")
+    return rows.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.round(
+                (2 * F.col("n_edges")).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ),
+        ).alias("phi"),
+    )
