@@ -8503,6 +8503,117 @@ FROM parts GROUP BY part
 """
 
 
+def _textrank(spark, sf_dir):
+    """Integer fixed-point TextRank (datapipe/textstats.py
+    textrank_scores) over every 20th document's word-adjacency graph —
+    all documents ranked in one DataFrame loop."""
+    from kgforge.datapipe.textstats import textrank_scores
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return textrank_scores(docs, "doc_id", "text", iterations=5)
+
+
+def _textrank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, 6):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.id, e.v AS w, CAST(sum(rk.r // d.deg) AS BIGINT) AS csum
+  FROM {prev} rk
+  JOIN deg d ON d.id = rk.id AND d.w = rk.w
+  JOIN edges e ON e.id = rk.id AND e.u = rk.w
+  GROUP BY 1, 2
+),
+r{i} AS MATERIALIZED (
+  SELECT b.id, b.w,
+         CAST(150000 // n + (85 * coalesce(csum, 0)) // 100 AS BIGINT) AS r
+  FROM base b LEFT JOIN c{i} ON c{i}.id = b.id AND c{i}.w = b.w
+)""")
+        prev = f"r{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH t0 AS MATERIALIZED (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents WHERE doc_id % 20 = 0
+),
+toks AS MATERIALIZED (
+  SELECT id, CAST(i AS INT) AS pos, l[CAST(i AS INT)] AS w
+  FROM t0, UNNEST(generate_series(1, len(l))) AS s(i)
+),
+adj AS MATERIALIZED (
+  SELECT DISTINCT a.id, least(a.w, b.w) AS a, greatest(a.w, b.w) AS b
+  FROM toks a JOIN toks b ON a.id = b.id AND b.pos = a.pos + 1
+  WHERE a.w <> b.w
+),
+edges AS MATERIALIZED (
+  SELECT id, a AS u, b AS v FROM adj UNION ALL SELECT id, b, a FROM adj
+),
+words AS MATERIALIZED (SELECT DISTINCT id, w FROM toks),
+nd AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY id
+),
+deg AS MATERIALIZED (
+  SELECT id, u AS w, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1, 2
+),
+base AS MATERIALIZED (SELECT w.id, w.w, n FROM words w JOIN nd USING (id)),
+r0 AS MATERIALIZED (
+  SELECT id, w, CAST(1000000 // n AS BIGINT) AS r FROM base
+),{chain}
+SELECT id, w AS word, CAST(r AS DOUBLE) / 1000000 AS rank FROM {prev}
+"""
+
+
+def _hbos_orders(spark, sf_dir):
+    """HBOS anomaly scores (datapipe/profile.py hbos_scores) over order
+    totals x order dates — 16 equal-width integer bins per feature,
+    ln(tallest/own) summed."""
+    from kgforge.datapipe.profile import hbos_scores
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("oday"),
+    )
+    return hbos_scores(o, "okey", ["cents", "oday"], bins=16)
+
+
+_HBOS_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey AS id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS oday
+  FROM orders
+),
+m1 AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+b1 AS (
+  SELECT id, cents, oday,
+         CAST(((cents - lo) * 16) // (hi - lo + 1) AS BIGINT) AS cents_bin
+  FROM v, m1
+),
+cc1 AS (SELECT cents_bin, CAST(count(*) AS BIGINT) AS c1 FROM b1 GROUP BY 1),
+mx1 AS (SELECT max(c1) AS mc1 FROM cc1),
+m2 AS (SELECT min(oday) AS lo, max(oday) AS hi FROM v),
+b2 AS (
+  SELECT b1.*, CAST(((oday - lo) * 16) // (hi - lo + 1) AS BIGINT) AS oday_bin
+  FROM b1, m2
+),
+cc2 AS (SELECT oday_bin, CAST(count(*) AS BIGINT) AS c2 FROM b2 GROUP BY 1),
+mx2 AS (SELECT max(c2) AS mc2 FROM cc2)
+SELECT id, cents_bin, oday_bin,
+       round(ln(CAST(mc1 AS DOUBLE) / c1) + ln(CAST(mc2 AS DOUBLE) / c2), 6)
+         AS hbos
+FROM b2
+JOIN cc1 USING (cents_bin) JOIN cc2 USING (oday_bin)
+CROSS JOIN mx1 CROSS JOIN mx2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8720,6 +8831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_club": _kg_rich_club,
         "kg_simrank": _kg_simrank,
         "kg_bowtie": _kg_bowtie,
+        "textrank_keywords": _textrank,
+        "hbos_orders": _hbos_orders,
     }
 
 
@@ -10571,6 +10684,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rich_club": _kg_rich_club_oracle(),
         "kg_simrank": _kg_simrank_oracle(),
         "kg_bowtie": _kg_bowtie_oracle(),
+        "textrank_keywords": _textrank_oracle(),
+        "hbos_orders": _HBOS_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -462,3 +462,65 @@ def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
         F.round(benford, 6).alias("benford_share"),
         F.round(share - benford, 6).alias("excess"),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[str],
+    bins: int = 16,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012): per row,
+    the sum over features of ``ln(tallest_bin / own_bin_count)`` on an
+    equal-width histogram — the linear-time unsupervised anomaly score
+    that assumes feature independence (that assumption is the price of
+    never joining rows against rows).
+
+    Features must be integral (convert money to cents upstream).  Binning
+    is integer-exact: ``bin = ((v − min)·bins) div (max − min + 1)``;
+    degenerate features (min == max) put everything in bin 0 and
+    contribute 0.  The only float work is one ``ln`` per feature per row
+    over a ratio of integer counts, summed and rounded to 6.
+
+    Output: ``(id, <col>_bin per feature, hbos)``.
+
+    Scale: per feature, one min/max scalar (broadcast cross join), one
+    ≤bins-row count table (broadcast equi-join back) — the data is
+    scanned once for binning and once for scoring; no shuffle wider than
+    the bins tables."""
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    out = df.select(F.col(id_col).alias("id"),
+                    *[F.col(c).cast("bigint").alias(c) for c in feature_cols])
+    score_terms = []
+    for c in feature_cols:
+        mm = out.agg(
+            F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")
+        )
+        out = out.crossJoin(F.broadcast(mm)).withColumn(
+            f"{c}_bin",
+            F.expr(
+                f"CAST((({c} - _lo_{c}) * {bins}) div (_hi_{c} - _lo_{c} + 1)"
+                " AS BIGINT)"
+            ),
+        ).drop(f"_lo_{c}", f"_hi_{c}")
+        counts = out.groupBy(f"{c}_bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"_c_{c}")
+        )
+        maxc = counts.agg(F.max(f"_c_{c}").alias(f"_m_{c}"))
+        out = out.join(F.broadcast(counts), f"{c}_bin").crossJoin(
+            F.broadcast(maxc)
+        )
+        score_terms.append(
+            F.log(F.col(f"_m_{c}").cast("double") / F.col(f"_c_{c}"))
+        )
+    total = score_terms[0]
+    for t in score_terms[1:]:
+        total = total + t
+    return out.select(
+        "id",
+        *[F.col(f"{c}_bin") for c in feature_cols],
+        F.round(total, 6).alias("hbos"),
+    )

@@ -591,3 +591,100 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_syll",
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+def textrank_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    iterations: int = 5,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Per-document TextRank keyword scores (Mihalcea & Tarau 2004):
+    PageRank over each document's word-adjacency graph (undirected edge
+    between consecutive ``[a-z]+`` tokens), run for ALL documents at once
+    — the vertex set is (doc, word), so one DataFrame loop ranks the
+    whole corpus and a hot document costs its own vocabulary, not a task.
+
+    Fixed-point integer variant (the feature-propagation trick): ranks
+    live in 10^-6 units and each update is
+
+        r' = 150000 div N_doc  +  (d_num · Σ_j (r_j div deg_j)) div d_den
+
+    i.e. truncating division is the only rounding, applied identically on
+    any engine and any partitioning — bit-exact, no float drift across
+    iterations.  Isolated words (no adjacent token) keep the teleport
+    mass only.
+
+    Output: ``(id, word, rank)`` with rank = micro-units / 10^6.
+
+    Scale: tokenization is one JVM posexplode; edges dedupe per (doc,
+    pair); each iteration is one equi-join on (doc, word) + one groupBy —
+    all partitioned by doc id, lineage flattened per round with
+    localCheckpoint."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+            )
+        ).alias("pos", "w"),
+    )
+    nxt = toks.select(
+        "id", F.col("pos").alias("p2"), F.col("w").alias("w2")
+    ).withColumn("pos", F.col("p2") - 1)
+    adj = (
+        toks.join(nxt, ["id", "pos"])
+        .filter(F.col("w") != F.col("w2"))
+        .select(
+            "id",
+            F.least("w", "w2").alias("a"),
+            F.greatest("w", "w2").alias("b"),
+        )
+        .distinct()
+    )
+    edges = adj.select("id", F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        adj.select("id", F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    words = toks.select("id", "w").distinct()
+    n_doc = words.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    deg = edges.groupBy("id", F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    base = words.join(n_doc, "id")
+    rank = base.select(
+        "id", "w", F.expr("CAST(1000000 div n AS BIGINT)").alias("r")
+    )
+    teleport = F.expr("CAST(150000 div n AS BIGINT)")
+    for _ in range(iterations):
+        contrib = (
+            rank.join(deg, ["id", "w"])
+            .select(
+                "id",
+                F.col("w").alias("u"),
+                F.expr("CAST(r div deg AS BIGINT)").alias("c"),
+            )
+            .join(edges, ["id", "u"])
+            .groupBy("id", F.col("v").alias("w"))
+            .agg(F.sum("c").cast("bigint").alias("csum"))
+        )
+        rank = (
+            base.join(contrib, ["id", "w"], "left")
+            .select(
+                "id",
+                "w",
+                (
+                    teleport
+                    + F.expr(
+                        f"CAST(({d_num} * coalesce(csum, 0)) div {d_den} AS BIGINT)"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select(
+        "id", F.col("w").alias("word"), (F.col("r") / F.lit(1000000.0)).alias("rank")
+    )
