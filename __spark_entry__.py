@@ -8614,6 +8614,131 @@ CROSS JOIN mx1 CROSS JOIN mx2
 """
 
 
+def _knn_lang(spark, sf_dir):
+    """k-NN language prediction (datapipe/classify.py knn_classify):
+    every 5th document is the test set, cosine top-5 from the rest votes
+    on its lang; output carries the truth and a correctness flag."""
+    from kgforge.datapipe.classify import knn_classify
+
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        F.col("vec_id").alias("id"), "embedding", "lang"
+    )
+    train = j.filter(F.col("id") % 5 != 0)
+    test = j.filter(F.col("id") % 5 == 0)
+    pred = knn_classify(train, test, "id", "embedding", "lang", k=5)
+    truth = test.select("id", F.col("lang").alias("true_label"))
+    return pred.join(truth, "id").select(
+        "id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_KNN_LANG_ORACLE = """
+WITH j AS MATERIALIZED (
+  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+te AS MATERIALIZED (SELECT * FROM j WHERE id % 5 = 0),
+tr AS MATERIALIZED (SELECT * FROM j WHERE id % 5 <> 0),
+pairs AS (
+  SELECT te.id AS a, tr.id AS b, tr.lang AS lab,
+         list_cosine_similarity(te.v, tr.v) AS cos
+  FROM te, tr
+),
+top AS (
+  SELECT a, lab FROM (
+    SELECT a, lab, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b)
+      AS rn
+    FROM pairs
+  ) WHERE rn <= 5
+),
+votes AS (
+  SELECT a, lab, CAST(count(*) AS BIGINT) AS votes FROM top GROUP BY 1, 2
+),
+pred AS (
+  SELECT a AS id, lab AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY a ORDER BY votes DESC, lab)
+      AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT p.id, p.pred_label, p.votes, t.lang AS true_label,
+       p.pred_label = t.lang AS correct
+FROM pred p JOIN te t ON t.id = p.id
+"""
+
+
+def _kg_label_spread(spark, sf_dir):
+    """Seeded label spreading (kg/labelspread.py) on the cosine>=0.25
+    similarity graph: 4/5 of documents clamp their lang, 3 synchronous
+    majority-vote rounds push labels to the held-out fifth."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.labelspread import label_spread
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    )
+    seeds = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.col("doc_id").alias("node"), F.col("lang").alias("label"))
+    )
+    return label_spread(e, seeds, src="a", dst="b", rounds=3)
+
+
+def _kg_label_spread_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, 4):
+        rounds.append(f"""
+v{i} AS MATERIALIZED (
+  SELECT e.u AS node, l.label, CAST(count(*) AS BIGINT) AS votes
+  FROM e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2
+),
+a{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY votes DESC, label)
+             AS r
+    FROM v{i} WHERE node NOT IN (SELECT node FROM sd)
+  ) WHERE r = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT * FROM sd UNION ALL SELECT * FROM a{i}
+)""")
+        prev = f"l{i}"
+    chain = ",".join(rounds)
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+),
+sd AS MATERIALIZED (
+  SELECT doc_id AS node, lang AS label FROM documents WHERE doc_id % 5 <> 0
+),
+l0 AS MATERIALIZED (SELECT node, label FROM sd),{chain},
+allnodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e UNION ALL SELECT node FROM sd
+  )
+)
+SELECT n.node, l.label,
+       n.node IN (SELECT node FROM sd) AS is_seed
+FROM allnodes n LEFT JOIN {prev} l ON l.node = n.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8833,6 +8958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bowtie": _kg_bowtie,
         "textrank_keywords": _textrank,
         "hbos_orders": _hbos_orders,
+        "knn_lang": _knn_lang,
+        "kg_label_spread": _kg_label_spread,
     }
 
 
@@ -10686,6 +10813,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bowtie": _kg_bowtie_oracle(),
         "textrank_keywords": _textrank_oracle(),
         "hbos_orders": _HBOS_ORACLE,
+        "knn_lang": _KNN_LANG_ORACLE,
+        "kg_label_spread": _kg_label_spread_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -83,3 +83,58 @@ def naive_bayes_scores(
     return scored.select(
         "id", "label", "score", (F.row_number().over(w) == 1).alias("is_pred")
     )
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-nearest-neighbor label prediction over an embedding column:
+    cosine top-k from the labeled ``train`` set, then a majority vote with
+    the deterministic (votes DESC, label ASC) tie-break.
+
+    Output: one row per test row — ``(id, pred_label, votes)``.
+
+    Scale: this is the BRUTE-FORCE baseline (|test|·|train| fold-dot
+    pairs, the same contract as ``similarity.brute_force_topk``) — at
+    corpus scale route candidate generation through ``ivf_topk`` /
+    LSH buckets and feed the surviving pairs to the same vote.  The vote
+    itself is a map-side-combinable groupBy + one per-id window."""
+    from kgforge.datapipe.similarity import _dot, _norm
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tr = train.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+        F.col(label_col).alias("lab"),
+    )
+    te = test.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    pairs = te.crossJoin(tr).select(
+        "a",
+        "b",
+        "lab",
+        (_dot(F.col("av"), F.col("bv")) / (_norm("av") * _norm("bv"))).alias(
+            "_cos"
+        ),
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("_cos"), F.asc("b"))
+    top = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    votes = top.groupBy("a", "lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes")
+    )
+    wv = Window.partitionBy("a").orderBy(F.desc("votes"), F.asc("lab"))
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(F.col("a").alias("id"), F.col("lab").alias("pred_label"), "votes")
+    )
