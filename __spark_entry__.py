@@ -8739,6 +8739,101 @@ FROM allnodes n LEFT JOIN {prev} l ON l.node = n.node
 """
 
 
+def _kg_subsumption(spark, sf_dir):
+    """Subsumption mining (kg/schema.py induce_subsumption) over the
+    flagship triple table: rdf:type classes AND has-property
+    pseudo-classes in one lattice — extension-containment pairs with
+    exact support."""
+    from kgforge.kg.schema import RDF_TYPE, induce_subsumption
+
+    t = _kg_triples(spark, sf_dir)
+    assertions = (
+        t.filter(F.col("pred") == RDF_TYPE)
+        .select(
+            F.col("subj").alias("node"),
+            F.concat(F.lit("type:"), F.col("obj_value")).alias("cls"),
+        )
+        .unionByName(
+            t.filter(F.col("pred") != RDF_TYPE).select(
+                F.col("subj").alias("node"),
+                F.concat(F.lit("prop:"), F.col("pred")).alias("cls"),
+            )
+        )
+    )
+    return induce_subsumption(assertions, min_support=2, min_conf=0.9)
+
+
+def _kg_subsumption_oracle() -> str:
+    from kgforge.kg.schema import RDF_TYPE
+
+    return f"""
+WITH allt AS (
+{_kg_triples_oracle()}
+),
+a AS MATERIALIZED (
+  SELECT DISTINCT n, c FROM (
+    SELECT subj AS n, 'type:' || obj_value AS c FROM allt
+    WHERE pred = '{RDF_TYPE}'
+    UNION ALL
+    SELECT subj, 'prop:' || pred FROM allt WHERE pred <> '{RDF_TYPE}'
+  )
+),
+sizes AS (SELECT c AS sub, CAST(count(*) AS BIGINT) AS n_sub FROM a GROUP BY c),
+boths AS (
+  SELECT x.c AS sub, y.c AS sup, CAST(count(*) AS BIGINT) AS n_both
+  FROM a x JOIN a y ON x.n = y.n AND x.c <> y.c GROUP BY 1, 2
+)
+SELECT sub, sup, n_sub, n_both,
+       round(CAST(n_both AS DOUBLE) / n_sub, 6) AS confidence,
+       n_both = n_sub AS is_exact
+FROM boths JOIN sizes USING (sub)
+WHERE n_sub >= 2 AND CAST(n_both AS DOUBLE) / n_sub >= CAST(0.9 AS DOUBLE)
+"""
+
+
+def _kg_pred_cardinality(spark, sf_dir):
+    """Predicate cardinality profiling (kg/schema.py
+    predicate_cardinality): functional / inverse-functional detection
+    over the flagship triple table."""
+    from kgforge.kg.schema import predicate_cardinality
+
+    return predicate_cardinality(_kg_triples(spark, sf_dir))
+
+
+def _kg_pred_cardinality_oracle() -> str:
+    from kgforge.kg.schema import RDF_TYPE
+
+    return f"""
+WITH allt AS (
+{_kg_triples_oracle()}
+),
+data AS MATERIALIZED (SELECT * FROM allt WHERE pred <> '{RDF_TYPE}'),
+ps AS (
+  SELECT pred, subj, CAST(count(*) AS BIGINT) AS c FROM data GROUP BY 1, 2
+),
+ss AS (
+  SELECT pred, CAST(sum(c) AS BIGINT) AS n_triples,
+         CAST(count(*) AS BIGINT) AS n_subj,
+         CAST(max(c) AS BIGINT) AS max_per_subj
+  FROM ps GROUP BY pred
+),
+po AS (
+  SELECT pred, obj_value, CAST(count(*) AS BIGINT) AS c
+  FROM data GROUP BY 1, 2
+),
+os AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_obj,
+         CAST(max(c) AS BIGINT) AS max_per_obj
+  FROM po GROUP BY pred
+)
+SELECT pred, n_triples, n_subj, n_obj, max_per_subj, max_per_obj,
+       round(CAST(n_triples AS DOUBLE) / n_subj, 6) AS avg_per_subj,
+       max_per_subj = 1 AS is_functional,
+       max_per_obj = 1 AS is_inverse_functional
+FROM ss JOIN os USING (pred)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -8960,6 +9055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos_orders": _hbos_orders,
         "knn_lang": _knn_lang,
         "kg_label_spread": _kg_label_spread,
+        "kg_subsumption": _kg_subsumption,
+        "kg_pred_cardinality": _kg_pred_cardinality,
     }
 
 
@@ -10815,6 +10912,8 @@ def oracle_sql() -> dict[str, str]:
         "hbos_orders": _HBOS_ORACLE,
         "knn_lang": _KNN_LANG_ORACLE,
         "kg_label_spread": _kg_label_spread_oracle(),
+        "kg_subsumption": _kg_subsumption_oracle(),
+        "kg_pred_cardinality": _kg_pred_cardinality_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
