@@ -8834,6 +8834,144 @@ FROM ss JOIN os USING (pred)
 """
 
 
+def _jw_part_pairs(spark, sf_dir):
+    """Blocked Jaro-Winkler similarity join (datapipe/jaro.py): part names
+    within a brand block, codegen-only bitmask-fold scorer, pairs at
+    rounded jw >= 0.86."""
+    from kgforge.datapipe.jaro import jaro_winkler_join
+
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 4 == 0)
+        .select(F.col("p_partkey").alias("pid"), "p_name", "p_brand")
+    )
+    return jaro_winkler_join(p, "pid", "p_name", "p_brand", threshold=0.86)
+
+
+_JW_PART_PAIRS_ORACLE = """
+WITH p AS (
+  SELECT p_partkey AS id, substring(p_name, 1, 60) AS t, p_brand AS blk
+  FROM part WHERE p_partkey % 4 = 0
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT id_a, id_b, jw FROM pairs WHERE jw >= CAST(0.86 AS DOUBLE)
+"""
+
+
+def _blocking_eval_parts(spark, sf_dir):
+    """Blocking-quality metrics (datapipe/clustereval.py blocking_eval):
+    each part plus a first-vowel-stripped twin forms a true entity pair;
+    the Soundex-of-first-token blocker is scored via reduction ratio /
+    pairs completeness / pair quality — all from the contingency
+    identity, never a pair set."""
+    from kgforge.datapipe.clustereval import blocking_eval
+    from kgforge.datapipe.phonetic import soundex_key
+
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ent"), F.col("p_name").alias("nm")
+    )
+    twin = p.select(
+        "ent",
+        F.regexp_replace("nm", "^([^aeiou]*)[aeiou]", "$1").alias("nm"),
+    )
+    corpus = p.unionByName(twin)
+    rec = corpus.select(
+        "ent",
+        soundex_key(F.split(F.col("nm"), " ").getItem(0)).alias("blk"),
+    )
+    return blocking_eval(rec, "ent", "blk")
+
+
+def _blocking_eval_oracle() -> str:
+    from kgforge.datapipe.phonetic import _ALPHA, _DIGITS
+
+    tr = f"translate(ch, '{_ALPHA}', '{_DIGITS}')"
+    step = (
+        f"(acc, ch) -> CASE "
+        f"WHEN ch = '' OR {tr} = '7' THEN acc "
+        f"WHEN {tr} = '0' THEN '0' || substring(acc, 2, 3) "
+        f"WHEN {tr} = substring(acc, 1, 1) THEN acc "
+        f"ELSE {tr} || substring(acc, 2, 3) || {tr} END"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT p_partkey AS ent, p_name AS nm FROM part
+  UNION ALL
+  SELECT p_partkey,
+         regexp_replace(p_name, '^([^aeiou]*)[aeiou]', '\\1')
+  FROM part
+),
+w AS (
+  SELECT ent,
+         regexp_replace(upper(string_split(nm, ' ')[1]),
+                        '[^A-Z]', '', 'g') AS clean
+  FROM corpus
+),
+d AS (
+  SELECT ent, clean,
+         CASE WHEN translate(substring(clean, 1, 1),
+                             '{_ALPHA}', '{_DIGITS}') = '7'
+              THEN '0'
+              ELSE translate(substring(clean, 1, 1), '{_ALPHA}', '{_DIGITS}')
+         END AS init,
+         string_split_regex(clean, '')[2:] AS rest
+  FROM w
+),
+k AS (
+  SELECT ent,
+         CASE WHEN length(clean) > 0 THEN
+           substring(clean, 1, 1) ||
+           rpad(substring(list_reduce(list_prepend(init, rest), {step}),
+                          2, 3), 3, '0')
+         END AS blk
+  FROM d
+),
+bl AS (
+  SELECT blk, ent, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1, 2
+),
+cov AS (
+  SELECT CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS covered_pairs,
+         CAST(sum(n) AS BIGINT) AS n_records
+  FROM bl
+),
+cnd AS (
+  SELECT CAST(sum(nb * (nb - 1)) // 2 AS BIGINT) AS candidate_pairs,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM (SELECT blk, sum(n) AS nb FROM bl GROUP BY blk)
+),
+trp AS (
+  SELECT CAST(sum(nl * (nl - 1)) // 2 AS BIGINT) AS true_pairs
+  FROM (SELECT ent, sum(n) AS nl FROM bl GROUP BY ent)
+),
+j AS (SELECT * FROM cov CROSS JOIN cnd CROSS JOIN trp)
+SELECT n_records, n_blocks,
+  CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS total_pairs,
+  candidate_pairs, true_pairs, covered_pairs,
+  CASE WHEN n_records * (n_records - 1) // 2 > 0 THEN
+    round(CAST(1.0 AS DOUBLE)
+          - CAST(candidate_pairs AS DOUBLE)
+            / (n_records * (n_records - 1) // 2), 6) END AS reduction_ratio,
+  CASE WHEN true_pairs > 0 THEN
+    round(CAST(covered_pairs AS DOUBLE) / true_pairs, 6) END
+    AS pairs_completeness,
+  CASE WHEN candidate_pairs > 0 THEN
+    round(CAST(covered_pairs AS DOUBLE) / candidate_pairs, 6) END
+    AS pair_quality,
+  CASE WHEN true_pairs > 0 AND candidate_pairs > 0
+        AND CAST(covered_pairs AS DOUBLE) / true_pairs
+            + CAST(covered_pairs AS DOUBLE) / candidate_pairs > 0 THEN
+    round(2 * (CAST(covered_pairs AS DOUBLE) / true_pairs)
+            * (CAST(covered_pairs AS DOUBLE) / candidate_pairs)
+          / (CAST(covered_pairs AS DOUBLE) / true_pairs
+             + CAST(covered_pairs AS DOUBLE) / candidate_pairs), 6) END AS f1
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -9057,6 +9195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_spread": _kg_label_spread,
         "kg_subsumption": _kg_subsumption,
         "kg_pred_cardinality": _kg_pred_cardinality,
+        "jw_part_pairs": _jw_part_pairs,
+        "blocking_eval": _blocking_eval_parts,
     }
 
 
@@ -10914,6 +11054,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_spread": _kg_label_spread_oracle(),
         "kg_subsumption": _kg_subsumption_oracle(),
         "kg_pred_cardinality": _kg_pred_cardinality_oracle(),
+        "jw_part_pairs": _JW_PART_PAIRS_ORACLE,
+        "blocking_eval": _blocking_eval_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

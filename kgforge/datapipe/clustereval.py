@@ -88,3 +88,86 @@ def cluster_pairwise_eval(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def blocking_eval(
+    records: DataFrame, label_col: str, block_col: str
+) -> DataFrame:
+    """Blocking-quality metrics for entity resolution (Christen 2012):
+    given records with a TRUE entity label and a candidate blocking key,
+    score the blocker without ever materializing a pair set — every pair
+    count comes from the contingency identity Σ C(n, 2):
+
+        reduction_ratio     = 1 − candidate_pairs / total_pairs
+        pairs_completeness  = covered_true_pairs / true_pairs   (recall)
+        pair_quality        = covered_true_pairs / candidate_pairs
+        f1                  = harmonic mean of completeness and quality
+
+    A true pair is covered iff both records share a block (single-valued
+    blocking keys), so covered = Σ_{(block,label)} C(n_bl, 2).
+
+    Output: one row — ``(n_records, n_blocks, total_pairs,
+    candidate_pairs, true_pairs, covered_pairs, reduction_ratio,
+    pairs_completeness, pair_quality, f1)``; ratio columns NULL when
+    their denominator is 0.
+
+    Scale: ONE groupBy on (block, label), re-aggregated three ways (per
+    block, per label, global) — map-side combinable, no joins, no pair
+    materialization; the same identity trick as ``cluster_pairwise_eval``.
+    """
+    bl = records.select(
+        F.col(block_col).alias("_b"), F.col(label_col).alias("_l")
+    ).groupBy("_b", "_l").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+
+    covered = bl.agg(
+        F.shiftright(F.sum(_pairs2(F.col("_n"))).cast("bigint"), 1)
+        .alias("covered_pairs"),
+        F.sum("_n").cast("bigint").alias("n_records"),
+    )
+    cand = (
+        bl.groupBy("_b")
+        .agg(F.sum("_n").alias("_nb"))
+        .agg(
+            F.shiftright(F.sum(_pairs2(F.col("_nb"))).cast("bigint"), 1)
+            .alias("candidate_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        )
+    )
+    true_p = (
+        bl.groupBy("_l")
+        .agg(F.sum("_n").alias("_nl"))
+        .agg(
+            F.shiftright(F.sum(_pairs2(F.col("_nl"))).cast("bigint"), 1)
+            .alias("true_pairs")
+        )
+    )
+    j = covered.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(true_p))
+    total = F.shiftright(_pairs2(F.col("n_records")).cast("bigint"), 1)
+    pc = F.col("covered_pairs").cast("double") / F.col("true_pairs")
+    pq = F.col("covered_pairs").cast("double") / F.col("candidate_pairs")
+    return j.select(
+        "n_records",
+        "n_blocks",
+        total.alias("total_pairs"),
+        "candidate_pairs",
+        "true_pairs",
+        "covered_pairs",
+        F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0) - F.col("candidate_pairs").cast("double") / total, 6
+            ),
+        ).alias("reduction_ratio"),
+        F.when(F.col("true_pairs") > 0, F.round(pc, 6)).alias(
+            "pairs_completeness"
+        ),
+        F.when(F.col("candidate_pairs") > 0, F.round(pq, 6)).alias(
+            "pair_quality"
+        ),
+        F.when(
+            (F.col("true_pairs") > 0)
+            & (F.col("candidate_pairs") > 0)
+            & (pc + pq > 0),
+            F.round(2 * pc * pq / (pc + pq), 6),
+        ).alias("f1"),
+    )
