@@ -8972,6 +8972,136 @@ FROM j
 """
 
 
+def _ewma_daily_spend(spark, sf_dir):
+    """α=1/2 EWMA (datapipe/timeseries.py ewma_halflife) over each user
+    bucket's daily spend — integer fold, truncating div only rounding."""
+    from kgforge.datapipe.timeseries import ewma_halflife
+
+    return ewma_halflife(_daily_spend(spark, sf_dir), "ukey", "day", "spend")
+
+
+_EWMA_ORACLE = f"""
+WITH {_DAILY_SPEND_CTE.strip()},
+arr AS (
+  SELECT ukey AS key, list(spend ORDER BY day) AS xs
+  FROM daily GROUP BY ukey
+)
+SELECT key,
+       CAST(len(xs) AS BIGINT) AS n_ticks,
+       xs[len(xs)] AS last_value,
+       list_reduce(xs, (a, x) -> (a + x) // 2) AS ewma
+FROM arr
+"""
+
+
+def _psi_orders_drift(spark, sf_dir):
+    """PSI drift (datapipe/profile.py psi_drift) of order totals, early
+    era (< 1996) as baseline vs the rest — per-bin terms plus the scalar
+    on every row."""
+    from kgforge.datapipe.profile import psi_drift
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    base = o.filter(F.col("d") < F.lit("1996-01-01")).select("cents")
+    curr = o.filter(F.col("d") >= F.lit("1996-01-01")).select("cents")
+    return psi_drift(base, curr, "cents", bins=10)
+
+
+_PSI_ORACLE = """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+b AS (SELECT cents AS v FROM o WHERE d < DATE '1996-01-01'),
+c AS (SELECT cents AS v FROM o WHERE d >= DATE '1996-01-01'),
+mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+nb AS (
+  SELECT least(greatest(((v - lo) * 10) // (hi - lo + 1), 0), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_base
+  FROM b, mm GROUP BY 1
+),
+nc AS (
+  SELECT least(greatest(((v - lo) * 10) // (hi - lo + 1), 0), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_curr
+  FROM c, mm GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS tb,
+         (SELECT CAST(count(*) AS BIGINT) FROM c) AS tc
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+j AS (
+  SELECT spine.bin,
+         coalesce(n_base, 0) AS n_base, coalesce(n_curr, 0) AS n_curr,
+         tb, tc
+  FROM spine LEFT JOIN nb ON nb.bin = spine.bin
+  LEFT JOIN nc ON nc.bin = spine.bin CROSS JOIN tot
+),
+terms AS (
+  SELECT bin, n_base, n_curr,
+         round(CAST(n_base + 1 AS DOUBLE) / (tb + 10), 6) AS p_base,
+         round(CAST(n_curr + 1 AS DOUBLE) / (tc + 10), 6) AS p_curr,
+         round((CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+                - CAST(n_curr + 1 AS DOUBLE) / (tc + 10))
+               * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+                    / (CAST(n_curr + 1 AS DOUBLE) / (tc + 10))), 6) AS term,
+         (CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+          - CAST(n_curr + 1 AS DOUBLE) / (tc + 10))
+         * ln((CAST(n_base + 1 AS DOUBLE) / (tb + 10))
+              / (CAST(n_curr + 1 AS DOUBLE) / (tc + 10))) AS raw
+  FROM j
+)
+SELECT bin, n_base, n_curr, p_base, p_curr, term,
+       (SELECT round(sum(raw), 6) FROM terms) AS psi
+FROM terms
+"""
+
+
+def _gini_revenue(spark, sf_dir):
+    """Gini concentration (datapipe/profile.py gini_concentration) of
+    per-customer order revenue — distributed range-partitioned ranks,
+    exact integer moments."""
+    from kgforge.datapipe.profile import gini_concentration
+
+    rev = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return gini_concentration(rev, "o_custkey", "cents")
+
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x, k) AS rk FROM rev
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS total,
+         CAST(sum(rk * x) AS BIGINT) AS s2
+  FROM r
+)
+SELECT n, total,
+       CASE WHEN total > 0 THEN
+         round(CAST(2 * s2 AS DOUBLE) / (n * total)
+               - CAST(n + 1 AS DOUBLE) / n, 6) END AS gini
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -9197,6 +9327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_cardinality": _kg_pred_cardinality,
         "jw_part_pairs": _jw_part_pairs,
         "blocking_eval": _blocking_eval_parts,
+        "ewma_daily_spend": _ewma_daily_spend,
+        "psi_orders_drift": _psi_orders_drift,
+        "gini_revenue": _gini_revenue,
     }
 
 
@@ -11056,6 +11189,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_cardinality": _kg_pred_cardinality_oracle(),
         "jw_part_pairs": _JW_PART_PAIRS_ORACLE,
         "blocking_eval": _blocking_eval_oracle(),
+        "ewma_daily_spend": _EWMA_ORACLE,
+        "psi_orders_drift": _PSI_ORACLE,
+        "gini_revenue": _GINI_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -524,3 +524,127 @@ def hbos_scores(
         *[F.col(f"{c}_bin") for c in feature_cols],
         F.round(total, 6).alias("hbos"),
     )
+
+
+def psi_drift(
+    base: DataFrame, current: DataFrame, value_col: str, bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current sample
+    of one integral column — the standard model-monitoring drift score
+    (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted):
+
+        PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+    Bins are equal-width on the BASELINE's [min, max] (integer binning,
+    current values clamp into the edge bins — out-of-range mass lands
+    where an operator would look for it), with add-one smoothing so empty
+    bins never produce ±inf.
+
+    Output: one row per bin ``(bin, n_base, n_curr, p_base, p_curr,
+    term)`` plus the total in ``psi`` on every row (broadcast one-row
+    join) — slice the first row for the scalar, keep the rest as the
+    drill-down.
+
+    Scale: two binned groupBys (≤bins rows each) against one broadcast
+    min/max scalar; the bin spine is a ``sequence`` explode, so every bin
+    is present even when empty."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    b = base.select(F.col(value_col).cast("bigint").alias("_v"))
+    c = current.select(F.col(value_col).cast("bigint").alias("_v"))
+    mm = b.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+
+    def binned(d: DataFrame, out: str) -> DataFrame:
+        e = d.crossJoin(F.broadcast(mm)).select(
+            F.least(
+                F.greatest(
+                    F.expr(
+                        f"CAST(((_v - _lo) * {bins}) div (_hi - _lo + 1)"
+                        " AS BIGINT)"
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        return e.groupBy("bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias(out)
+        )
+
+    spine = mm.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin")
+    ).select(F.col("bin").cast("bigint").alias("bin"))
+    nb = binned(b, "_nb")
+    nc = binned(c, "_nc")
+    tot = b.agg(F.count(F.lit(1)).cast("bigint").alias("_tb")).crossJoin(
+        c.agg(F.count(F.lit(1)).cast("bigint").alias("_tc"))
+    )
+    j = (
+        spine.join(nb, "bin", "left")
+        .join(nc, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint").alias("n_curr"),
+            "_tb",
+            "_tc",
+        )
+    )
+    p = (F.col("n_base") + 1).cast("double") / (F.col("_tb") + bins)
+    q = (F.col("n_curr") + 1).cast("double") / (F.col("_tc") + bins)
+    terms = j.select(
+        "bin",
+        "n_base",
+        "n_curr",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_curr"),
+        F.round((p - q) * F.log(p / q), 6).alias("term"),
+        ((p - q) * F.log(p / q)).alias("_raw"),
+    )
+    total = terms.agg(F.round(F.sum("_raw"), 6).alias("psi"))
+    return terms.crossJoin(F.broadcast(total)).drop("_raw")
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Gini coefficient of a non-negative integral quantity over keys —
+    "how concentrated is revenue over customers / token mass over
+    documents", the inequality profile that tells a pipeline whether a
+    per-key partitioning will be skew-bound:
+
+        G = 2·Σ_i i·x_(i) / (n·Σ x) − (n + 1)/n      (i = 1-based rank)
+
+    Ranks come from the distributed range-partitioned rank
+    (kgforge.rank.with_global_rank — never a single-partition window);
+    equal values contribute the same Σ i·x regardless of tie order, and
+    the tie-break on ``key_col`` keeps the plan deterministic anyway.
+    All sums are exact int64; the two divisions happen once, rounded 6.
+
+    Output: one row ``(n, total, gini)`` (gini NULL when the total is 0).
+    """
+    from kgforge.rank import with_global_rank
+
+    d = df.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("bigint").alias("_x")
+    )
+    ranked = with_global_rank(d, [F.col("_x"), F.col("_k")], out="_r")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("bigint").alias("total"),
+        F.sum((F.col("_r") + 1) * F.col("_x")).cast("bigint").alias("_s2"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.round(
+                (2 * F.col("_s2")).cast("double")
+                / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1).cast("double") / F.col("n"),
+                6,
+            ),
+        ).alias("gini"),
+    )

@@ -244,3 +244,46 @@ def seasonal_dow_index(
             6,
         ).alias("seasonal_index"),
     )
+
+
+def ewma_halflife(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with α = 1/2 over the
+    key's ticks in ``ts_col`` order, in INTEGER units:
+
+        s_1 = x_1          s_t = (s_{t−1} + x_t) div 2
+
+    — the α=1/2 EWMA with truncating division as the only rounding, so the
+    recursion is bit-identical on any engine and any partitioning (the
+    same fixed-point discipline as SimRank/TextRank).  α=1/2 makes each
+    observation lose half its weight per tick — the "what is this metric
+    at, smoothed over the recent past" tracker for alerting baselines.
+
+    Output: ``(key, n_ticks, last_value, ewma)``.
+
+    Scale: ONE groupBy collecting each key's own (tick, value) list —
+    per-task memory is the key's history (same contract as fill_gaps /
+    acf; keys with unbounded history need a windowed variant upstream) —
+    then a JVM left-fold over the sorted array.  No Python, no shuffle
+    beyond the single grouped exchange."""
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("bigint").alias("x"),
+            ).alias("_p"),
+        )
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+    )
+    return g.select(
+        "key",
+        F.size("_ps").cast("bigint").alias("n_ticks"),
+        F.element_at("_ps", -1)["x"].alias("last_value"),
+        F.expr(
+            "aggregate(slice(transform(_ps, p -> p.x), 2, size(_ps)),"
+            " _ps[0].x, (acc, x) -> (acc + x) div 2)"
+        ).alias("ewma"),
+    )
