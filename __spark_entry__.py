@@ -9102,6 +9102,133 @@ FROM agg
 """
 
 
+def _knn_eval(spark, sf_dir):
+    """Classifier evaluation (datapipe/classify.py classifier_eval) of the
+    k-NN language predictions: per-class precision/recall/F1, global
+    accuracy + macro-F1."""
+    from kgforge.datapipe.classify import classifier_eval
+
+    return classifier_eval(_knn_lang(spark, sf_dir), "true_label", "pred_label")
+
+
+def _knn_eval_oracle() -> str:
+    return f"""
+WITH knn AS (
+{_KNN_LANG_ORACLE}
+),
+nt AS (
+  SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_true
+  FROM knn GROUP BY 1
+),
+np AS (
+  SELECT pred_label AS label, CAST(count(*) AS BIGINT) AS n_pred
+  FROM knn GROUP BY 1
+),
+tp AS (
+  SELECT true_label AS label, CAST(count(*) AS BIGINT) AS tp
+  FROM knn WHERE true_label = pred_label GROUP BY 1
+),
+per AS (
+  SELECT coalesce(nt.label, np.label) AS label,
+         coalesce(n_true, 0) AS n_true,
+         coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM nt FULL OUTER JOIN np ON np.label = nt.label
+  LEFT JOIN tp ON tp.label = coalesce(nt.label, np.label)
+),
+scored AS (
+  SELECT label, n_true, n_pred, tp,
+    CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END
+      AS precision,
+    CASE WHEN n_true > 0 THEN round(CAST(tp AS DOUBLE) / n_true, 6) END
+      AS recall,
+    CASE WHEN n_pred > 0 AND n_true > 0
+          AND CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true > 0
+         THEN 2 * (CAST(tp AS DOUBLE) / n_pred) * (CAST(tp AS DOUBLE) / n_true)
+              / (CAST(tp AS DOUBLE) / n_pred + CAST(tp AS DOUBLE) / n_true)
+         ELSE CAST(0.0 AS DOUBLE) END AS f1raw
+  FROM per
+),
+gstats AS (
+  SELECT round(CAST(sum(tp) AS DOUBLE) / sum(n_true), 6) AS accuracy,
+         round(sum(f1raw) / count(*), 6) AS macro_f1
+  FROM scored
+)
+SELECT label, n_true, n_pred, tp, precision, recall,
+       round(f1raw, 6) AS f1, accuracy, macro_f1
+FROM scored CROSS JOIN gstats
+"""
+
+
+def _user_survival(spark, sf_dir):
+    """Kaplan-Meier user-lifetime curve (datapipe/timeseries.py
+    kaplan_meier): duration = last − first event day; users still active
+    in the final week are right-censored."""
+    from kgforge.datapipe.timeseries import kaplan_meier
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    hz = ev.agg(F.max("day").alias("_h"))
+    subj = pu.crossJoin(F.broadcast(hz)).select(
+        (F.col("_hi") - F.col("_lo")).alias("dur"),
+        F.when(F.col("_hi") < F.col("_h") - 7, 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(subj, "dur", "ev")
+
+
+_USER_SURVIVAL_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day
+  FROM events
+),
+pu AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM ev GROUP BY 1),
+hz AS (SELECT max(day) AS h FROM ev),
+subj AS (
+  SELECT hi - lo AS t, CASE WHEN hi < h - 7 THEN 1 ELSE 0 END AS e
+  FROM pu, hz
+),
+per AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS m, CAST(sum(e) AS BIGINT) AS n_events
+  FROM subj GROUP BY t
+),
+tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM per),
+cum AS (
+  SELECT t, m, n_events, n,
+         CAST(sum(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS ended
+  FROM per, tot
+),
+rsk AS (
+  SELECT t, m, n_events, CAST(n - ended + m AS BIGINT) AS n_risk FROM cum
+),
+lns AS (
+  SELECT *,
+         sum(CASE WHEN n_events > 0 AND n_risk > n_events
+                  THEN ln(CAST(n_risk - n_events AS DOUBLE) / n_risk)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS lnS,
+         sum(CASE WHEN n_events > 0 AND n_risk = n_events THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS z
+  FROM rsk
+)
+SELECT t, n_risk, n_events, CAST(m - n_events AS BIGINT) AS n_censored,
+       CASE WHEN z > 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(exp(lnS), 6) END AS survival
+FROM lns WHERE n_events > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -9330,6 +9457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_spend": _ewma_daily_spend,
         "psi_orders_drift": _psi_orders_drift,
         "gini_revenue": _gini_revenue,
+        "knn_eval": _knn_eval,
+        "user_survival": _user_survival,
     }
 
 
@@ -11192,6 +11321,8 @@ def oracle_sql() -> dict[str, str]:
         "ewma_daily_spend": _EWMA_ORACLE,
         "psi_orders_drift": _PSI_ORACLE,
         "gini_revenue": _GINI_ORACLE,
+        "knn_eval": _knn_eval_oracle(),
+        "user_survival": _USER_SURVIVAL_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -138,3 +138,69 @@ def knn_classify(
         .filter(F.col("_vr") == 1)
         .select(F.col("a").alias("id"), F.col("lab").alias("pred_label"), "votes")
     )
+
+
+def classifier_eval(
+    df: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus global accuracy and macro-F1 for
+    a (truth, prediction) table — the evaluation mirror of
+    ``cluster_pairwise_eval`` for supervised operators (naive Bayes, k-NN,
+    label spreading).
+
+    Output: one row per class appearing in truth OR prediction —
+    ``(label, n_true, n_pred, tp, precision, recall, f1, accuracy,
+    macro_f1)`` (the last two are global, repeated per row via a
+    broadcast one-row join; precision/recall NULL when their denominator
+    is 0, and such classes contribute 0 to macro-F1, the sklearn
+    convention).
+
+    Scale: one groupBy per marginal plus one on the diagonal — bounded by
+    the label vocabulary; no joins wider than the class list."""
+    d = df.select(
+        F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p")
+    )
+    nt = d.groupBy(F.col("_t").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    np_ = d.groupBy(F.col("_p").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    tp = (
+        d.filter(F.col("_t") == F.col("_p"))
+        .groupBy(F.col("_t").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    per = (
+        nt.join(np_, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred")
+    rec = F.col("tp").cast("double") / F.col("n_true")
+    f1 = F.when(
+        (F.col("n_pred") > 0) & (F.col("n_true") > 0) & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    ).otherwise(F.lit(0.0))
+    scored = per.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("n_true") > 0, F.round(rec, 6)).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        f1.alias("_f1raw"),
+    )
+    glob = scored.agg(
+        F.round(
+            F.sum("tp").cast("double") / F.sum("n_true"), 6
+        ).alias("accuracy"),
+        F.round(F.sum("_f1raw") / F.count(F.lit(1)), 6).alias("macro_f1"),
+    )
+    return scored.drop("_f1raw").crossJoin(F.broadcast(glob))

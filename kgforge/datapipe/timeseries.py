@@ -287,3 +287,74 @@ def ewma_halflife(
             " _ps[0].x, (acc, x) -> (acc + x) div 2)"
         ).alias("ewma"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right censoring — the standard
+    "how long do users/sessions/documents survive" estimator:
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    over distinct EVENT times t_i (``event_col`` = 1 observed, 0 censored
+    — censored subjects leave the risk set but contribute no factor).
+    The risk set n_i is everyone with duration ≥ t_i.  The product is a
+    cumulative sum of ln factors over the time-ordered rows — both
+    engines accumulate in the SAME (time) order, so the only divergence
+    is ln/exp last-ulp, absorbed by the final round to 6.
+
+    Output: one row per distinct event time —
+    ``(t, n_risk, n_events, n_censored, survival)``.
+
+    Scale: one groupBy per distinct duration, one ordered window over the
+    (small) distinct-time table for the cumulative risk set and the
+    cumulative ln-sum — the raw data is scanned once."""
+    d = df.select(
+        F.col(duration_col).cast("bigint").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    )
+    per = d.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        F.sum("e").cast("bigint").alias("n_events"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per.agg(F.sum("_m").cast("bigint").alias("_n"))
+    cum = per.crossJoin(F.broadcast(total)).withColumn(
+        "_ended", F.sum("_m").over(w).cast("bigint")
+    )
+    cum = cum.withColumn(
+        "n_risk", F.col("_n") - F.col("_ended") + F.col("_m")
+    )
+    # Spark's ln(0) is NULL (and sum skips NULLs), so the zero factor at a
+    # time where the whole risk set dies is tracked separately: once any
+    # factor is 0, the curve is 0 forever.
+    lnf = F.when(
+        (F.col("n_events") > 0) & (F.col("n_risk") > F.col("n_events")),
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk")
+        ),
+    ).otherwise(F.lit(0.0))
+    zf = F.when(
+        (F.col("n_events") > 0) & (F.col("n_risk") == F.col("n_events")), 1
+    ).otherwise(0)
+    curve = cum.withColumn("_lnS", F.sum(lnf).over(w)).withColumn(
+        "_z", F.sum(zf).over(w)
+    )
+    return (
+        curve.filter(F.col("n_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            (F.col("_m") - F.col("n_events")).cast("bigint").alias(
+                "n_censored"
+            ),
+            F.when(F.col("_z") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("_lnS"), 6))
+            .alias("survival"),
+        )
+    )
