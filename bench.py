@@ -266,12 +266,18 @@ def _kanon_scale_pair(n_rows: int | None = None) -> dict:
     (~9-10 s of stage-scheduling barriers and offset/scalar collects,
     fitted T(c) = F + W/c across rounds) does not dominate the 8-core leg.
     At 4M rows F was 45% of the fast leg and capped measured efficiency at
-    ~0.66 regardless of how well the scaled work parallelized; at 16M rows
-    the parallel work is ~370 s and the same F costs <3% efficiency.  The
-    north-rule claim concerns the 10^12-subject regime where constants
-    vanish, so the evidence run must not be constant-dominated."""
+    ~0.66 regardless of how well the scaled work parallelized; at 16M the
+    pair read 0.79–0.90 depending on the window's page-cache/JIT state
+    (F wanders ~10–20 s run to run even with clean CPU probes).  Two
+    session-9 responses: the ranges path lost two driver barriers (the
+    subject-spine and non-null counts ride the caller's single fused
+    stats action — kpi.py n_subj_total/n_o), measured 0.82 at 16M first
+    try; and the default doubled to 32M, where even the worst observed F
+    costs <2.5% efficiency.  The north-rule claim concerns the
+    10^12-subject regime where constants vanish, so the evidence run must
+    not be constant-dominated."""
     if n_rows is None:
-        n_rows = int(os.environ.get("SPARK_GRAFT_ANON_SCALE_ROWS", "16000000"))
+        n_rows = int(os.environ.get("SPARK_GRAFT_ANON_SCALE_ROWS", "32000000"))
     out = {"n_rows": n_rows}
 
     def leg(cpus: int) -> dict:

@@ -219,13 +219,27 @@ def k_anonymity(
     stats_union = None
     for i, both in enumerate(fused):
         st = both.agg(
-            F.sum(F.abs(F.col("_o") - F.col("_r"))).alias("s"),
+            F.sum(F.abs(F.col("_o") - F.col("_r"))).cast("double").alias("s"),
             F.count(
                 F.when(F.col("_po").isNotNull() & F.col("_pr").isNotNull(), 1)
             ).alias("c"),
-        ).select(F.lit(i).alias("_i"), "s", "c")
+            F.count(F.col("_o")).alias("n_o"),
+        ).select(F.lit(i).alias("_i"), "s", "c", "n_o")
         stats_union = st if stats_union is None else stats_union.unionByName(st)
+    # the subject-spine cardinality rides the SAME action as one more
+    # union leg (_i = -1): the auto dispatch and the ranges null stratum
+    # both need it, and a separate .count() would be one more driver
+    # barrier — pure fixed cost that the N→4N scaling pair cannot
+    # parallelize away
+    stats_union = stats_union.unionByName(
+        subjects.agg(F.count(F.lit(1)).cast("double").alias("s")).select(
+            F.lit(-1).alias("_i"), "s",
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).cast("long").alias("n_o"),
+        )
+    )
     stats_by_i = {r["_i"]: r for r in stats_union.collect()}
+    n_subj_total = int(stats_by_i[-1]["s"])
 
     attr_data: list[tuple] = []
     for i, (attr, both) in enumerate(zip(rand_attrs, fused)):
@@ -236,7 +250,7 @@ def k_anonymity(
         attr_data.append((attr, orig, rand, bench))
 
     if mode == "auto":
-        if subjects.count() <= pair_threshold:
+        if n_subj_total <= pair_threshold:
             mode = "pairs"
         elif len(rand_attrs) == 1:
             mode = "ranges"
@@ -267,7 +281,10 @@ def k_anonymity(
         if mode == "pairs":
             return _k_pairs(subjects, ent, gcols, attr_data)
         if mode == "ranges":
-            return _k_ranges(subjects, ent, gcols, attr_data[0], fused[0])
+            return _k_ranges(
+                subjects, ent, gcols, attr_data[0], fused[0],
+                counts=(n_subj_total, int(stats_by_i[0]["n_o"])),
+            )
         if mode == "grid":
             return _k_grid(subjects, ent, gcols, attr_data)
         if mode == "grouped":
@@ -407,7 +424,8 @@ def _stratum_size_counts(stratum) -> "DataFrame":
     return stratum.join(ncnt, "_gs").select("subj", "_cnt")
 
 
-def _k_ranges(subjects, ent, gcols, attr_datum, both=None) -> int:
+def _k_ranges(subjects, ent, gcols, attr_datum, both=None,
+              counts=None) -> int:
     """Distributed subMap counting for ONE randomized attribute (see
     :func:`_counts_1d` for the event/prefix-sum core)."""
     _, orig, rand, bench = attr_datum
@@ -420,8 +438,13 @@ def _k_ranges(subjects, ent, gcols, attr_datum, both=None) -> int:
         # _counts_1d)
         cleanup: list = []
         nonnull = both.filter(F.col("_o").isNotNull())
-        n_subj = subjects.count()
-        n_nonnull = nonnull.count()
+        if counts is not None:
+            # cardinalities pre-computed in the caller's one fused stats
+            # action — two fewer driver barriers in the hot path
+            n_subj, n_nonnull = counts
+        else:
+            n_subj = subjects.count()
+            n_nonnull = nonnull.count()
         cnt_nonnull = _counts_1d(
             nonnull.select(F.lit(0).alias("_gs"), "_o", "_r"),
             bench, cleanup, keep_subj=False,

@@ -97,3 +97,57 @@ def zorder_skip_stats(
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return df.groupBy(bucket_col).agg(*aggs)
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE bin-packing step of the
+    public Delta/Iceberg maintenance commands, re-derived): group each
+    partition's undersized files into rewrite bins of ~``target_bytes``.
+
+    At 100 TB the small-files problem is a metadata and task-scheduling
+    killer — a streaming sink or over-partitioned write leaves millions of
+    KB-sized files, each costing a scan task and a catalog entry.  The
+    planner is pure metadata work (one row per FILE, never touching data),
+    so it must itself be a bounded DataFrame job:
+
+    - files already ≥ ``target_bytes`` are left alone (``rewrite = false``,
+      ``bin_id = -1``) — rewriting them would burn IO for nothing;
+    - the rest are ordered size-DESC (file-id ASC tiebreak) within their
+      partition and packed by the cumulative-fill rule
+      ``bin_id = floor(exclusive_running_sum / target)`` — deterministic,
+      one window over the partition key (bounded rows per partition — a
+      partition holds at most catalog-capped file counts, never corpus
+      rows), no driver loop, no sampling.  Descending order packs the big
+      files first so bins overshoot by at most one small file.
+
+    Output: one row per file — (partition, file_id, size_bytes, rewrite,
+    bin_id) with bin ids dense per partition.
+    """
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    from pyspark.sql import Window
+
+    small = F.col(size_col) < F.lit(int(target_bytes))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive running sum = inclusive - own size; small files only (the
+    # keep-as-is files must not occupy fill space in anyone's bin)
+    fill = F.sum(F.when(small, F.col(size_col)).otherwise(F.lit(0))).over(w) \
+        - F.when(small, F.col(size_col)).otherwise(F.lit(0))
+    return df.select(
+        F.col(part_col),
+        F.col(file_col),
+        F.col(size_col),
+        small.alias("rewrite"),
+        F.when(small, (fill / F.lit(int(target_bytes))).cast("long"))
+        .otherwise(F.lit(-1)).alias("bin_id"),
+    )

@@ -90,3 +90,65 @@ def test_bad_bounds_and_buckets_rejected(spark):
         df.select(zorder_value(F.col("x"), F.col("y"), (5.0, 5.0), (0, 1)))
     with pytest.raises(ValueError):
         zorder_layout(df, "x", "y", (0, 1), (0, 1), n_buckets=0)
+
+
+def _compaction_py(rows, target):
+    """(part, file_id, size) -> {(part, file_id): (rewrite, bin_id)}."""
+    out = {}
+    parts = {}
+    for p, f, s in rows:
+        parts.setdefault(p, []).append((f, s))
+    for p, files in parts.items():
+        small = sorted(
+            [(f, s) for f, s in files if s < target],
+            key=lambda t: (-t[1], t[0]),
+        )
+        fill = 0
+        for f, s in small:
+            out[(p, f)] = (True, fill // target)
+            fill += s
+        for f, s in files:
+            if s >= target:
+                out[(p, f)] = (False, -1)
+    return out
+
+
+def test_compaction_plan_matches_python_mirror(spark):
+    from kgforge.datapipe.layout import compaction_plan
+
+    rng = random.Random(11)
+    target = 1000
+    rows = [
+        (f"p{rng.randrange(3)}", i, rng.randrange(1, 2500))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "part string, file_id long, size long")
+    got = {
+        (r["part"], r["file_id"]): (r["rewrite"], r["bin_id"])
+        for r in compaction_plan(df, "part", "file_id", "size", target).collect()
+    }
+    assert got == _compaction_py(rows, target)
+
+
+def test_compaction_plan_bins_bounded_and_dense(spark):
+    from kgforge.datapipe.layout import compaction_plan
+
+    rng = random.Random(12)
+    target = 1000
+    rows = [("p", i, rng.randrange(1, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "part string, file_id long, size long")
+    plan = compaction_plan(df, "part", "file_id", "size", target).collect()
+    bins = {}
+    for r in plan:
+        assert r["rewrite"] is True
+        bins.setdefault(r["bin_id"], []).append(r["size"])
+    # dense ids from 0
+    assert sorted(bins) == list(range(len(bins)))
+    # cumulative-fill bound: every bin's total is within one file of the
+    # target (the previous bin's closing file sets how far a bin can start
+    # past its boundary, so the global max is the tight witness)
+    gmax = max(s for _, _, s in rows)
+    for b, sizes in bins.items():
+        assert sum(sizes) < target + gmax
+        if b < len(bins) - 1:
+            assert sum(sizes) > target - gmax

@@ -475,3 +475,30 @@ def test_session7_batch7_plan_quality(spark):
     assert "WindowGroupLimit" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_session9_ops_plan_quality(spark):
+    q = entry.queries()
+    # compaction planner: pure metadata job — one window over the partition
+    # key, no python nodes, no joins at all
+    plan = _plan(q["compaction_bins"](spark, SF))
+    assert "Window" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                   "SortMergeJoin", "BroadcastHashJoin"):
+        assert marker not in plan, marker
+
+    # sequence mining: everything keyed by the journey key — the per-key
+    # position window and the stats self-joins, never a cartesian and
+    # never a global (empty-partition-spec) window
+    plan = _plan(q["seq_patterns"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+    assert "SinglePartition" not in plan
+
+    # winnowing: exploded gram stream + ONE bounded sliding window per doc,
+    # all JVM (poly-hash fold is codegen aggregate-expr)
+    plan = _plan(q["winnow_fp"](spark, SF))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
