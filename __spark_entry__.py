@@ -9262,6 +9262,30 @@ def _seq_patterns(spark, sf_dir):
     )
 
 
+def _dbscan_customers(spark, sf_dir):
+    """Grid-partitioned DBSCAN (datapipe/clustering.py dbscan_grid) over a
+    deterministic 2-D embedding of customers: 12 cluster centers on a
+    10-unit grid, per-point jitter from two portable poly-hash lanes
+    (0..4 spread), eps=1, min_pts=5 — at sf0.001 the density straddles the
+    core threshold so all three roles (core/border/noise) appear."""
+    from kgforge.datapipe.clustering import dbscan_grid
+    from kgforge.datapipe.dedup import poly_hash
+
+    c = _read(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("long")
+    ks = key.cast("string")
+    cl = key % 12
+    jx = (poly_hash(ks, 31) % 1000).cast("double") / F.lit(250.0)
+    jy = (poly_hash(ks, 131) % 1000).cast("double") / F.lit(250.0)
+    pts = c.select(
+        key.alias("id"),
+        (((cl % 4) * 10).cast("double") + jx).alias("x"),
+        ((F.expr("((CAST(c_custkey AS BIGINT) % 12) div 4) * 10"))
+         .cast("double") + jy).alias("y"),
+    )
+    return dbscan_grid(pts, "id", "x", "y", eps=1.0, min_pts=5)
+
+
 def _winnow_fp(spark, sf_dir):
     """Per-document robust-winnowing fingerprint profile (textstats.py
     winnow_fingerprints, k=8 w=4): count, position/hash moments and the
@@ -9511,6 +9535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_bins": _compaction_bins,
         "seq_patterns": _seq_patterns,
         "winnow_fp": _winnow_fp,
+        "dbscan_customers": _dbscan_customers,
     }
 
 
@@ -9962,6 +9987,72 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
        CAST(sum(kmin // {radix}) AS BIGINT) AS fp_hash_sum,
        CAST(min(kmin // {radix}) AS BIGINT) AS min_fp_hash
 FROM sel GROUP BY doc_id
+"""
+
+
+def _dbscan_oracle() -> str:
+    """Portable DBSCAN mirror: same jittered points, 3x3-cell candidate
+    join, core threshold, reach-closure components (min-id labels),
+    min-label border attachment."""
+    h31 = _poly_sql("CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)", 31)
+    h131 = _poly_sql("CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)", 131)
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(((CAST(c_custkey AS BIGINT) % 12) % 4) * 10 AS DOUBLE)
+           + ({h31} % 1000) / CAST(250 AS DOUBLE) AS x,
+         CAST(((CAST(c_custkey AS BIGINT) % 12) // 4) * 10 AS DOUBLE)
+           + ({h131} % 1000) / CAST(250 AS DOUBLE) AS y
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT id, x, y, CAST(floor(x) AS BIGINT) AS cx,
+         CAST(floor(y) AS BIGINT) AS cy
+  FROM pts
+),
+offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+),
+pairs AS MATERIALIZED (
+  SELECT p.id AS a, q.id AS b
+  FROM (SELECT c.id, c.x, c.y, c.cx + o.dx AS cx, c.cy + o.dy AS cy
+        FROM cells c, offs o) p
+  JOIN cells q ON p.cx = q.cx AND p.cy = q.cy
+  WHERE p.id <> q.id
+    AND (p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y)
+        <= CAST(1 AS DOUBLE)
+),
+cores AS MATERIALIZED (
+  SELECT a AS id FROM pairs GROUP BY a HAVING count(*) + 1 >= 5
+),
+ce AS MATERIALIZED (
+  SELECT a, b FROM pairs
+  WHERE a IN (SELECT id FROM cores) AND b IN (SELECT id FROM cores)
+),
+reach(x, y) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT reach.x, ce.b FROM reach JOIN ce ON reach.y = ce.a
+),
+comp AS MATERIALIZED (SELECT x AS node, min(y) AS lbl FROM reach GROUP BY x),
+core_lbl AS MATERIALIZED (
+  SELECT cores.id, coalesce(comp.lbl, cores.id) AS cluster
+  FROM cores LEFT JOIN comp ON cores.id = comp.node
+),
+border_lbl AS MATERIALIZED (
+  SELECT pairs.a AS id, min(core_lbl.cluster) AS cluster
+  FROM pairs JOIN core_lbl ON pairs.b = core_lbl.id
+  WHERE pairs.a NOT IN (SELECT id FROM cores)
+  GROUP BY pairs.a
+)
+SELECT p.id,
+       CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+            WHEN bl.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(cl.cluster, bl.cluster) AS BIGINT) AS cluster
+FROM pts p
+LEFT JOIN core_lbl cl ON p.id = cl.id
+LEFT JOIN border_lbl bl ON p.id = bl.id
 """
 
 
@@ -11463,6 +11554,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_bins": _COMPACTION_ORACLE,
         "seq_patterns": _SEQ_PATTERNS_ORACLE,
         "winnow_fp": _winnow_fp_oracle(),
+        "dbscan_customers": _dbscan_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -186,3 +186,135 @@ def pca_project(
         )
         cols.append(F.round(fold, 6).alias(f"pc{j}"))
     return emb.select(*cols)
+
+
+def dbscan_grid(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN — Ester, Kriegel, Sander & Xu
+    1996, re-derived for Spark with the standard grid-partitioned
+    neighborhood join): a point with >= ``min_pts`` neighbors within
+    ``eps`` (itself included) is a CORE point; core points within ``eps``
+    of each other share a cluster; a non-core point within ``eps`` of a
+    core is a BORDER point of that cluster; the rest is NOISE.
+
+    The naive formulation needs an all-pairs distance matrix — corpus² and
+    dead at scale.  The Spark-first shape snaps every point to an
+    eps-sized grid cell and joins each point against only the 3x3
+    neighboring cells (a 9x explode of the smaller side, shuffled by cell
+    key — candidate count is bounded by local density, never by corpus
+    size), then exact-filters on real distance.  Core-core edges feed the
+    existing distributed hash-min connected-components loop, so cluster
+    labels are the MIN core id of the cluster — deterministic, unlike the
+    visit-order-dependent labels of the classic sequential algorithm.
+    Border points attach to the smallest cluster label among their core
+    neighbors (the deterministic resolution of DBSCAN's documented
+    border-tie ambiguity).
+
+    Output: (id, role 'core'|'border'|'noise', cluster BIGINT — NULL for
+    noise).
+    """
+    if eps <= 0 or min_pts < 1:
+        raise ValueError("eps must be > 0 and min_pts >= 1")
+    from kgforge.kg.components import connected_components
+
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col).cast("double") / F.lit(float(eps))).alias("cx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(float(eps))).alias("cy"),
+    ).persist()
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probes = (
+        pts.select("id", "x", "y", "cx", "cy",
+                   F.explode(offsets).alias("_o"))
+        .select(
+            F.col("id").alias("a"), F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            (F.col("cx") + F.col("_o.dx")).alias("cx"),
+            (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        )
+    )
+    eps2 = float(eps) * float(eps)
+    pairs = (
+        probes.join(pts.select(F.col("id").alias("b"), "x", "y", "cx", "cy"),
+                    ["cx", "cy"])
+        .filter(
+            (F.col("a") != F.col("b"))
+            & (
+                (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x"))
+                + (F.col("ay") - F.col("y")) * (F.col("ay") - F.col("y"))
+                <= F.lit(eps2)
+            )
+        )
+        .select("a", "b")
+        .persist()
+    )
+    try:
+        counts = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_n"))
+        cores = (
+            counts.filter(F.col("_n") + 1 >= F.lit(int(min_pts)))
+            .select(F.col("a").alias("id"))
+        )
+        # an isolated dense point (min_pts == 1, no neighbors) never enters
+        # `pairs`; cover it straight off the spine
+        if int(min_pts) == 1:
+            cores = pts.select("id")
+        cores = cores.persist()
+        core_edges = (
+            pairs.join(cores.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(cores.select(F.col("id").alias("b")), "b", "left_semi")
+        )
+        comp = connected_components(core_edges, src="a", dst="b")
+        core_lbl = (
+            cores.join(comp, cores["id"] == comp["node"], "left")
+            .select(cores["id"],
+                    F.coalesce(F.col("comp"), cores["id"]).alias("cluster"))
+            .persist()
+        )
+        border_lbl = (
+            pairs.join(core_lbl.withColumnRenamed("id", "b"), "b")
+            .join(cores.withColumnRenamed("id", "a"), "a", "left_anti")
+            .groupBy("a")
+            .agg(F.min("cluster").alias("cluster"))
+            .select(F.col("a").alias("id"), "cluster")
+        )
+        out = (
+            pts.select("id")
+            .join(core_lbl.select("id", F.col("cluster").alias("_cc")),
+                  "id", "left")
+            .join(border_lbl.select("id", F.col("cluster").alias("_bc")),
+                  "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_cc").isNotNull(), F.lit("core"))
+                .when(F.col("_bc").isNotNull(), F.lit("border"))
+                .otherwise(F.lit("noise")).alias("role"),
+                F.coalesce(F.col("_cc"), F.col("_bc")).cast("long")
+                .alias("cluster"),
+            )
+        )
+        # materialization fence: downstream consumers re-execute the whole
+        # DAG per action otherwise, and the persisted inputs above get
+        # unpersisted on exit (reliable checkpoint on clusters, local here)
+        from kgforge.util import truncate_lineage
+
+        out = truncate_lineage(out, eager=True)
+    finally:
+        pts.unpersist()
+        pairs.unpersist()
+        try:
+            cores.unpersist()
+            core_lbl.unpersist()
+        except Exception:
+            pass
+    return out

@@ -18,3 +18,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Plan-lineage truncation: reliable ``checkpoint`` when the session has
+    a checkpoint dir configured (cluster-safe — replicated blocks survive
+    executor loss), ``localCheckpoint`` otherwise (local mode)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
