@@ -8324,6 +8324,204 @@ FROM mi CROSS JOIN hx CROSS JOIN hy
 """
 
 
+def _ks_acctbal(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov (datapipe/hypotests.py ks_two_sample):
+    did BUILDING and MACHINERY customers draw their balances from the same
+    distribution — the distribution-drift probe between corpus slices."""
+    from kgforge.datapipe.hypotests import ks_two_sample
+
+    c = _read(spark, sf_dir, "customer")
+    return ks_two_sample(c, "c_acctbal", "c_mktsegment", "BUILDING", "MACHINERY")
+
+
+def _mwu_quantity(spark, sf_dir):
+    """Mann–Whitney U with midrank ties (hypotests.py mann_whitney_u):
+    rank-sum shift test of l_quantity between return flags A and R —
+    l_quantity's 50 distinct values exercise the tie correction hard."""
+    from kgforge.datapipe.hypotests import mann_whitney_u
+
+    li = _read(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_quantity", "l_returnflag", "A", "R")
+
+
+def _chi2_orders(spark, sf_dir):
+    """Chi-square independence + Cramér's V (hypotests.py
+    chi_square_independence) of order priority × order status."""
+    from kgforge.datapipe.hypotests import chi_square_independence
+
+    o = _read(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+def _spearman_lineitem(spark, sf_dir):
+    """Spearman rank correlation with ties (hypotests.py spearman_corr)
+    between l_quantity (50-way tied) and l_extendedprice."""
+    from kgforge.datapipe.hypotests import spearman_corr
+
+    li = _read(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+# A&S 7.1.26 erfc(x) for x >= 0, as SQL with the SAME expression tree as
+# kgforge.datapipe.hypotests._erfc_as (digit-for-digit parity at round-6).
+def _SQL_ERFC(x: str) -> str:
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 + "
+        f"{t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    return f"({poly} * exp(-(({x}) * ({x}))))"
+
+
+_KS_ACCTBAL_ORACLE = f"""
+WITH cells AS (
+  SELECT c_acctbal AS v,
+         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+         CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, sum(na_v) OVER (ORDER BY v) AS ca, sum(nb_v) OVER (ORDER BY v) AS cb
+  FROM cells
+),
+tot AS (SELECT CAST(sum(na_v) AS BIGINT) AS na, CAST(sum(nb_v) AS BIGINT) AS nb FROM cells),
+dm AS (
+  SELECT max(na) AS na, max(nb) AS nb, max(abs(ca * nb - cb * na)) AS dnum
+  FROM cum CROSS JOIN tot
+),
+fin AS (
+  SELECT na, nb, CAST(dnum AS DOUBLE) / (na * nb) AS d,
+         sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) AS en
+  FROM dm
+),
+lamt AS (SELECT na, nb, d, (en + 0.12 + 0.11 / en) * d AS lam FROM fin)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(d, 6) AS d_stat,
+       round(least(1.0, greatest(0.0, 2.0 * list_reduce(
+         list_transform(generate_series(1, 100),
+           k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                * exp(-2.0 * (k * k) * lam * lam)),
+         (a, b) -> a + b))), 6) AS p_value
+FROM lamt
+"""
+
+
+_MWU_QUANTITY_ORACLE = f"""
+WITH cells AS (
+  SELECT l_quantity AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, na_v, nb_v, na_v + nb_v AS n_v,
+         sum(na_v + nb_v) OVER (ORDER BY v) AS cum_n
+  FROM cells
+),
+agg AS (
+  SELECT CAST(sum(na_v) AS BIGINT) AS na, CAST(sum(nb_v) AS BIGINT) AS nb,
+         CAST(sum(na_v * (2 * cum_n - n_v + 1)) AS BIGINT) AS two_ra,
+         CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_t
+  FROM cum
+),
+fin AS (
+  SELECT na, nb, na + nb AS nn, two_ra - na * (na + 1) AS two_ua, tie_t FROM agg
+),
+zc AS (
+  SELECT na, nb, two_ua,
+         CAST(na AS DOUBLE) * nb
+           * (CAST(nn + 1 AS DOUBLE)
+              - CAST(tie_t AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE))
+           / 12.0 AS var
+  FROM fin
+),
+zz AS (
+  SELECT na, nb, two_ua,
+         CASE WHEN var > 0 THEN
+           (CAST(two_ua AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+             / (2.0 * sqrt(var)) END AS z
+  FROM zc
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(two_ua AS DOUBLE) / 2.0 AS u_a,
+       round(z, 6) AS z,
+       round({_SQL_ERFC("abs(z) / sqrt(2.0)")}, 6) AS p_value
+FROM zz
+"""
+
+
+_CHI2_ORDERS_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mx) AS r,
+         (SELECT CAST(count(*) AS BIGINT) FROM my) AS c
+),
+chi AS (
+  SELECT max(n) AS n,
+         sum(CAST(nxy AS DOUBLE) * nxy * n / (nx * ny)) - max(n) AS chi2
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+wh AS (
+  SELECT n, chi2, r, c, (r - 1) * (c - 1) AS dof,
+         CASE WHEN (r - 1) * (c - 1) > 0 THEN
+           (cbrt(chi2 / CAST((r - 1) * (c - 1) AS DOUBLE))
+              - (1.0 - 2.0 / (9.0 * CAST((r - 1) * (c - 1) AS DOUBLE))))
+           / sqrt(2.0 / (9.0 * CAST((r - 1) * (c - 1) AS DOUBLE))) END AS z_wh
+  FROM chi CROSS JOIN dims
+)
+SELECT CAST(n AS BIGINT) AS n, r AS r_levels, c AS c_levels,
+       CAST(dof AS BIGINT) AS dof,
+       round(CASE WHEN dof > 0 THEN chi2 END, 6) AS chi2,
+       round(CASE WHEN dof > 0 THEN
+         sqrt(chi2 / (n * least(r - 1, c - 1))) END, 6) AS cramers_v,
+       round(CASE WHEN z_wh >= 0 THEN {_SQL_ERFC("abs(z_wh) / sqrt(2.0)")} / 2.0
+                  WHEN z_wh < 0
+                  THEN 1.0 - {_SQL_ERFC("abs(z_wh) / sqrt(2.0)")} / 2.0
+             END, 6) AS p_value
+FROM wh
+"""
+
+
+_SPEARMAN_LINEITEM_ORACLE = """
+WITH rows0 AS (
+  SELECT l_quantity AS a, l_extendedprice AS b
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+ca AS (SELECT a, CAST(count(*) AS BIGINT) AS n_v FROM rows0 GROUP BY 1),
+ra AS (SELECT a, 2 * sum(n_v) OVER (ORDER BY a) - n_v + 1 AS r2a FROM ca),
+cb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_v FROM rows0 GROUP BY 1),
+rb AS (SELECT b, 2 * sum(n_v) OVER (ORDER BY b) - n_v + 1 AS r2b FROM cb),
+j AS (SELECT r2a, r2b FROM rows0 JOIN ra USING (a) JOIN rb USING (b)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r2a) AS BIGINT) AS sx, CAST(sum(r2b) AS BIGINT) AS sy,
+         CAST(sum(r2a * r2a) AS BIGINT) AS sxx,
+         CAST(sum(r2b * r2b) AS BIGINT) AS syy,
+         CAST(sum(r2a * r2b) AS BIGINT) AS sxy
+  FROM j
+),
+f AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+         sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS den
+  FROM s
+)
+SELECT n, round(CASE WHEN den > 0 THEN num / den END, 6) AS rho FROM f
+"""
+
+
 def _kg_rich_club(spark, sf_dir):
     """Rich-club coefficients (kg/graphstats.py rich_club) of the
     cosine>=0.25 similarity graph — does the hub set form its own dense
@@ -9516,6 +9714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonality": _events_seasonal,
         "nb_lang_scores": _nb_lang_scores,
         "customer_mi": _customer_mi,
+        "ks_acctbal": _ks_acctbal,
+        "mwu_quantity": _mwu_quantity,
+        "chi2_orders": _chi2_orders,
+        "spearman_lineitem": _spearman_lineitem,
         "kg_rich_club": _kg_rich_club,
         "kg_simrank": _kg_simrank,
         "kg_bowtie": _kg_bowtie,
@@ -11535,6 +11737,10 @@ def oracle_sql() -> dict[str, str]:
         "events_seasonality": _EVENTS_SEASONAL_ORACLE,
         "nb_lang_scores": _NB_SCORES_ORACLE,
         "customer_mi": _CUSTOMER_MI_ORACLE,
+        "ks_acctbal": _KS_ACCTBAL_ORACLE,
+        "mwu_quantity": _MWU_QUANTITY_ORACLE,
+        "chi2_orders": _CHI2_ORDERS_ORACLE,
+        "spearman_lineitem": _SPEARMAN_LINEITEM_ORACLE,
         "kg_rich_club": _kg_rich_club_oracle(),
         "kg_simrank": _kg_simrank_oracle(),
         "kg_bowtie": _kg_bowtie_oracle(),
