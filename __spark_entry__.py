@@ -2393,6 +2393,36 @@ def _t_closeness(spark, sf_dir):
     return t_closeness_by_group(cust, ["c_nationkey"], "c_mktsegment")
 
 
+def _k_map(spark, sf_dir):
+    """k-map risk (anonymize/privacy.py:k_map): the released sample is
+    every 7th customer; the population is the whole customer table; for
+    each sample QI group (nation, segment) count how many population rows
+    hide it — groups with < 5 population candidates are at_risk.  Two
+    combinable groupBys + one null-safe join."""
+    from kgforge.anonymize.privacy import k_map
+
+    cust = _read(spark, sf_dir, "customer")
+    samp = cust.filter(F.col("c_custkey") % 7 == 0)
+    out = k_map(samp, cust, ["c_nationkey", "c_mktsegment"], k=5)
+    return out.select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment", "n_sample", "n_population", "at_risk",
+    )
+
+
+def _assign_split(spark, sf_dir):
+    """Deterministic train/val/test split (datapipe/mix.py:assign_split):
+    portable id-hash mod 10000 cut at 8000/9000 — partition-invariant,
+    contamination-safe (adding docs never moves an existing one).  The
+    oracle replays the two-stage padded fold in DuckDB bit-exactly."""
+    from kgforge.datapipe.mix import assign_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )
+
+
 # target corpus mix: 40/30/20/10 over four sources (others dropped)
 _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
@@ -2424,6 +2454,19 @@ def _source_mix(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     kept = source_mix_sample(docs, "doc_id", "source", _MIX_TARGETS)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _split_assign_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    h = f"({_stage2_padded_sql('CAST(doc_id AS VARCHAR)')}) % 10000"
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN {h} < 8000 THEN 'train'
+                WHEN {h} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
 
 
 def _source_mix_oracle() -> str:
@@ -9659,6 +9702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _tfidf_keywords_q,
         "l_diversity": _l_diversity,
         "t_closeness": _t_closeness,
+        "k_map_risk": _k_map,
+        "split_assign": _assign_split,
         "suppress_rare_customers": _suppress_rare_customers,
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
@@ -11227,6 +11272,22 @@ def oracle_sql() -> dict[str, str]:
         FROM gv JOIN tot USING (c_nationkey) JOIN gdist USING (c_mktsegment)
         GROUP BY gv.c_nationkey
         """,
+        "k_map_risk": """
+        WITH samp AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n_sample
+          FROM customer WHERE c_custkey % 7 = 0 GROUP BY 1, 2
+        ), pop AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n_population
+          FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(samp.c_nationkey AS BIGINT) AS c_nationkey,
+               samp.c_mktsegment,
+               CAST(n_sample AS BIGINT) AS n_sample,
+               CAST(coalesce(n_population, 0) AS BIGINT) AS n_population,
+               coalesce(n_population, 0) < 5 AS at_risk
+        FROM samp LEFT JOIN pop USING (c_nationkey, c_mktsegment)
+        """,
+        "split_assign": _split_assign_oracle(),
         "source_mix": _source_mix_oracle(),
         "dsir_select": f"""
         WITH toks AS (

@@ -349,3 +349,53 @@ def pseudonymize(
     finally:
         release_rank_caches()
     return df.join(dictionary, col, "left")
+
+
+def k_map(
+    sample: DataFrame,
+    population: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-group k-map risk: for every quasi-identifier combination present
+    in the RELEASED sample, how many records of the POPULATION share it.
+
+    k-anonymity measures re-identifiability within the released table;
+    k-map (El Emam & Dankar 2008) measures it against the population an
+    attacker actually matches to — a released-unique row is safe if the
+    population still hides it among ≥ k candidates.  Output: one row per
+    sample QI group ``(*qi_cols, n_sample, n_population, at_risk)`` with
+    ``at_risk = n_population < k`` (a sample group absent from the
+    population — possible when ``population`` is itself a frame, e.g. a
+    census projection — counts 0 and is at risk).
+
+    Scale: two map-side-combinable groupBys (sample and population QI
+    tables) and one join on the QI key — null-safe per column, so NULL QI
+    values match their own population group instead of silently escaping
+    the risk count (the suppress_small_groups lesson).  No broadcast hint:
+    AQE broadcasts whichever side is small."""
+    n_s = sample.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample")
+    )
+    n_p = population.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_population")
+    )
+    p = n_p
+    for c in qi_cols:
+        p = p.withColumnRenamed(c, f"_qi_{c}")
+    cond = None
+    for c in qi_cols:
+        e = n_s[c].eqNullSafe(p[f"_qi_{c}"])
+        cond = e if cond is None else (cond & e)
+    joined = n_s.join(p, cond, "left")
+    return joined.select(
+        *[n_s[c] for c in qi_cols],
+        "n_sample",
+        F.coalesce(F.col("n_population"), F.lit(0).cast("bigint")).alias(
+            "n_population"
+        ),
+        (
+            F.coalesce(F.col("n_population"), F.lit(0).cast("bigint"))
+            < F.lit(k)
+        ).alias("at_risk"),
+    )

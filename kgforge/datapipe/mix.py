@@ -272,3 +272,44 @@ def source_divergence(
         return out.localCheckpoint(eager=True)
     finally:
         call.unpersist()
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable id hash.
+
+    Every engine, every partitioning, every rerun puts the same id in the
+    same split: the id string is folded through the magnitude-uniform
+    two-stage hash (``sketch._stage2_padded`` — the lpad-10 refold that
+    fixed KMV's order stratification), reduced mod ``buckets``, and cut at
+    the cumulative fraction thresholds ``round(Σfrac·buckets)``.  Adding
+    documents later never moves an existing one between splits (the
+    contamination guarantee a hash split exists to give); fractions are
+    honored in expectation with O(1/√n) realized error.
+
+    Output: the input frame plus a ``split`` string column.  Pure codegen
+    (fold + CASE), zero shuffle, zero state."""
+    fracs = [f for _, f in splits]
+    if not splits or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    b = _stage2_padded(F.col(id_col).cast("string")) % F.lit(buckets)
+    acc = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        acc += frac
+        thr = int(round(acc * buckets))
+        cond = b < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
