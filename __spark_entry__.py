@@ -1948,6 +1948,83 @@ FROM u
 """
 
 
+def _dp_sums(spark, sf_dir):
+    """ε-DP noisy revenue sums per order priority (anonymize/privacy.py
+    dp_group_sums): clip each o_totalprice to [0, 300000] (bounding L1
+    sensitivity at 300000), cents-exact sum, derandomized Laplace noise
+    scaled by clip/ε — release is a pure function of (data, ε, seed)."""
+    from kgforge.anonymize.privacy import dp_group_sums
+
+    orders = _read(spark, sf_dir, "orders")
+    return dp_group_sums(
+        orders, ["o_orderpriority"], "o_totalprice",
+        lo=0.0, hi=300000.0, epsilon=0.5,
+    )
+
+
+def _dp_sums_oracle(epsilon: float = 0.5, hi: float = 300000.0) -> str:
+    h = _poly_sql(
+        "(coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)) || ':dpsum')", 31
+    )
+    b = hi / epsilon
+    return f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 0
+                       ELSE CAST(round(greatest(CAST(0.0 AS DOUBLE),
+                                least(CAST({hi!r} AS DOUBLE), o_totalprice))
+                           * 100, 0) AS BIGINT) END) AS BIGINT) AS s
+  FROM orders GROUP BY 1
+),
+u AS (
+  SELECT o_orderpriority, s,
+         ({h} + 1) / 2147483648.0 - 0.5 AS v
+  FROM g
+)
+SELECT o_orderpriority,
+       CAST(s AS DOUBLE) / 100 AS clipped_sum,
+       round(CAST(s AS DOUBLE) / 100
+             + (-CAST({b!r} AS DOUBLE)) * sign(v) * ln(1.0 - 2.0 * abs(v)),
+             6) AS released
+FROM u
+"""
+
+
+def _hashed_feat(spark, sf_dir):
+    """Feature hashing (textstats.py hashed_features): signed token counts
+    into 64 fixed dims via the padded two-stage portable hash — the
+    vocabulary-free featurizer; weights are exact BIGINTs."""
+    from kgforge.datapipe.textstats import hashed_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_features(docs, "doc_id", "text", dims=64).select(
+        F.col("id").cast("bigint").alias("doc_id"), "dim", "weight"
+    )
+
+
+def _hashed_feat_oracle(dims: int = 64) -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    h = _stage2_padded_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (
+  SELECT doc_id, ({h}) AS h FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(h % {dims} AS INT) AS dim,
+       CAST(sum(CASE WHEN h % {2 * dims} < {dims} THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight
+FROM hashed GROUP BY 1, 2
+"""
+
+
 def _weighted_sample(spark, sf_dir):
     """Derandomized Efraimidis-Spirakis weighted sampling (datapipe/mix.py):
     top-50 orders by hash-key u^(1/totalprice) — inclusion probability
@@ -6700,12 +6777,10 @@ def _kg_nodesim(spark, sf_dir):
     return result
 
 
-def _kg_communities(spark, sf_dir):
-    """Deterministic label-propagation communities (kg/communities.py) over
-    the above-mean co-mention graph — 4 synchronous self-vote rounds,
-    count-DESC/label-ASC tie-break; label = anchoring entity id."""
-    from kgforge.kg.communities import label_propagation
-
+def _comention_above_mean_edges(spark, sf_dir):
+    """The above-mean co-mention edge set shared by kg_communities and
+    kg_modularity, materialized (localCheckpoint) so the temporary link
+    and count caches can be released before the caller iterates."""
     links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
     a = links.alias("a")
     b = links.alias("b")
@@ -6726,14 +6801,55 @@ def _kg_communities(spark, sf_dir):
         counts.crossJoin(F.broadcast(mean))
         .filter(F.col("n") > F.col("_mean"))
         .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .localCheckpoint(eager=True)
     )
-    result = label_propagation(kept, iterations=4)  # checkpointed internally
     links.unpersist()
     counts.unpersist()
-    return result
+    return kept
 
 
-def _kg_communities_oracle(iterations: int = 4) -> str:
+def _kg_communities(spark, sf_dir):
+    """Deterministic label-propagation communities (kg/communities.py) over
+    the above-mean co-mention graph — 4 synchronous self-vote rounds,
+    count-DESC/label-ASC tie-break; label = anchoring entity id."""
+    from kgforge.kg.communities import label_propagation
+
+    kept = _comention_above_mean_edges(spark, sf_dir)
+    return label_propagation(kept, iterations=4)  # checkpointed internally
+
+
+def _kg_modularity(spark, sf_dir):
+    """Newman modularity decomposition (kg/graphstats.py modularity) of
+    the kg_communities LPA partition over the same above-mean co-mention
+    graph — per-community (n_nodes, m_intra, d_total) exact BIGINTs plus
+    the per-row float contribution m_c/m − (d_c/2m)²; Q = Σ contribution."""
+    from kgforge.kg.communities import label_propagation
+    from kgforge.kg.graphstats import modularity
+
+    kept = _comention_above_mean_edges(spark, sf_dir)
+    labels = label_propagation(kept, iterations=4)
+    return modularity(kept, labels)
+
+
+def _kg_katz(spark, sf_dir):
+    """Truncated Katz centrality (kg/pagerank.py katz_centrality) on the
+    embedding cosine graph (the one naturally sparse graph in the
+    testdata): 6 hops, α = 1/20, exact BIGINT micro-units — walk-count
+    centrality with zero float policy, oracle-able as an unrolled integer
+    CTE."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.pagerank import katz_centrality
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    )
+    return katz_centrality(e, src="a", dst="b").select(
+        F.col("node").cast("bigint").alias("node"), "katz_mu"
+    )
+
+
+def _kg_communities_oracle(iterations: int = 4, tail: str | None = None) -> str:
     prev = "l0"
     rounds = []
     for i in range(1, iterations + 1):
@@ -6772,7 +6888,72 @@ adj AS MATERIALIZED (
 ),
 l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
 {chain}
-SELECT node, label FROM {prev}
+{tail or f"SELECT node, label FROM {prev}"}
+"""
+
+
+def _kg_modularity_oracle(iterations: int = 4) -> str:
+    lv = f"l{iterations}"
+    tail = f""",
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+intra AS MATERIALIZED (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS m_intra
+  FROM und e JOIN {lv} la ON la.node = e.a JOIN {lv} lb ON lb.node = e.b
+  WHERE la.label = lb.label GROUP BY 1
+),
+comm AS MATERIALIZED (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_total
+  FROM {lv} l LEFT JOIN deg ON deg.node = l.node GROUP BY 1
+)
+SELECT comm.label, n_nodes,
+       CAST(coalesce(m_intra, 0) AS BIGINT) AS m_intra, d_total,
+       round(CAST(coalesce(m_intra, 0) AS DOUBLE) /
+               CAST((SELECT m FROM mm) AS DOUBLE)
+             - (CAST(d_total AS DOUBLE)
+                / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+               * (CAST(d_total AS DOUBLE)
+                  / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE))),
+             6) AS contribution
+FROM comm LEFT JOIN intra USING (label)"""
+    return _kg_communities_oracle(iterations, tail=tail)
+
+
+def _kg_katz_oracle(iterations: int = 6, alpha_den: int = 20) -> str:
+    prev = "x0"
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f"""x{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(1000000 + coalesce(s.s, 0) // {alpha_den} AS BIGINT) AS x
+  FROM x0 n LEFT JOIN (
+    SELECT a.v AS node, CAST(sum(p.x) AS BIGINT) AS s
+    FROM kadj a JOIN {prev} p ON p.node = a.u GROUP BY 1
+  ) s USING (node)
+)""")
+        prev = f"x{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH ke AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+kadj AS MATERIALIZED (
+  SELECT DISTINCT a AS u, b AS v FROM ke
+  UNION ALL SELECT DISTINCT b, a FROM ke
+),
+x0 AS MATERIALIZED (
+  SELECT node, CAST(1000000 AS BIGINT) AS x FROM (
+    SELECT DISTINCT u AS node FROM kadj
+  )
+),
+{chain}
+SELECT CAST(node AS BIGINT) AS node, x AS katz_mu FROM {prev}
 """
 
 
@@ -8405,6 +8586,40 @@ def _spearman_lineitem(spark, sf_dir):
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
+def _anova_segments(spark, sf_dir):
+    """One-way ANOVA (hypotests.py anova_oneway) of account balance across
+    the five market segments — cents-exact sufficient sums, sorted-fold
+    cross-group float, Paulson–Wilson–Hilferty F p-value."""
+    from kgforge.datapipe.hypotests import anova_oneway
+
+    c = _read(spark, sf_dir, "customer")
+    return anova_oneway(c, "c_mktsegment", "c_acctbal")
+
+
+def _welch_segments(spark, sf_dir):
+    """Welch's unequal-variance t-test (hypotests.py welch_ttest):
+    AUTOMOBILE vs BUILDING mean account balance."""
+    from kgforge.datapipe.hypotests import welch_ttest
+
+    c = _read(spark, sf_dir, "customer")
+    return welch_ttest(c, "c_mktsegment", "c_acctbal", "AUTOMOBILE", "BUILDING")
+
+
+def _kendall_lineitem(spark, sf_dir):
+    """Kendall τ-b (hypotests.py kendall_tau) between quantity and
+    extended price on the deterministic 1/127 hash sample of lineitem —
+    pair counting is O(n²), so the operator enforces a bounded sample."""
+    from kgforge.datapipe.hypotests import kendall_tau
+
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "_lid",
+        F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string")),
+    )
+    return kendall_tau(li, "_lid", "l_quantity", "l_extendedprice",
+                       sample_mod=127)
+
+
 # A&S 7.1.26 erfc(x) for x >= 0, as SQL with the SAME expression tree as
 # kgforge.datapipe.hypotests._erfc_as (digit-for-digit parity at round-6).
 def _SQL_ERFC(x: str) -> str:
@@ -8562,6 +8777,145 @@ f AS (
   FROM s
 )
 SELECT n, round(CASE WHEN den > 0 THEN num / den END, 6) AS rho FROM f
+"""
+
+
+def _anova_segments_oracle() -> str:
+    # mirrors hypotests.anova_oneway at scale=100: cents-exact sufficient
+    # sums, group-key-sorted fold for the one cross-group float sum, then
+    # the identical one-row expression tree (incl. Paulson-WH p-value)
+    return f"""
+WITH cents AS (
+  SELECT coalesce(CAST(c_mktsegment AS VARCHAR), chr(0)) AS g,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(x) AS BIGINT) AS s_g,
+         CAST(sum(x * x) AS BIGINT) AS q_g
+  FROM cents GROUP BY 1
+),
+one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(s_g AS DOUBLE) * s_g / n_g ORDER BY g)),
+           (acc, t) -> acc + t) AS sw
+  FROM grp
+),
+d AS (
+  SELECT n, k,
+         q - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE) AS sstot,
+         sw - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE) AS ssb,
+         CAST(k - 1 AS DOUBLE) AS d1, CAST(n - k AS DOUBLE) AS d2
+  FROM one
+),
+fz AS (
+  SELECT n, k, sstot, ssb, d1, d2,
+         (k > 1 AND d2 > 0 AND (sstot - ssb) > 0) AS ok,
+         (ssb / d1) / ((sstot - ssb) / d2) AS f
+  FROM d
+),
+z AS (
+  SELECT n, k, sstot, ssb, ok, f,
+         ((1.0 - 2.0 / (9.0 * d2)) * cbrt(f) - (1.0 - 2.0 / (9.0 * d1)))
+         / sqrt(cbrt(f) * cbrt(f) * 2.0 / (9.0 * d2) + 2.0 / (9.0 * d1)) AS z
+  FROM fz
+)
+SELECT n, k AS k_groups,
+       round(CASE WHEN ok THEN f END, 6) AS f_stat,
+       round(CASE WHEN sstot > 0 THEN ssb / sstot END, 6) AS eta_sq,
+       round(CASE WHEN ok AND z >= 0
+                  THEN {_SQL_ERFC("abs(z) / sqrt(2.0)")} / 2.0
+                  WHEN ok
+                  THEN 1.0 - {_SQL_ERFC("abs(z) / sqrt(2.0)")} / 2.0
+             END, 6) AS p_value
+FROM z
+"""
+
+
+def _welch_segments_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT (c_mktsegment = 'AUTOMOBILE') AS ia,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    AND c_acctbal IS NOT NULL
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN ia THEN x ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN ia THEN 0 ELSE x END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN ia THEN x * x ELSE 0 END) AS BIGINT) AS qa,
+         CAST(sum(CASE WHEN ia THEN 0 ELSE x * x END) AS BIGINT) AS qb
+  FROM cents
+),
+v AS (
+  SELECT na, nb, sa, sb,
+         (qa - CAST(sa AS DOUBLE) * sa / CAST(na AS DOUBLE))
+           / (CAST(na AS DOUBLE) - 1) AS va,
+         (qb - CAST(sb AS DOUBLE) * sb / CAST(nb AS DOUBLE))
+           / (CAST(nb AS DOUBLE) - 1) AS vb
+  FROM s
+),
+u AS (
+  SELECT na, nb, sa, sb, va, vb,
+         va / CAST(na AS DOUBLE) AS ua, vb / CAST(nb AS DOUBLE) AS ub
+  FROM v
+),
+t AS (
+  SELECT na, nb, ua, ub,
+         (na > 1 AND nb > 1 AND (va + vb) > 0) AS ok,
+         (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(ua + ub) AS t,
+         (ua + ub) * (ua + ub)
+           / (ua * ua / (CAST(na AS DOUBLE) - 1)
+              + ub * ub / (CAST(nb AS DOUBLE) - 1)) AS dfw
+  FROM u
+)
+SELECT na AS n_a, nb AS n_b,
+       round(CASE WHEN ok THEN t END, 6) AS t_stat,
+       round(CASE WHEN ok THEN dfw END, 6) AS df_ws,
+       round(CASE WHEN ok THEN {_SQL_ERFC("abs(t) / sqrt(2.0)")} END, 6)
+         AS p_value
+FROM t
+"""
+
+
+def _kendall_lineitem_oracle(sample_mod: int = 127) -> str:
+    lid = ("(CAST(l_orderkey AS VARCHAR) || ':' || "
+           "CAST(l_linenumber AS VARCHAR))")
+    h = _poly_sql(lid, 31)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {lid} AS i, l_quantity AS a, l_extendedprice AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND ({h}) % {sample_mod} = 0
+),
+cls AS (
+  SELECT
+    CAST(sum(CASE WHEN sa * sb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN sa * sb = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    CAST(sum(CASE WHEN sa = 0 AND sb <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+    CAST(sum(CASE WHEN sb = 0 AND sa <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM (
+    SELECT CASE WHEN l.a < r.a THEN 1 WHEN l.a > r.a THEN -1 ELSE 0 END AS sa,
+           CASE WHEN l.b < r.b THEN 1 WHEN l.b > r.b THEN -1 ELSE 0 END AS sb
+    FROM base l JOIN base r ON l.i < r.i
+  )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+       c AS concordant, d AS discordant, tx AS ties_a, ty AS ties_b,
+       round(CASE WHEN sqrt(CAST(c + d + tx AS DOUBLE) * (c + d + ty)) > 0
+                  THEN (c - d) / sqrt(CAST(c + d + tx AS DOUBLE) * (c + d + ty))
+             END, 6) AS tau_b
+FROM cls
 """
 
 
@@ -9704,6 +10058,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": _t_closeness,
         "k_map_risk": _k_map,
         "split_assign": _assign_split,
+        "anova_segments": _anova_segments,
+        "welch_segments": _welch_segments,
+        "kendall_lineitem": _kendall_lineitem,
+        "kg_modularity": _kg_modularity,
+        "kg_katz": _kg_katz,
+        "dp_sums": _dp_sums,
+        "hashed_feat": _hashed_feat,
         "suppress_rare_customers": _suppress_rare_customers,
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
@@ -11288,6 +11649,13 @@ def oracle_sql() -> dict[str, str]:
         FROM samp LEFT JOIN pop USING (c_nationkey, c_mktsegment)
         """,
         "split_assign": _split_assign_oracle(),
+        "anova_segments": _anova_segments_oracle(),
+        "welch_segments": _welch_segments_oracle(),
+        "kendall_lineitem": _kendall_lineitem_oracle(),
+        "kg_modularity": _kg_modularity_oracle(),
+        "kg_katz": _kg_katz_oracle(),
+        "dp_sums": _dp_sums_oracle(),
+        "hashed_feat": _hashed_feat_oracle(),
         "source_mix": _source_mix_oracle(),
         "dsir_select": f"""
         WITH toks AS (

@@ -399,3 +399,66 @@ def k_map(
             < F.lit(k)
         ).alias("at_risk"),
     )
+
+
+def dp_group_sums(
+    df: DataFrame,
+    cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float,
+    seed: str = "dpsum",
+    scale: int = 100,
+) -> DataFrame:
+    """ε-DP group SUMS via clip + Laplace, derandomized like
+    :func:`dp_group_counts` (same portable-hash inverse-CDF draw, so an
+    external SQL oracle reproduces the release bit-for-bit).
+
+    Each value is clamped to [lo, hi] — the clamp bounds the per-record L1
+    sensitivity at max(|lo|, |hi|), which scales the noise — then
+    fixed-pointed to ``round(v·scale)`` BIGINTs so the group sums are
+    order-free and exact (cents by default; TPC-H money is exact at 100).
+    NULL values count as 0 toward the sum (presence is already protected
+    by the companion count release).  Released value = exact_sum + noise,
+    rounded to 6 (cross-engine ``ln`` last-ulp).
+
+    The per-release guarantee and seed-reuse caveat of dp_group_counts
+    apply verbatim — and like there, the exact ``clipped_sum`` column is a
+    NON-private diagnostic (publish only ``released``).  One combinable
+    groupBy + codegen arithmetic."""
+    from kgforge.datapipe.dedup import _POLY_MOD, poly_hash
+
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    u = (poly_hash(F.concat(key, F.lit(":" + seed))) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(_POLY_MOD + 1))
+    v = u - F.lit(0.5)
+    b = max(abs(lo), abs(hi)) / float(epsilon)
+    noise = -F.lit(b) * F.signum(v) * F.log(F.lit(1.0) - 2.0 * F.abs(v))
+    # Spark greatest/least IGNORE nulls (a NULL value would clip to a
+    # bound, not to 0) — gate on non-null explicitly
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.round(
+            F.greatest(
+                F.lit(float(lo)), F.least(F.lit(float(hi)), F.col(value_col))
+            )
+            * scale,
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        df.withColumn("_x", clipped)
+        .groupBy(*cols)
+        .agg(F.sum("_x").cast("bigint").alias("_s"))
+        .select(
+            *cols,
+            (F.col("_s").cast("double") / scale).alias("clipped_sum"),
+            F.round(F.col("_s").cast("double") / scale + noise, 6).alias(
+                "released"
+            ),
+        )
+    )

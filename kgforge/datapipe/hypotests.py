@@ -384,3 +384,226 @@ def spearman_corr(
         "n",
         F.round(F.when(den > 0, num / den), 6).alias("rho"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, scale: int = 100
+) -> DataFrame:
+    """One-way ANOVA: does the mean of ``value_col`` differ across the
+    levels of ``group_col``?
+
+    Output: one row ``(n, k_groups, f_stat, eta_sq, p_value)``.  Values are
+    fixed-pointed to integers (``round(value·scale)`` — cents by default, so
+    TPC-H two-decimal money is EXACT) making every sufficient sum (n_g,
+    Σx_g, Σx²_g) an order-free BIGINT; the only cross-group float sum,
+    ``Σ_g s_g²/n_g``, is folded over the group list SORTED BY GROUP KEY so
+    the IEEE addition order is fixed and an external oracle reproduces it
+    bit-for-bit.  p-value via the Paulson–Wilson–Hilferty cube-root normal
+    approximation of the F distribution (elementary ops only, mirrored
+    verbatim in SQL):
+
+        z = [(1 − 2/(9·d2))·F^⅓ − (1 − 2/(9·d1))]
+            / √(F^⅔·2/(9·d2) + 2/(9·d1))
+
+    Scale: one map-side-combinable groupBy (k rows out), one single-row
+    agg.  BIGINT-safe while Σx² < 2^63 (~10^5 rows of 10^6-cent values per
+    ~10^6 groups; money-sized data never gets close).  NULL values drop;
+    NULL group keys form their own level."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("g"),
+            F.round(F.col(value_col) * scale, 0).cast("bigint").alias("x"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("x").cast("bigint").alias("s_g"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q_g"),
+        )
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.coalesce(F.col("g"), F.lit("\x00")).alias("g"),
+                        (
+                            F.col("s_g").cast("double")
+                            * F.col("s_g")
+                            / F.col("n_g")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("sw"),
+    )
+    n = F.col("n").cast("double")
+    sstot = F.col("q") - F.col("s").cast("double") * F.col("s") / n
+    ssb = F.col("sw") - F.col("s").cast("double") * F.col("s") / n
+    ssw = sstot - ssb
+    d1 = (F.col("k") - F.lit(1)).cast("double")
+    d2 = (F.col("n") - F.col("k")).cast("double")
+    fstat = (ssb / d1) / (ssw / d2)
+    z = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d2)) * F.cbrt(F.col("f"))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * d1))
+    ) / F.sqrt(
+        F.cbrt(F.col("f")) * F.cbrt(F.col("f")) * F.lit(2.0) / (F.lit(9.0) * d2)
+        + F.lit(2.0) / (F.lit(9.0) * d1)
+    )
+    half = _erfc_as(F.abs(F.col("z")) / F.lit(math.sqrt(2.0))) / F.lit(2.0)
+    p = F.when(F.col("z") >= 0, half).otherwise(F.lit(1.0) - half)
+    ok = (F.col("k") > 1) & (d2 > 0) & (ssw > 0)
+    return (
+        one.withColumn("f", F.when(ok, fstat))
+        .withColumn("z", F.when(ok, z))
+        .select(
+            "n",
+            F.col("k").alias("k_groups"),
+            F.round(F.col("f"), 6).alias("f_stat"),
+            F.round(F.when(sstot > 0, ssb / sstot), 6).alias("eta_sq"),
+            F.round(F.when(ok, p), 6).alias("p_value"),
+        )
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the rows where
+    ``group_col`` equals ``group_a`` vs ``group_b``.
+
+    Output: one row ``(n_a, n_b, t_stat, df_ws, p_value)``.  Same exactness
+    scheme as :func:`anova_oneway`: values fixed-pointed to integers so the
+    six sufficient sums are order-free BIGINTs, then ONE row of float math:
+
+        t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             [(v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1)]   (Welch–Satterthwaite)
+
+    with v the unbiased sample variance.  The p-value uses the NORMAL
+    approximation of the t distribution (two-sided ``erfc(|t|/√2)``) —
+    accurate to ~1e-3 once df ≳ 100; this operator targets corpus-scale
+    groups, and the approximation is documented so small-df callers know.
+
+    Scale: one filtered conditional agg, no shuffle beyond the map-side
+    combine."""
+    d = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).alias("ia"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("x"),
+    )
+    s = d.agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("ia"), F.col("x")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(~F.col("ia"), F.col("x")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(F.col("ia"), F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint").alias("qa"),
+        F.sum(F.when(~F.col("ia"), F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint").alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    va = (F.col("qa") - F.col("sa").cast("double") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("qb") - F.col("sb").cast("double") * F.col("sb") / nb) / (nb - 1)
+    ua, ub = va / na, vb / nb
+    # numerator and denominator are both in scaled units, so t is
+    # invariant to the fixed-point scale
+    t = (F.col("sa").cast("double") / na - F.col("sb").cast("double") / nb) / F.sqrt(ua + ub)
+    dfw = (ua + ub) * (ua + ub) / (ua * ua / (na - 1) + ub * ub / (nb - 1))
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & ((va + vb) > 0)
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dfw), 6).alias("df_ws"),
+        F.round(F.when(ok, _normal_sf2(t)), 6).alias("p_value"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    id_col: str,
+    col_a: str,
+    col_b: str,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation with tie corrections.
+
+    Output: one row ``(n, concordant, discordant, ties_a, ties_b, tau_b)``
+    — the four pair classes are exact BIGINTs; τ-b = (C − D) /
+    √((C+D+Tx)(C+D+Ty)) is the only float, rounded to 6.
+
+    Pair counting is inherently O(n²) (the merge-sort O(n log n) trick
+    does not distribute without a global sort), so this operator REQUIRES
+    a bounded input and enforces it: rows are pre-thinned to the
+    deterministic portable-hash sample ``poly_hash(id) % sample_mod == 0``
+    (``sample_mod=1`` keeps everything).  Size the sample to ≲5k rows —
+    25M codegen pair comparisons, still sub-second — and treat the result
+    as the estimate it is.  The self-join is a half-matrix ``id_a < id_b``
+    broadcast-range join; both NULL axes drop."""
+    from kgforge.datapipe.dedup import poly_hash
+
+    base = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("i"),
+            F.col(col_a).alias("a"),
+            F.col(col_b).alias("b"),
+        )
+    )
+    if sample_mod > 1:
+        base = base.filter(poly_hash(F.col("i")) % sample_mod == 0)
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, F.col("l.i") < F.col("r.i"))
+    sa = F.when(F.col("l.a") < F.col("r.a"), 1).when(
+        F.col("l.a") > F.col("r.a"), -1
+    ).otherwise(0)
+    sb = F.when(F.col("l.b") < F.col("r.b"), 1).when(
+        F.col("l.b") > F.col("r.b"), -1
+    ).otherwise(0)
+    cls = (
+        pairs.select(sa.alias("sa"), sb.alias("sb"))
+        .agg(
+            F.sum(F.when((F.col("sa") * F.col("sb")) == 1, 1).otherwise(0))
+            .cast("bigint").alias("c"),
+            F.sum(F.when((F.col("sa") * F.col("sb")) == -1, 1).otherwise(0))
+            .cast("bigint").alias("d"),
+            F.sum(
+                F.when((F.col("sa") == 0) & (F.col("sb") != 0), 1).otherwise(0)
+            ).cast("bigint").alias("tx"),
+            F.sum(
+                F.when((F.col("sb") == 0) & (F.col("sa") != 0), 1).otherwise(0)
+            ).cast("bigint").alias("ty"),
+        )
+        .crossJoin(
+            F.broadcast(base.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+        )
+    )
+    den = F.sqrt(
+        (F.col("c") + F.col("d") + F.col("tx")).cast("double")
+        * (F.col("c") + F.col("d") + F.col("ty"))
+    )
+    return cls.select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_a"),
+        F.col("ty").alias("ties_b"),
+        F.round(F.when(den > 0, (F.col("c") - F.col("d")) / den), 6)
+        .alias("tau_b"),
+    )

@@ -758,3 +758,41 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
         (F.lit(RADIX - 1) - F.col("_kmin") % F.lit(RADIX)).alias("fp_pos"),
         F.expr(f"_kmin div {RADIX}").alias("fp_hash"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dims: int = 64,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009): map
+    each token to a fixed-width feature index with a signed count, so the
+    feature space never needs a fitted vocabulary — the property that makes
+    it THE featurizer for unbounded-vocabulary streams.
+
+    index = stage2_padded(tok) mod dims;  sign = ±1 from the hash's next
+    bit (``div dims`` parity) — the sign flip makes collisions cancel in
+    expectation instead of biasing counts upward (the paper's key trick).
+    Output: sparse ``(id, dim, weight)`` rows, weight = Σ signs as BIGINT
+    (exact, order-free); densify downstream only if a model needs it.
+
+    Scale: explode + one combinable groupBy — no vocabulary broadcast, no
+    fitted state, dimensionality fixed at write time."""
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = _stage2_padded(F.col("tok"))
+    # sign bit: parity of (h div dims) == whether h mod 2·dims lands in the
+    # upper half — pure modular arithmetic, mirrors verbatim in any SQL
+    return (
+        toks.withColumn("dim", (h % dims).cast("int"))
+        .withColumn(
+            "sign", F.when((h % (2 * dims)) < dims, 1).otherwise(-1)
+        )
+        .groupBy("id", "dim")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+    )

@@ -167,3 +167,88 @@ def rich_club(
             ),
         ).alias("phi"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Per-community Newman modularity decomposition of a partition.
+
+    Input: an edge list and a (node, label) partition (e.g. the output of
+    :func:`kgforge.kg.communities.label_propagation`).  Output: one row per
+    community ``(label, n_nodes, m_intra, d_total, contribution)`` where
+    ``contribution = m_c/m − (d_c/2m)²`` — Q is the sum of the column.
+    Nodes that carry edges but no label (or vice versa) are ignored for
+    m_intra but labeled nodes always appear with their degree mass, so a
+    partition that forgets nodes shows up as missing rows, not silent Q
+    drift.
+
+    Everything per row is integer-exact (m, m_c, d_c are BIGINTs; the one
+    float expression is per-community), so the output needs no
+    cross-community float ordering at all — callers wanting total Q should
+    sum ``contribution`` over the labels SORTED for a reproducible float
+    (or accept last-ulp variance).
+
+    Scale: canonicalize edges, two label-dictionary joins (AQE broadcasts
+    when small, shuffle-hash otherwise), two combinable groupBys.  No
+    self-joins, no windows."""
+    und = _canonical(edges, src, dst).persist()
+    lab = labels.select(
+        F.col(node).alias("_n"), F.col(label).alias("_l")
+    ).persist()
+    try:
+        m = und.count()
+        la = lab.select(F.col("_n").alias("a"), F.col("_l").alias("la"))
+        lb = lab.select(F.col("_n").alias("b"), F.col("_l").alias("lb"))
+        tagged = und.join(la, "a").join(lb, "b")
+        intra = (
+            tagged.filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m_intra"))
+        )
+        deg = (
+            und.select(F.col("a").alias("_n"))
+            .unionByName(und.select(F.col("b").alias("_n")))
+            .groupBy("_n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        comm = (
+            lab.join(deg, "_n", "left")
+            .groupBy(F.col("_l").alias("label"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum(F.coalesce(F.col("d"), F.lit(0)))
+                .cast("bigint")
+                .alias("d_total"),
+            )
+        )
+        out = comm.join(intra, "label", "left").select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("m_intra"), F.lit(0).cast("bigint")).alias(
+                "m_intra"
+            ),
+            "d_total",
+            F.round(
+                F.when(
+                    F.lit(m > 0),
+                    F.coalesce(F.col("m_intra"), F.lit(0)).cast("double")
+                    / F.lit(float(m or 1))
+                    - (
+                        F.col("d_total").cast("double")
+                        / F.lit(2.0 * (m or 1))
+                    )
+                    * (F.col("d_total").cast("double") / F.lit(2.0 * (m or 1))),
+                ),
+                6,
+            ).alias("contribution"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        lab.unpersist()
