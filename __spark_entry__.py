@@ -1651,6 +1651,51 @@ FROM v GROUP BY doc_id, w, h
 """
 
 
+def _frame_sample(spark, sf_dir):
+    """Video-style frame sampling over a REAL multi-image P6 stream
+    (multimodal.py synth_ppm_stream + sample_stream_frames): every doc
+    gets a 2-5 frame NetPBM container, the sampler walks frame headers
+    (skipped frames are a header parse + offset jump, never an array) and
+    decodes every 2nd frame to exact per-channel sums.  The oracle
+    reproduces the frame raster formula per (doc, frame)."""
+    from kgforge.datapipe.multimodal import sample_stream_frames, synth_ppm_stream
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return sample_stream_frames(synth_ppm_stream(docs.select("doc_id")), every=2)
+
+
+def _frame_sample_oracle() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id % 50 = 0
+),
+fr AS (
+  SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+  FROM d
+),
+v AS (
+  SELECT doc_id, w, h, nf, f, j,
+         (doc_id * 37 + f * 13 + j * 101) % 256 AS byte
+  FROM (
+    SELECT doc_id, w, h, nf, f,
+           unnest(generate_series(0, w * h * 3 - 1)) AS j
+    FROM fr WHERE f % 2 = 0
+  )
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN j % 3 = 0 THEN byte END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN j % 3 = 1 THEN byte END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN j % 3 = 2 THEN byte END) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id, f, nf, w, h
+"""
+
+
 def _audio_triples(spark, sf_dir):
     """Media decode → KG materialization: the audio rows of the portable
     media sidecar get REAL WAV payloads (stdlib wave encoder), the REAL
@@ -9978,6 +10023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "wav_stats": _wav_stats,
         "ppm_stats": _ppm_stats,
+        "frame_sample": _frame_sample,
         "audio_triples": _audio_triples,
         # — text analysis / curation —
         "token_stats": _token_stats,
@@ -11411,6 +11457,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_oracle(),
         "wav_stats": _wav_stats_oracle(),
         "ppm_stats": _ppm_stats_oracle(),
+        "frame_sample": _frame_sample_oracle(),
         "normalize_text": r"""
         WITH t AS (
           SELECT doc_id AS id, text || CASE WHEN doc_id % 4 = 0 THEN

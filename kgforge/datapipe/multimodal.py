@@ -336,3 +336,141 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def synth_ppm_stream(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (id, payload) where payload is a REAL multi-image NetPBM
+    stream: ``2 + id % 4`` P6 frames concatenated back-to-back (the NetPBM
+    spec explicitly allows multi-image files — this is the
+    poor-codec's video container).  Frame ``f``'s raster byte ``j`` is
+
+        (id·37 + f·13 + j·101) % 256
+
+    over the same ``w = 8 + id % 8, h = 6 + id % 6`` geometry as
+    :func:`synth_ppm_payloads` — pure integer arithmetic, so an external
+    SQL oracle reproduces every sampled frame's statistics exactly."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                seed = int(rid)
+                w, h = 8 + seed % 8, 6 + seed % 6
+                j = np.arange(w * h * 3, dtype=np.int64)
+                frames = []
+                for f in range(2 + seed % 4):
+                    raster = ((seed * 37 + f * 13 + j * 101) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(
+                        f"P6\n{w} {h}\n255\n".encode("ascii")
+                        + raster.tobytes()
+                    )
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema=out_schema
+    )
+
+
+def _walk_ppm_frame(data: bytes, pos: int):
+    """Parse one P6 frame header starting at ``pos`` WITHOUT copying the
+    raster: returns (w, h, maxval, raster_offset, end_offset) — the same
+    comment-tolerant header grammar as :func:`_parse_ppm`, but
+    position-tracking so a multi-image stream can be walked frame to frame
+    (skipped frames cost a header parse + an offset jump, no byte copy)."""
+    if data[pos : pos + 2] != b"P6":
+        raise ValueError("not a P6 PPM frame")
+    p = pos + 2
+    tokens = []
+    while len(tokens) < 3:
+        while p < len(data) and data[p : p + 1].isspace():
+            p += 1
+        if data[p : p + 1] == b"#":
+            while p < len(data) and data[p : p + 1] != b"\n":
+                p += 1
+            continue
+        start = p
+        while p < len(data) and not data[p : p + 1].isspace():
+            p += 1
+        tokens.append(int(data[start:p]))
+    p += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    end = p + w * h * 3
+    if end > len(data):
+        raise ValueError("truncated PPM raster")
+    return w, h, maxval, p, end
+
+
+def sample_stream_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every: int = 2,
+) -> DataFrame:
+    """REAL frame sampling over a multi-image P6 stream: walk the container
+    frame by frame (each header parse yields the exact raster length, i.e.
+    the seek distance to the next frame), decode ONLY frames where
+    ``frame_idx % every == 0``, and emit per-sampled-frame integer stats
+    ``(id, frame_idx, n_frames, width, height, sum_r, sum_g, sum_b)``.
+
+    Skipped frames are never materialized as arrays — the walk reads their
+    header and jumps, which is the honest analogue of container-level
+    keyframe seeking.  Arrow-batched ``mapInPandas``; per-task memory is
+    one payload at a time, so partitioning by id scales this to any corpus
+    where a single media object fits in an executor core's slice."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+        ]
+    )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                pos, fidx, sampled = 0, 0, []
+                while pos < len(data):
+                    w, h, _maxval, raster_at, end = _walk_ppm_frame(data, pos)
+                    if fidx % every == 0:
+                        arr = np.frombuffer(
+                            data, dtype=np.uint8,
+                            count=w * h * 3, offset=raster_at,
+                        ).astype(np.int64)
+                        px = arr.reshape(-1, 3)
+                        sampled.append(
+                            (
+                                fidx, w, h,
+                                int(px[:, 0].sum()),
+                                int(px[:, 1].sum()),
+                                int(px[:, 2].sum()),
+                            )
+                        )
+                    pos = end
+                    fidx += 1
+                for f, w, h, sr, sg, sb in sampled:
+                    rows.append((int(rid), f, fidx, w, h, sr, sg, sb))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(decode, schema=out_schema)
