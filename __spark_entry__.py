@@ -2578,6 +2578,210 @@ def _source_mix(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _source_temp(spark, sf_dir):
+    """Temperature-scaled source mixing (datapipe/mix.py
+    source_temperature_sample, α = 0.5): sqrt-flattened source shares, the
+    multilingual-pretraining resampling standard — binding (smallest)
+    source keeps 100%, larger sources keep (n_min/n_s)^0.5 by portable
+    id-hash."""
+    from kgforge.datapipe.mix import source_temperature_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = source_temperature_sample(docs, "doc_id", "source", alpha=0.5)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _source_temp_oracle() -> str:
+    h = _poly_sql("CAST(doc_id AS VARCHAR)", 1000003)
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+cap AS (SELECT min(n / sqrt(CAST(n AS DOUBLE))) AS c FROM counts),
+rates AS (
+  SELECT source,
+         CAST(floor(least(CAST(1.0 AS DOUBLE),
+                          sqrt(CAST(n AS DOUBLE)) * (SELECT c FROM cap) / n)
+                    * 1000000) AS BIGINT) AS ppm
+  FROM counts
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ({h}) % 1000000 < r.ppm
+GROUP BY d.source
+"""
+
+
+def _bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap (datapipe/stats.py poisson_bootstrap_means — the
+    coordination-free web-scale bootstrap, Chamandy et al. 2012): 32
+    derandomized Poisson(1)-weighted resample means of o_totalprice;
+    weights from the padded portable hash through precomputed CDF
+    literals, sums cents-exact."""
+    from kgforge.datapipe.stats import poisson_bootstrap_means
+
+    orders = _read(spark, sf_dir, "orders")
+    return poisson_bootstrap_means(orders, "o_orderkey", "o_totalprice",
+                                   n_boot=32)
+
+
+def _bootstrap_ci_oracle(n_boot: int = 32) -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+    from kgforge.datapipe.stats import _POIS1_CDF
+
+    h = _stage2_padded_sql(
+        "(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':boot')"
+    )
+    cases = " ".join(
+        f"WHEN u < CAST({thr!r} AS DOUBLE) THEN {k}"
+        for k, thr in enumerate(_POIS1_CDF)
+    )
+    return f"""
+WITH ex AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+         unnest(range(0, {n_boot})) AS b
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+u AS (
+  SELECT b, x, (({h}) + 1) / 2147483648.0 AS u FROM ex
+),
+w AS (
+  SELECT b, x, CAST(CASE {cases} ELSE 9 END AS BIGINT) AS w FROM u
+)
+SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CASE WHEN sum(w) > 0
+                  THEN CAST(sum(w * x) AS DOUBLE) / sum(w) / 100 END,
+             6) AS mean
+FROM w GROUP BY b
+"""
+
+
+_RR_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                "MACHINERY"]
+
+
+def _rr_release(spark, sf_dir):
+    """Warner randomized response (anonymize/privacy.py
+    randomized_response + rr_frequency_estimate): local-DP release of the
+    market segment (p_true = 0.75, uniform replacement over the 5
+    segments), then the unbiased frequency debias — coin and pick are
+    integer hash comparisons, bit-reproducible."""
+    from kgforge.anonymize.privacy import (
+        randomized_response,
+        rr_frequency_estimate,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    rel = randomized_response(cust, "c_custkey", "c_mktsegment",
+                              _RR_SEGMENTS, p_true=0.75)
+    return rr_frequency_estimate(rel, "c_mktsegment", k=len(_RR_SEGMENTS),
+                                 p_true=0.75)
+
+
+def _rr_release_oracle(p_true: float = 0.75) -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    k = len(_RR_SEGMENTS)
+    thr = int(p_true * 2147483648.0)
+    coin = _stage2_padded_sql("(CAST(c_custkey AS VARCHAR) || ':rr')")
+    pick = _stage2_padded_sql("(CAST(c_custkey AS VARCHAR) || ':rr#pick')")
+    domain = ", ".join(f"'{c}'" for c in sorted(_RR_SEGMENTS))
+    return f"""
+WITH rel AS (
+  SELECT CASE WHEN ({coin}) < {thr}
+                   AND c_mktsegment IN ({domain})
+              THEN c_mktsegment
+              ELSE list_extract([{domain}], CAST(({pick}) % {k} AS INT) + 1)
+         END AS category
+  FROM customer
+),
+n AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n_obs FROM rel GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM rel)
+SELECT category, n_obs,
+       round((CAST(n_obs AS DOUBLE) / (SELECT t FROM tot)
+              - CAST({(1.0 - p_true) / k!r} AS DOUBLE))
+             / CAST({p_true!r} AS DOUBLE), 6) AS pi_hat
+FROM n
+"""
+
+
+def _calibration(spark, sf_dir):
+    """Reliability diagram + Brier score (datapipe/classify.py
+    calibration_bins) for "EN-stopword density predicts the document is
+    English": p = min(5·stopword_ratio, 1) vs label lang = 'en' — integer
+    micro-unit binning, exact BIGINT Brier sum."""
+    from kgforge.datapipe.classify import calibration_bins
+    from kgforge.datapipe.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text").select(
+        "id", "stopword_ratio"
+    )
+    scored = (
+        docs.select(F.col("doc_id").alias("id"), "lang")
+        .join(q, "id")
+        .select(
+            F.least(F.col("stopword_ratio") * 5, F.lit(1.0)).alias("p"),
+            (F.col("lang") == "en").alias("y"),
+        )
+    )
+    return calibration_bins(scored, "p", "y", bins=10)
+
+
+_SQL_STOPWORDS = ("'the','a','an','and','or','of','to','in','is','are','was',"
+                  "'were','be','been','it','this','that','with','for','on',"
+                  "'as','at','by','from','not','but','they','he','she','we',"
+                  "'you','i'")
+
+
+def _calibration_oracle(bins: int = 10) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT least(round(len(list_filter(list_distinct(toks),
+                       x -> x IN ({_SQL_STOPWORDS}))) * 1.0
+               / greatest(len(list_distinct(toks)), 1), 6) * 5,
+              CAST(1.0 AS DOUBLE)) AS p,
+         (lang = 'en') AS y
+  FROM t
+),
+mu AS (
+  SELECT CAST(round(p * 1000000, 0) AS BIGINT) AS p_mu,
+         CAST(CASE WHEN y THEN 1 ELSE 0 END AS BIGINT) AS yv
+  FROM scored WHERE p IS NOT NULL
+),
+binned AS (
+  SELECT least((p_mu * {bins}) // 1000000, {bins - 1}) AS bin, p_mu, yv
+  FROM mu
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(p_mu) AS BIGINT) AS sp,
+         CAST(sum(yv) AS BIGINT) AS n_pos,
+         CAST(sum((p_mu - yv * 1000000) * (p_mu - yv * 1000000))
+              AS BIGINT) AS sq
+  FROM binned GROUP BY 1
+),
+gb AS (
+  SELECT round(CAST(sum(sq) AS DOUBLE) / sum(n) / 1.0e12, 6) AS brier
+  FROM per
+)
+SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+       round(CAST(sp AS DOUBLE) / n / 1.0e6, 6) AS mean_pred,
+       round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+       round(abs(CAST(n_pos AS DOUBLE) / n
+                 - CAST(sp AS DOUBLE) / n / 1.0e6), 6) AS gap,
+       (SELECT brier FROM gb) AS brier
+FROM per
+"""
+
+
 def _split_assign_oracle() -> str:
     from kgforge.datapipe.sketch import _stage2_padded_sql
 
@@ -10111,6 +10315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_katz": _kg_katz,
         "dp_sums": _dp_sums,
         "hashed_feat": _hashed_feat,
+        "source_temp": _source_temp,
+        "bootstrap_ci": _bootstrap_ci,
+        "rr_release": _rr_release,
+        "calibration": _calibration,
         "suppress_rare_customers": _suppress_rare_customers,
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
@@ -11703,6 +11911,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_katz": _kg_katz_oracle(),
         "dp_sums": _dp_sums_oracle(),
         "hashed_feat": _hashed_feat_oracle(),
+        "source_temp": _source_temp_oracle(),
+        "bootstrap_ci": _bootstrap_ci_oracle(),
+        "rr_release": _rr_release_oracle(),
+        "calibration": _calibration_oracle(),
         "source_mix": _source_mix_oracle(),
         "dsir_select": f"""
         WITH toks AS (

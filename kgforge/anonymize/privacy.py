@@ -462,3 +462,74 @@ def dp_group_sums(
             ),
         )
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    categories: list[str],
+    p_true: float = 0.75,
+    seed: str = "rr",
+) -> DataFrame:
+    """Warner-style randomized response over a categorical column: each
+    row reports its TRUE category with probability ``p_true``, otherwise a
+    uniform draw from ``categories`` — the classic local-DP release (per
+    row ε = ln(p + (1−p)/k) − ln((1−p)/k)).
+
+    Derandomized like the Laplace operators: the keep/replace coin is the
+    INTEGER comparison ``stage2(id:seed) < floor(p_true·2^31)`` (exact —
+    no float boundary), and the replacement index is a second independent
+    hash lane mod k.  Rows whose true value is outside ``categories`` are
+    released as a uniform draw regardless (they cannot be represented
+    truthfully without widening the domain).
+
+    Output: the input frame with ``col`` replaced by the noisy value.  Use
+    :func:`rr_frequency_estimate` to debias released counts.  Pure codegen
+    — zero shuffle."""
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    if not categories:
+        raise ValueError("categories must not be empty")
+    if not (0.0 < p_true <= 1.0):
+        raise ValueError("p_true must be in (0, 1]")
+    k = len(categories)
+    thr = int(p_true * 2147483648.0)
+    coin = _stage2_padded(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    pick = _stage2_padded(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed + "#pick"))
+    ) % F.lit(k)
+    domain = F.array(*[F.lit(c) for c in sorted(categories)])
+    noisy = F.when(
+        (coin < F.lit(thr)) & F.col(col).isin(categories), F.col(col)
+    ).otherwise(F.element_at(domain, (pick + F.lit(1)).cast("int")))
+    return df.withColumn(col, noisy)
+
+
+def rr_frequency_estimate(
+    released: DataFrame, col: str, k: int, p_true: float = 0.75
+) -> DataFrame:
+    """Unbiased category-frequency estimator for a
+    :func:`randomized_response` release: observed share
+    ``q_c = p·π_c + (1−p)/k`` inverts to ``π̂_c = (q_c − (1−p)/k) / p``.
+
+    Output: ``(category, n_obs, pi_hat)`` — counts exact, the estimate the
+    one float (can be slightly negative for rare categories; that is the
+    unbiasedness trade, not a bug).  One combinable groupBy."""
+    n = released.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = released.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    q = F.col("n_obs").cast("double") / F.col("_n")
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_obs",
+            F.round(
+                (q - F.lit((1.0 - p_true) / k)) / F.lit(p_true), 6
+            ).alias("pi_hat"),
+        )
+    )

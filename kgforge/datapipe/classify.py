@@ -204,3 +204,69 @@ def classifier_eval(
         F.round(F.sum("_f1raw") / F.count(F.lit(1)), 6).alias("macro_f1"),
     )
     return scored.drop("_f1raw").crossJoin(F.broadcast(glob))
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic classifier:
+    does predicted probability p actually mean "right p of the time"?
+
+    Probabilities are fixed-pointed to micro-units (``round(p·10⁶)``) so
+    bin assignment is INTEGER arithmetic (``least(p_mu·bins div 10⁶,
+    bins−1)`` — no float-floor boundary anywhere) and the per-bin sums and
+    the global Brier sum ``Σ (p_mu − y·10⁶)²`` are exact BIGINTs
+    (int64-safe to ~9·10⁶ rows per partition-free total at 10¹² per-row
+    mass — switch the Brier sum to decimal(38,0) beyond ~10⁹ rows).
+
+    Output: one row per non-empty bin ``(bin, n, mean_pred, frac_pos,
+    gap, brier)`` — gap = |frac_pos − mean_pred| is the per-bin
+    calibration error, brier the global score repeated per row
+    (classifier_eval's broadcast-one-row convention).
+
+    Scale: one combinable groupBy on the bin id (≤ bins rows out)."""
+    p_mu = F.round(F.col(prob_col) * 1000000, 0).cast("bigint")
+    y = F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).cast("bigint")
+    d = (
+        df.filter(F.col(prob_col).isNotNull())
+        .select(p_mu.alias("_p"), y.alias("_y"))
+        .select(
+            F.least(
+                F.expr(f"(_p * {int(bins)}) div 1000000"),
+                F.lit(bins - 1).cast("bigint"),
+            ).alias("bin"),
+            "_p",
+            "_y",
+        )
+    )
+    per = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_p").cast("bigint").alias("_sp"),
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(
+            (F.col("_p") - F.col("_y") * 1000000)
+            * (F.col("_p") - F.col("_y") * 1000000)
+        ).cast("bigint").alias("_sq"),
+    )
+    glob = per.agg(
+        F.round(
+            F.sum("_sq").cast("double") / F.sum("n") / F.lit(1.0e12), 6
+        ).alias("brier")
+    )
+    mean_pred = F.col("_sp").cast("double") / F.col("n") / F.lit(1.0e6)
+    frac_pos = F.col("n_pos").cast("double") / F.col("n")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(mean_pred, 6).alias("mean_pred"),
+            F.round(frac_pos, 6).alias("frac_pos"),
+            F.round(F.abs(frac_pos - mean_pred), 6).alias("gap"),
+            "brier",
+        )
+    )

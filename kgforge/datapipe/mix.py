@@ -313,3 +313,52 @@ def assign_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def source_temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    standard, e.g. mBERT/XLM-R exponent-smoothed sampling): target weight
+    ``w_s ∝ n_s^α``, α < 1 flattening the source distribution toward
+    uniform (α=1 keeps natural proportions, α=0 is fully uniform).  Since a
+    batch sampler cannot upsample, the achievable total is capped by the
+    binding source exactly as :func:`source_mix_sample`:
+    ``T = min_s n_s/w_s``, ``rate_s = w_s·T/n_s`` — under temperature
+    weights the binding source is the SMALLEST one (it keeps 100%), and
+    every larger source keeps ``(n_bind/n_s)^(1-α)`` of its rows.
+
+    Row selection is the portable id-hash, so the sample is a pure
+    function of (table, α).  α = 0.5 (the default) computes weights with
+    ``sqrt`` — IEEE-correctly-rounded in every engine, so the ppm rate
+    thresholds reproduce bit-exactly in an external oracle; other α go
+    through ``pow``, whose last ulp is engine-specific (documented
+    boundary risk of one row per ~10⁶ at a ppm threshold).
+
+    Scale: identical shape to source_mix_sample — one combinable groupBy
+    over the source vocabulary, broadcast rates, codegen filter."""
+    from kgforge.datapipe.dedup import poly_hash
+
+    n = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.sqrt(F.col("_n")) if alpha == 0.5 else F.pow(F.col("_n"), F.lit(alpha))
+    sized = n.withColumn("_w", w)
+    cap = sized.agg(F.min(F.col("_n") / F.col("_w")).alias("_cap"))
+    rates = (
+        sized.crossJoin(F.broadcast(cap))
+        .select(
+            source_col,
+            F.floor(
+                F.least(F.lit(1.0), F.col("_w") * F.col("_cap") / F.col("_n"))
+                * _RATE_DENOM
+            ).alias("_rate_ppm"),
+        )
+    )
+    h = poly_hash(F.col(id_col).cast("string"), 1000003)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h % _RATE_DENOM < F.col("_rate_ppm"))
+        .drop("_rate_ppm")
+    )

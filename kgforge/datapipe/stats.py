@@ -262,3 +262,85 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             ),
         ).alias("nmi"),
     )
+
+
+# cumulative Poisson(1) CDF thresholds F(k) = e^{-1}·Σ_{i<=k} 1/i!, k = 0..8;
+# nine literals shared VERBATIM with SQL oracles (repr on both sides), so the
+# weight lookup is a pure threshold comparison — no exp/factorial at runtime
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974021,
+]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_boot: int = 32,
+    scale: int = 100,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson bootstrap (the web-scale bootstrap: per-row weights drawn
+    Poisson(1) instead of multinomial resampling, so no global coordination
+    — each row decides its own replicate multiplicities independently;
+    Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): ``n_boot`` resample means of ``value_col``.
+
+    Derandomized: replicate b's weight for a row is the inverse-CDF lookup
+    of ``u = (stage2_padded(id || ':' || b || ':' || seed)+1) / 2^31`` over
+    the precomputed Poisson(1) CDF literals (capped at 9 — P(W>8) < 2e-6).
+    Values are fixed-pointed (``round(v·scale)``, cents by default) so both
+    per-replicate sums are exact BIGINTs; the mean is the one float.
+
+    Output: one row per replicate ``(b, n_eff, mean)`` — the caller takes
+    the spread (e.g. percentile CI) driver-side over n_boot rows.
+
+    Scale: one explode (×n_boot) + one combinable groupBy on b — no
+    shuffle of the raw table beyond the n_boot-row aggregate; memory is
+    O(n_boot) per task."""
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    d = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_i"),
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("_x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_boot) - 1))
+        ).alias("b"),
+    )
+    u = (
+        _stage2_padded(
+            F.concat_ws(":", F.col("_i"), F.col("b").cast("string"),
+                        F.lit(seed))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(2147483648.0)
+    w = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return (
+        d.withColumn("_w", w.cast("bigint"))
+        .groupBy("b")
+        .agg(
+            F.sum("_w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_x")).cast("bigint").alias("_s"),
+        )
+        .select(
+            "b",
+            "n_eff",
+            F.round(
+                F.when(
+                    F.col("n_eff") > 0,
+                    F.col("_s").cast("double") / F.col("n_eff") / scale,
+                ),
+                6,
+            ).alias("mean"),
+        )
+    )
