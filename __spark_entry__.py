@@ -2578,6 +2578,140 @@ def _source_mix(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def _temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (kg/temporal.py temporal_reachability)
+    over the event-type transition graph: per user, consecutive events
+    define a temporal edge (etype_i → etype_{i+1} at micros_{i+1}); a type
+    is temporally reachable from 'signup' only via nondecreasing-time
+    transitions — static reachability over the same edges would overstate
+    flow.  All-integer arrival times; the oracle unrolls the relaxation."""
+    from pyspark.sql import Window
+
+    from kgforge.kg.temporal import temporal_reachability
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+            "ts",
+        )
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("src"),
+            F.col("event_type").alias("dst"),
+            F.col("_us").alias("ts"),
+        )
+    )
+    out = temporal_reachability(trans, ["signup"], t0=0)
+    return out.select(F.col("id").alias("event_type"), "arrival")
+
+
+def _temporal_reach_oracle(rounds: int = 6) -> str:
+    prev = "a0"
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT id, CAST(min(arrival) AS BIGINT) AS arrival FROM (
+    SELECT id, arrival FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, e.t AS arrival
+    FROM te e JOIN {prev} p ON p.id = e.src AND e.t >= p.arrival
+  ) GROUP BY id
+)""")
+        prev = f"a{i}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+te AS MATERIALIZED (
+  SELECT prev AS src, event_type AS dst, us AS t
+  FROM seq WHERE prev IS NOT NULL
+),
+a0 AS (SELECT 'signup' AS id, CAST(0 AS BIGINT) AS arrival),
+{chain}
+SELECT id AS event_type, arrival FROM {prev}
+"""
+
+
+def _fs_weights(spark, sf_dir):
+    """Fellegi–Sunter m/u estimation (datapipe/blocking.py
+    fellegi_sunter_weights) on a derandomized labeled pair sample: every
+    3rd customer key is a match pair, field agreements drawn from hash
+    coins at 85%/15% (name) and 70%/40% (segment) — the training half of
+    the fs_scores decision model, add-one smoothed."""
+    from kgforge.datapipe.blocking import fellegi_sunter_weights
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    cust = _read(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    is_m = F.col("c_custkey") % 3 == 0
+    name_thr = F.when(is_m, 85).otherwise(15)
+    seg_thr = F.when(is_m, 70).otherwise(40)
+    pairs = cust.select(
+        is_m.alias("matched"),
+        (_stage2_padded(F.concat(key, F.lit(":fsn"))) % 100 < name_thr).alias(
+            "name_agree"
+        ),
+        (_stage2_padded(F.concat(key, F.lit(":fss"))) % 100 < seg_thr).alias(
+            "seg_agree"
+        ),
+    )
+    return fellegi_sunter_weights(pairs, "matched", ["name_agree", "seg_agree"])
+
+
+def _fs_weights_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    hn = _stage2_padded_sql("(CAST(c_custkey AS VARCHAR) || ':fsn')")
+    hs = _stage2_padded_sql("(CAST(c_custkey AS VARCHAR) || ':fss')")
+    return f"""
+WITH pairs AS (
+  SELECT (c_custkey % 3 = 0) AS matched,
+         (({hn}) % 100 < CASE WHEN c_custkey % 3 = 0 THEN 85 ELSE 15 END)
+           AS name_agree,
+         (({hs}) % 100 < CASE WHEN c_custkey % 3 = 0 THEN 70 ELSE 40 END)
+           AS seg_agree
+  FROM customer
+),
+one AS (
+  SELECT CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         CAST(sum(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT) AS nu,
+         CAST(sum(CASE WHEN matched AND name_agree THEN 1 ELSE 0 END)
+              AS BIGINT) AS am_name,
+         CAST(sum(CASE WHEN NOT matched AND name_agree THEN 1 ELSE 0 END)
+              AS BIGINT) AS au_name,
+         CAST(sum(CASE WHEN matched AND seg_agree THEN 1 ELSE 0 END)
+              AS BIGINT) AS am_seg,
+         CAST(sum(CASE WHEN NOT matched AND seg_agree THEN 1 ELSE 0 END)
+              AS BIGINT) AS au_seg
+  FROM pairs
+),
+rows0 AS (
+  SELECT 'name_agree' AS field, nm, nu, am_name AS agree_m, au_name AS agree_u
+  FROM one
+  UNION ALL
+  SELECT 'seg_agree', nm, nu, am_seg, au_seg FROM one
+)
+SELECT field, nm AS n_match, nu AS n_unmatch, agree_m, agree_u,
+       round(CAST(agree_m + 1 AS DOUBLE) / (nm + 2), 6) AS m,
+       round(CAST(agree_u + 1 AS DOUBLE) / (nu + 2), 6) AS u,
+       round(log2((CAST(agree_m + 1 AS DOUBLE) / (nm + 2))
+                  / (CAST(agree_u + 1 AS DOUBLE) / (nu + 2))), 6) AS w_agree,
+       round(log2((1.0 - CAST(agree_m + 1 AS DOUBLE) / (nm + 2))
+                  / (1.0 - CAST(agree_u + 1 AS DOUBLE) / (nu + 2))),
+             6) AS w_disagree
+FROM rows0
+"""
+
+
 def _source_temp(spark, sf_dir):
     """Temperature-scaled source mixing (datapipe/mix.py
     source_temperature_sample, α = 0.5): sqrt-flattened source shares, the
@@ -7080,6 +7214,51 @@ def _kg_modularity(spark, sf_dir):
     return modularity(kept, labels)
 
 
+def _kg_conductance(spark, sf_dir):
+    """Per-community conductance (kg/graphstats.py conductance) of the
+    kg_communities LPA partition — cut(C)/min(vol(C), 2m−vol(C)); the
+    boundary-leakiness companion to kg_modularity, integer mass columns."""
+    from kgforge.kg.communities import label_propagation
+    from kgforge.kg.graphstats import conductance
+
+    kept = _comention_above_mean_edges(spark, sf_dir)
+    labels = label_propagation(kept, iterations=4)
+    return conductance(kept, labels)
+
+
+def _kg_conductance_oracle(iterations: int = 4) -> str:
+    lv = f"l{iterations}"
+    tail = f""",
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+),
+mm AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2 FROM und),
+cut AS MATERIALIZED (
+  SELECT label, CAST(count(*) AS BIGINT) AS cut FROM (
+    SELECT la.label
+    FROM und e JOIN {lv} la ON la.node = e.a JOIN {lv} lb ON lb.node = e.b
+    WHERE la.label <> lb.label
+    UNION ALL
+    SELECT lb.label
+    FROM und e JOIN {lv} la ON la.node = e.a JOIN {lv} lb ON lb.node = e.b
+    WHERE la.label <> lb.label
+  ) GROUP BY label
+),
+comm AS MATERIALIZED (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS volume
+  FROM {lv} l LEFT JOIN deg ON deg.node = l.node GROUP BY 1
+)
+SELECT comm.label, n_nodes,
+       CAST(coalesce(cut, 0) AS BIGINT) AS cut, volume,
+       round(CASE WHEN least(volume, (SELECT m2 FROM mm) - volume) > 0
+                  THEN CAST(coalesce(cut, 0) AS DOUBLE)
+                       / least(volume, (SELECT m2 FROM mm) - volume)
+             END, 6) AS conductance
+FROM comm LEFT JOIN cut USING (label)"""
+    return _kg_communities_oracle(iterations, tail=tail)
+
+
 def _kg_katz(spark, sf_dir):
     """Truncated Katz centrality (kg/pagerank.py katz_centrality) on the
     embedding cosine graph (the one naturally sparse graph in the
@@ -10319,6 +10498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _bootstrap_ci,
         "rr_release": _rr_release,
         "calibration": _calibration,
+        "temporal_reach": _temporal_reach,
+        "fs_weights_est": _fs_weights,
+        "kg_conductance": _kg_conductance,
         "suppress_rare_customers": _suppress_rare_customers,
         "profile_orders": _profile_orders,
         "events_winsorized": _events_winsorized,
@@ -11915,6 +12097,9 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": _bootstrap_ci_oracle(),
         "rr_release": _rr_release_oracle(),
         "calibration": _calibration_oracle(),
+        "temporal_reach": _temporal_reach_oracle(),
+        "fs_weights_est": _fs_weights_oracle(),
+        "kg_conductance": _kg_conductance_oracle(),
         "source_mix": _source_mix_oracle(),
         "dsir_select": f"""
         WITH toks AS (

@@ -107,3 +107,84 @@ def fellegi_sunter_scores(
         .when(F.col("score") < lower, F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    match_col: str,
+    agreement_cols: list[str],
+) -> DataFrame:
+    """Fellegi–Sunter (1969) match/unmatch weights from a labeled pair
+    sample: for each comparison field, ``m = P(agree | match)`` and
+    ``u = P(agree | non-match)``, released with the decision weights
+
+        w_agree    = log2(m / u)
+        w_disagree = log2((1−m) / (1−u))
+
+    — the training half of the model whose apply half is
+    :func:`fellegi_sunter_scores` (feed these m/u straight into its
+    ``fields``).  Probabilities are add-one smoothed (``(k+1)/(n+2)``) so
+    zero cells yield finite weights; the smoothing is part of the contract
+    and is mirrored by oracles.
+
+    Output: one row per field ``(field, n_match, n_unmatch, agree_m,
+    agree_u, m, u, w_agree, w_disagree)`` — the four counts exact BIGINTs,
+    the rest derived floats rounded to 6.
+
+    Scale: ONE conditional aggregate over the pair table (every field's
+    two counters in the same pass — no per-field scans), then a constant
+    explode.  The pair table itself comes from a blocking stage
+    (:func:`sorted_neighborhood_pairs`, LSH, phonetic), never all-pairs."""
+    if not agreement_cols:
+        raise ValueError("agreement_cols must not be empty")
+    is_m = F.col(match_col).cast("boolean")
+    aggs = [
+        F.sum(F.when(is_m, 1).otherwise(0)).cast("bigint").alias("_nm"),
+        F.sum(F.when(~is_m, 1).otherwise(0)).cast("bigint").alias("_nu"),
+    ]
+    for c in agreement_cols:
+        a = F.col(c).cast("boolean")
+        aggs.append(
+            F.sum(F.when(is_m & a, 1).otherwise(0)).cast("bigint").alias(f"_am_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(~is_m & a, 1).otherwise(0)).cast("bigint").alias(f"_au_{c}")
+        )
+    one = pairs.agg(*aggs)
+    rows = one.select(
+        "_nm",
+        "_nu",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(f"_am_{c}").alias("agree_m"),
+                        F.col(f"_au_{c}").alias("agree_u"),
+                    )
+                    for c in agreement_cols
+                ]
+            )
+        ).alias("_r"),
+    ).select(
+        F.col("_r.field").alias("field"),
+        F.col("_nm").alias("n_match"),
+        F.col("_nu").alias("n_unmatch"),
+        F.col("_r.agree_m").alias("agree_m"),
+        F.col("_r.agree_u").alias("agree_u"),
+    )
+    m = (F.col("agree_m") + 1).cast("double") / (F.col("n_match") + 2)
+    u = (F.col("agree_u") + 1).cast("double") / (F.col("n_unmatch") + 2)
+    return rows.select(
+        "field",
+        "n_match",
+        "n_unmatch",
+        "agree_m",
+        "agree_u",
+        F.round(m, 6).alias("m"),
+        F.round(u, 6).alias("u"),
+        F.round(F.log2(m / u), 6).alias("w_agree"),
+        F.round(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), 6).alias(
+            "w_disagree"
+        ),
+    )

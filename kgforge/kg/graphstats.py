@@ -252,3 +252,80 @@ def modularity(
     finally:
         und.unpersist()
         lab.unpersist()
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), 2m − vol(C)) —
+    the companion metric to :func:`modularity`: modularity rewards heavy
+    internal mass, conductance penalizes a leaky boundary; a good cluster
+    needs both.
+
+    Output: one row per community ``(label, n_nodes, cut, volume,
+    conductance)`` — cut and volume are exact BIGINTs, the ratio the one
+    per-row float.  A community with zero volume (only isolated labeled
+    nodes) reports NULL conductance; the whole-graph community (vol = 2m)
+    likewise — its complement is empty so φ is undefined, not 0.
+
+    Scale: same join shape as modularity — two label-dictionary joins,
+    two combinable groupBys, no self-join."""
+    und = _canonical(edges, src, dst).persist()
+    lab = labels.select(
+        F.col(node).alias("_n"), F.col(label).alias("_l")
+    ).persist()
+    try:
+        m2 = 2 * und.count()
+        la = lab.select(F.col("_n").alias("a"), F.col("_l").alias("la"))
+        lb = lab.select(F.col("_n").alias("b"), F.col("_l").alias("lb"))
+        tagged = und.join(la, "a").join(lb, "b").persist()
+        try:
+            cross = tagged.filter(F.col("la") != F.col("lb"))
+            cut = (
+                cross.select(F.col("la").alias("label"))
+                .unionByName(cross.select(F.col("lb").alias("label")))
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cut"))
+            )
+            deg = (
+                und.select(F.col("a").alias("_n"))
+                .unionByName(und.select(F.col("b").alias("_n")))
+                .groupBy("_n")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            )
+            comm = (
+                lab.join(deg, "_n", "left")
+                .groupBy(F.col("_l").alias("label"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                    F.sum(F.coalesce(F.col("d"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("volume"),
+                )
+            )
+            denom = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+            out = comm.join(cut, "label", "left").select(
+                "label",
+                "n_nodes",
+                F.coalesce(F.col("cut"), F.lit(0).cast("bigint")).alias("cut"),
+                "volume",
+                F.round(
+                    F.when(
+                        denom > 0,
+                        F.coalesce(F.col("cut"), F.lit(0)).cast("double")
+                        / denom,
+                    ),
+                    6,
+                ).alias("conductance"),
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            tagged.unpersist()
+    finally:
+        und.unpersist()
+        lab.unpersist()
