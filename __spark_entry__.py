@@ -10325,6 +10325,183 @@ def _winnow_fp(spark, sf_dir):
     )
 
 
+def _corr_lineitem(spark, sf_dir):
+    """Pearson correlation matrix (datapipe/stats.py corr_matrix) over three
+    lineitem measures per return flag — qty and price correlate strongly
+    (price scales with quantity), the partkey bucket is noise.  Exact int64
+    moment sums in ONE map-side agg; only the closed-form r is floating
+    point, rounded to 6."""
+    from kgforge.datapipe.stats import corr_matrix
+
+    l = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("bigint").alias("price"),
+        (F.col("l_partkey") % 1000).cast("bigint").alias("pk"),
+    )
+    return corr_matrix(l, ["flag"], ["qty", "price", "pk"])
+
+
+_CORR_LINEITEM_ORACLE = """
+WITH l AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice) AS BIGINT) AS price,
+         CAST(l_partkey % 1000 AS BIGINT) AS pk
+  FROM lineitem
+),
+m AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS s0, CAST(sum(price) AS BIGINT) AS s1,
+         CAST(sum(pk) AS BIGINT) AS s2,
+         CAST(sum(qty*qty) AS BIGINT) AS p00,
+         CAST(sum(qty*price) AS BIGINT) AS p01,
+         CAST(sum(qty*pk) AS BIGINT) AS p02,
+         CAST(sum(price*price) AS BIGINT) AS p11,
+         CAST(sum(price*pk) AS BIGINT) AS p12,
+         CAST(sum(pk*pk) AS BIGINT) AS p22
+  FROM l GROUP BY flag
+),
+pairs AS (
+  SELECT flag, 'qty' AS col_x, 'price' AS col_y, n,
+         CAST(n AS DOUBLE) * p01 - CAST(s0 AS DOUBLE) * s1 AS cov,
+         CAST(n AS DOUBLE) * p00 - CAST(s0 AS DOUBLE) * s0 AS vx,
+         CAST(n AS DOUBLE) * p11 - CAST(s1 AS DOUBLE) * s1 AS vy
+  FROM m
+  UNION ALL
+  SELECT flag, 'qty', 'pk', n,
+         CAST(n AS DOUBLE) * p02 - CAST(s0 AS DOUBLE) * s2,
+         CAST(n AS DOUBLE) * p00 - CAST(s0 AS DOUBLE) * s0,
+         CAST(n AS DOUBLE) * p22 - CAST(s2 AS DOUBLE) * s2
+  FROM m
+  UNION ALL
+  SELECT flag, 'price', 'pk', n,
+         CAST(n AS DOUBLE) * p12 - CAST(s1 AS DOUBLE) * s2,
+         CAST(n AS DOUBLE) * p11 - CAST(s1 AS DOUBLE) * s1,
+         CAST(n AS DOUBLE) * p22 - CAST(s2 AS DOUBLE) * s2
+  FROM m
+)
+SELECT flag, col_x, col_y, n,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN round(cov / sqrt(vx * vy), 6) END AS r
+FROM pairs
+"""
+
+
+def _auc_priority(spark, sf_dir):
+    """Per-priority ROC-AUC (datapipe/classify.py roc_auc) of the order
+    total as a score for a deterministic mixed label (price + a keyed
+    jitter clears a threshold) — signal without separability, so the AUC
+    sits strictly between 0.5 and 1.  All-integer rank numerator; the one
+    window and the peer count share a single shuffle on the group key."""
+    from kgforge.datapipe.classify import roc_auc
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (
+            F.col("o_totalprice")
+            + (F.col("o_orderkey") % 7).cast("double") * F.lit(50000.0)
+            > F.lit(250000.0)
+        )
+        .cast("int")
+        .alias("y"),
+        F.col("o_totalprice").alias("s"),
+    )
+    return roc_auc(o, "y", "s", ["prio"])
+
+
+_AUC_PRIORITY_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS prio,
+         CASE WHEN o_totalprice
+                   + CAST(o_orderkey % 7 AS DOUBLE) * 50000.0 > 250000.0
+              THEN 1 ELSE 0 END AS y,
+         o_totalprice AS s
+  FROM orders
+),
+r AS (
+  SELECT prio, y,
+         CAST(rank() OVER (PARTITION BY prio ORDER BY s) AS BIGINT) * 2
+         + CAST(count(*) OVER (PARTITION BY prio ORDER BY s
+                 RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT)
+         - 1 AS r2
+  FROM o
+),
+g AS (
+  SELECT prio, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+         CAST(sum(y * r2) AS BIGINT) AS pr2
+  FROM r GROUP BY prio
+)
+SELECT prio, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(pr2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / (2.0 * CAST(n_pos * n_neg AS DOUBLE)), 6) END AS auc
+FROM g
+"""
+
+
+def _logit_fit_orders(sf_dir: str):
+    """Deterministic logistic fit for the logit_orders query/oracle pair:
+    read the orders parquet with pyarrow (no Spark — the oracle side has
+    none), sort by o_orderkey, build (x1 = totalprice/1e5,
+    x2 = (custkey%100)/100) against the same keyed-jitter label as
+    auc_priority, and run the fixed-iteration IRLS.  Same file → the same
+    coefficients bit-for-bit on both sides (the PCA/IVF inline-literals
+    pattern)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kgforge.datapipe.classify import logistic_fit_numpy
+
+    t = (
+        pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    price = t["o_totalprice"].to_numpy(dtype=np.float64)
+    okey = t["o_orderkey"].to_numpy(dtype=np.int64)
+    ckey = t["o_custkey"].to_numpy(dtype=np.int64)
+    x = np.column_stack([price / 100000.0, (ckey % 100) / 100.0])
+    y = (price + (okey % 7).astype(np.float64) * 40000.0 > 250000.0).astype(
+        np.int64
+    )
+    return logistic_fit_numpy(x, y)
+
+
+def _logit_orders(spark, sf_dir):
+    """Logistic-regression scoring (datapipe/classify.py): driver IRLS fit
+    on the deterministically-ordered orders sample (train-small, like the
+    IVF index and PCA), then corpus-wide codegen sigmoid with the learned
+    coefficients inlined — (okey, p) rounded 6."""
+    from kgforge.datapipe.classify import logistic_predict
+
+    beta = _logit_fit_orders(sf_dir)
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x1"),
+        ((F.col("o_custkey") % 100).cast("double") / F.lit(100.0)).alias("x2"),
+    )
+    return logistic_predict(o, ["x1", "x2"], beta).select("okey", "p")
+
+
+def _logit_orders_oracle() -> str:
+    import os as _os
+
+    sfd = _os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    b0, b1, b2 = (repr(v) for v in _logit_fit_orders(sfd))
+    return f"""
+SELECT o_orderkey AS okey,
+       round(1.0 / (1.0 + exp(-((({b0}) + ({b1}) * (o_totalprice / 100000.0))
+                    + ({b2}) * (CAST(o_custkey % 100 AS DOUBLE) / 100.0)))),
+             6) AS p
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -10580,6 +10757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns": _seq_patterns,
         "winnow_fp": _winnow_fp,
         "dbscan_customers": _dbscan_customers,
+        "corr_lineitem": _corr_lineitem,
+        "auc_priority": _auc_priority,
+        "logit_orders": _logit_orders,
     }
 
 
@@ -12634,6 +12814,9 @@ def oracle_sql() -> dict[str, str]:
         "seq_patterns": _SEQ_PATTERNS_ORACLE,
         "winnow_fp": _winnow_fp_oracle(),
         "dbscan_customers": _dbscan_oracle(),
+        "corr_lineitem": _CORR_LINEITEM_ORACLE,
+        "auc_priority": _AUC_PRIORITY_ORACLE,
+        "logit_orders": _logit_orders_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

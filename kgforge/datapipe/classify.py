@@ -270,3 +270,113 @@ def calibration_bins(
             "brier",
         )
     )
+
+
+def roc_auc(
+    df: DataFrame, label_col: str, score_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group ROC-AUC of a score column against a binary label — the
+    standard quality gate for every scorer in this package (naive Bayes,
+    k-NN, logistic) and for external quality models whose scores arrive as
+    a column.
+
+    Uses the tie-corrected Mann-Whitney rank identity with an ALL-INTEGER
+    numerator: with 2·avg_rank = 2·min_rank + ties − 1 (exact int64),
+
+        AUC = (Σ_pos 2·avg_rank − n_pos(n_pos+1)) / (2 · n_pos · n_neg)
+
+    so the only floating point is the single final division, rounded to 6.
+    NULL when a group lacks positives or negatives.  Headroom: Σ 2·rank ≤
+    2n² per group must fit int64 (n per group < ~2·10⁹ — far past any
+    real evaluation slice).
+
+    Scale shape: one shuffle on ``group_cols`` — rank() and the peer count
+    share the SAME window partition (the tie count is a RANGE CURRENT ROW
+    frame over the rank ordering, not a second (group, score) partition),
+    then a map-side-combinable groupBy.  Groups are evaluation slices
+    (model × segment), so the per-group window is bounded; a single global
+    AUC over an unbounded corpus should pass a constant group column and
+    accept the one-partition sort, or pre-aggregate scores to a bounded
+    grid first."""
+    d = df.select(
+        *group_cols,
+        F.col(label_col).cast("bigint").alias("_y"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_s")
+    peers = (
+        F.count(F.lit(1))
+        .over(w.rangeBetween(Window.currentRow, Window.currentRow))
+        .cast("bigint")
+    )
+    d2 = d.withColumn(
+        "_r2", F.rank().over(w).cast("bigint") * 2 + peers - 1
+    )
+    g = d2.groupBy(*group_cols).agg(
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("_y") * F.col("_r2")).cast("bigint").alias("_pr2"),
+    )
+    auc = (
+        (F.col("_pr2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+        .cast("double")
+        / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    )
+    return g.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+        ).alias("auc"),
+    )
+
+
+def logistic_fit_numpy(x, y, iters: int = 6, ridge: float = 1e-6):
+    """Deterministic logistic-regression fit by IRLS (Newton) on the
+    driver — the train-small half of the train-small/apply-distributed
+    split used by the IVF index and PCA (`clustering.pca_fit_numpy`): at
+    100 TB the fit runs on a bounded, deterministically-ordered sample
+    while :func:`logistic_predict` scores the corpus in whole-stage
+    codegen.
+
+    ``x`` is (n, d) WITHOUT an intercept column (one is prepended);
+    ``y`` is 0/1.  A FIXED iteration count (no convergence break) plus the
+    ridge term keeps the result a pure function of the input — same rows
+    in the same order → bit-identical coefficients, which is what lets an
+    external SQL oracle inline them as literals.  Callers must sort the
+    training rows by a stable key before calling."""
+    import numpy as np
+
+    xm = np.column_stack(
+        [np.ones(len(x)), np.asarray(x, dtype=np.float64)]
+    )
+    yv = np.asarray(y, dtype=np.float64)
+    beta = np.zeros(xm.shape[1])
+    eye = np.eye(xm.shape[1])
+    for _ in range(iters):
+        eta = xm @ beta
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(p * (1.0 - p), 1e-9)
+        z = eta + (yv - p) / w
+        xw = xm * w[:, None]
+        beta = np.linalg.solve(xw.T @ xm + ridge * eye, xw.T @ z)
+    return [float(v) for v in beta]
+
+
+def logistic_predict(
+    df: DataFrame, feature_cols: list[str], beta, out: str = "p"
+) -> DataFrame:
+    """Distributed scoring with inlined coefficients: one sigmoid per row,
+    pure whole-stage codegen (no Python in the row path).  The linear term
+    is a LEFT fold in ``feature_cols`` order — ((β₀ + β₁x₁) + β₂x₂) … —
+    so an oracle folding the same literals in the same order agrees
+    bit-for-bit before the 6-decimal round (exp can differ in the last
+    ulp across libm implementations; probabilities are O(1), so the round
+    absorbs it)."""
+    eta = F.lit(float(beta[0]))
+    for b, c in zip(beta[1:], feature_cols):
+        eta = eta + F.lit(float(b)) * F.col(c).cast("double")
+    return df.withColumn(
+        out, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
+    )

@@ -344,3 +344,68 @@ def poisson_bootstrap_means(
             ).alias("mean"),
         )
     )
+
+
+def corr_matrix(
+    df: DataFrame, group_cols: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group from exact int64
+    moment sums — the one-pass profiling step a feature-engineering
+    pipeline runs before dropping collinear columns.
+
+    Every value column is cast to int64 so the d + d(d+1)/2 moment sums
+    (Σxᵢ, Σxᵢxⱼ) are EXACT and order-independent; the only floating point
+    is the shared closed form
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣxx − (Σx)²)(nΣyy − (Σy)²))
+
+    evaluated once per pair and rounded to 6 decimals (r ∈ [−1, 1], so the
+    round absorbs cross-engine last-ulp division/sqrt drift).  NULL when
+    either column is constant in the group.  Caller owns overflow headroom
+    as in :func:`groupwise_ols` (n·Σxy must fit the double mantissa after
+    the exact int64 sum — values bounded by V need n²V² < 2⁵³ for the
+    final product to stay exact, and far looser for 6-decimal agreement).
+
+    Output: one row per (group, colᵢ, colⱼ) with i < j in ``value_cols``
+    order — ``(group_cols…, col_x, col_y, n, r)``.
+
+    Scale shape: ONE map-side-combinable groupBy.agg (width O(d²) columns,
+    d = len(value_cols) is small by construction), then a posexplode of the
+    pair array — no joins, no second scan, skew-immune like every
+    moment-sum operator here."""
+    d = len(value_cols)
+    cast = {c: F.col(c).cast("bigint") for c in value_cols}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for i, ci in enumerate(value_cols):
+        aggs.append(F.sum(cast[ci]).alias(f"_s{i}"))
+        for j in range(i, d):
+            aggs.append(F.sum(cast[ci] * cast[value_cols[j]]).alias(f"_p{i}_{j}"))
+    g = df.groupBy(*group_cols).agg(*aggs)
+
+    n = F.col("_n").cast("double")
+    pair_structs = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            sx = F.col(f"_s{i}").cast("double")
+            sy = F.col(f"_s{j}").cast("double")
+            sxx = F.col(f"_p{i}_{i}").cast("double")
+            syy = F.col(f"_p{j}_{j}").cast("double")
+            sxy = F.col(f"_p{i}_{j}").cast("double")
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = F.when(
+                (vx > 0) & (vy > 0),
+                F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(value_cols[i]).alias("col_x"),
+                    F.lit(value_cols[j]).alias("col_y"),
+                    r.alias("r"),
+                )
+            )
+    return (
+        g.select(*group_cols, F.col("_n").alias("n"),
+                 F.explode(F.array(*pair_structs)).alias("_pr"))
+        .select(*group_cols, "_pr.col_x", "_pr.col_y", "n", "_pr.r")
+    )
