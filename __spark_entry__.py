@@ -10488,6 +10488,169 @@ def _logit_orders(spark, sf_dir):
     return logistic_predict(o, ["x1", "x2"], beta).select("okey", "p")
 
 
+def _iso_calibration(spark, sf_dir):
+    """Isotonic calibration (datapipe/classify.py isotonic_calibrate) of
+    the keyed-jitter label on 25k-wide order-total bins per priority —
+    the minimax segment-mean identity over exact prefix sums; output is
+    the monotone step function (bin, n, pos, p_iso)."""
+    from kgforge.datapipe.classify import isotonic_calibrate
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice") / F.lit(25000.0)).cast("bigint").alias("sbin"),
+        (
+            F.col("o_totalprice")
+            + (F.col("o_orderkey") % 7).cast("double") * F.lit(50000.0)
+            > F.lit(250000.0)
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    return isotonic_calibrate(o, ["prio"], "sbin", "y")
+
+
+_ISO_CALIBRATION_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS sbin,
+         CASE WHEN o_totalprice
+                   + CAST(o_orderkey % 7 AS DOUBLE) * 50000.0 > 250000.0
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+b AS (
+  SELECT prio, sbin AS bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM o GROUP BY prio, sbin
+),
+c AS (
+  SELECT prio, bin, n, pos,
+         CAST(row_number() OVER (PARTITION BY prio ORDER BY bin) AS BIGINT) AS i,
+         CAST(sum(n) OVER (PARTITION BY prio ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(pos) OVER (PARTITION BY prio ORDER BY bin) AS BIGINT) AS cs
+  FROM b
+),
+m AS (
+  SELECT l.prio, l.j, r.k,
+         CAST(r.s1 - l.s0 AS DOUBLE) / CAST(r.n1 - l.n0 AS DOUBLE) AS m
+  FROM (SELECT prio, i AS j, cn - n AS n0, cs - pos AS s0 FROM c) l
+  JOIN (SELECT prio, i AS k, cn AS n1, cs AS s1 FROM c) r
+    ON l.prio = r.prio AND l.j <= r.k
+),
+t AS (
+  SELECT prio, j, k AS i,
+         min(m) OVER (PARTITION BY prio, j ORDER BY k DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+  FROM m
+),
+iso AS (
+  SELECT prio, i, round(max(t), 6) AS p_iso FROM t GROUP BY prio, i
+)
+SELECT c.prio, c.bin, c.n, c.pos, iso.p_iso
+FROM c JOIN iso ON c.prio = iso.prio AND c.i = iso.i
+"""
+
+
+def _fdr_orders(spark, sf_dir):
+    """Benjamini–Hochberg FDR (datapipe/hypotests.py bh_fdr) at α = 0.05
+    over a per-priority family of deterministic p-values (uniform nulls
+    from the order key, every 13th key a planted signal) — exercises the
+    step-up threshold and the reject-a-prefix property end-to-end."""
+    from kgforge.datapipe.hypotests import bh_fdr
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            ((F.col("o_orderkey") % 997) + 1).cast("double") / F.lit(500000.0),
+        )
+        .otherwise(
+            ((F.col("o_orderkey") % 997) + 1).cast("double") / F.lit(1000.0)
+        )
+        .alias("p"),
+    )
+    return bh_fdr(o, "p", 0.05, ["prio"], ["okey"])
+
+
+_FDR_ORDERS_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS prio, o_orderkey AS okey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN CAST((o_orderkey % 997) + 1 AS DOUBLE) / 500000.0
+              ELSE CAST((o_orderkey % 997) + 1 AS DOUBLE) / 1000.0 END AS p
+  FROM orders
+),
+r AS (
+  SELECT prio, okey, p,
+         CAST(row_number() OVER (PARTITION BY prio ORDER BY p, okey) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS m
+  FROM d
+),
+t AS (
+  SELECT prio, max(p) AS thr FROM r
+  WHERE p <= CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) / CAST(m AS DOUBLE)
+  GROUP BY prio
+)
+SELECT r.prio, okey, p, i, m,
+       CAST(i AS DOUBLE) * CAST(0.05 AS DOUBLE) / CAST(m AS DOUBLE) AS crit,
+       coalesce(p <= thr, FALSE) AS rejected
+FROM r LEFT JOIN t ON r.prio = t.prio
+"""
+
+
+def _zipf_docs(spark, sf_dir):
+    """Zipf's-law fit per language (datapipe/textstats.py zipf_fit):
+    ln-frequency vs ln-rank OLS over each language's token vocabulary in
+    exact micro-units — slope near −1 marks natural-text frequency decay."""
+    from kgforge.datapipe.textstats import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    return zipf_fit(docs, ["lang"], "text")
+
+
+_ZIPF_DOCS_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n_tok
+  FROM toks WHERE length(token) >= 1 GROUP BY lang, token
+),
+xy AS (
+  SELECT lang,
+         CAST(round(ln(CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY n_tok DESC, token) AS DOUBLE)) * 1e6)
+              AS BIGINT) AS x,
+         CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM counts
+),
+m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY lang
+),
+e AS (
+  SELECT lang, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+  FROM m
+)
+SELECT lang, n,
+  round(CASE WHEN n >= 2 AND varx_n <> 0 THEN cov_n / varx_n END, 6) AS slope,
+  round(CASE WHEN n >= 2 AND varx_n <> 0
+        THEN (dy - (cov_n / varx_n) * dx) / n END, 6) AS intercept,
+  round(CASE WHEN n >= 2 AND varx_n <> 0 AND vary_n <> 0
+        THEN (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+FROM e
+"""
+
+
 def _logit_orders_oracle() -> str:
     import os as _os
 
@@ -10760,6 +10923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": _corr_lineitem,
         "auc_priority": _auc_priority,
         "logit_orders": _logit_orders,
+        "iso_calibration": _iso_calibration,
+        "fdr_orders": _fdr_orders,
+        "zipf_docs": _zipf_docs,
     }
 
 
@@ -12817,6 +12983,9 @@ def oracle_sql() -> dict[str, str]:
         "corr_lineitem": _CORR_LINEITEM_ORACLE,
         "auc_priority": _AUC_PRIORITY_ORACLE,
         "logit_orders": _logit_orders_oracle(),
+        "iso_calibration": _ISO_CALIBRATION_ORACLE,
+        "fdr_orders": _FDR_ORDERS_ORACLE,
+        "zipf_docs": _ZIPF_DOCS_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -380,3 +380,81 @@ def logistic_predict(
     return df.withColumn(
         out, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), 6)
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame, group_cols: list[str], bin_col: str, label_col: str
+) -> DataFrame:
+    """Per-group isotonic regression of a binary label on a binned score —
+    the monotone calibration step (Zadrozny & Elkan 2002) that turns a
+    ranking score into a probability without the parametric assumptions of
+    Platt scaling.
+
+    Uses the minimax identity for the (squared-loss, count-weighted)
+    isotonic fit over the B bin means:
+
+        ŷᵢ = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k)
+
+    computed fully declaratively: inclusive/exclusive prefix sums give any
+    segment mean as a single exact-int64 ratio, a bounded pair join
+    enumerates the B(B+1)/2 segments, a descending-window suffix-min
+    produces t(j,i) = min_{k≥i} m(j,k), and one groupBy-max collapses j.
+    Segment means are IEEE doubles of exact int64 pairs — correctly-rounded
+    division, so both engines compute bit-identical values and min/max
+    agree exactly; the output is rounded to 6.
+
+    Output: one row per (group, bin) — ``(group_cols…, bin, n, pos,
+    p_iso)`` with p_iso nondecreasing in ``bin`` within each group.
+
+    Scale shape: bins are an evaluation grid (caller quantizes the score
+    to B ≲ a few hundred buckets FIRST — calibration never needs more),
+    so the pair join is B²-bounded per group and every stage shuffles on
+    the group key only.  The raw corpus is touched once, by the initial
+    map-side-combinable groupBy."""
+    b = df.groupBy(*group_cols, F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("pos"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    b = (
+        b.withColumn("_i", F.row_number().over(w).cast("bigint"))
+        .withColumn("_cn", F.sum("n").over(w).cast("bigint"))
+        .withColumn("_cs", F.sum("pos").over(w).cast("bigint"))
+    )
+    left = b.select(
+        *group_cols,
+        F.col("_i").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_n0"),
+        (F.col("_cs") - F.col("pos")).alias("_s0"),
+    )
+    right = b.select(
+        *group_cols,
+        F.col("_i").alias("_k"),
+        F.col("_cn").alias("_n1"),
+        F.col("_cs").alias("_s1"),
+    )
+    m = (
+        left.join(right, group_cols)
+        .filter(F.col("_j") <= F.col("_k"))
+        .withColumn(
+            "_m",
+            (F.col("_s1") - F.col("_s0")).cast("double")
+            / (F.col("_n1") - F.col("_n0")).cast("double"),
+        )
+    )
+    # t(j, i) = min over k >= i of m(j, k): suffix-min along k within (group, j)
+    wj = (
+        Window.partitionBy(*group_cols, "_j")
+        .orderBy(F.col("_k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = m.withColumn("_t", F.min("_m").over(wj)).select(
+        *group_cols, F.col("_k").alias("_i"), "_j", "_t"
+    )
+    iso = t.groupBy(*group_cols, "_i").agg(
+        F.round(F.max("_t"), 6).alias("p_iso")
+    )
+    return (
+        b.join(iso, [*group_cols, "_i"])
+        .select(*group_cols, "bin", "n", "pos", "p_iso")
+    )

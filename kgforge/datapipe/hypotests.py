@@ -607,3 +607,74 @@ def kendall_tau(
         F.round(F.when(den > 0, (F.col("c") - F.col("d")) / den), 6)
         .alias("tau_b"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a table of p-values —
+    the multiple-testing closer for this module's test family (run
+    thousands of per-segment KS / chi-square / Mann-Whitney tests, then
+    keep discoveries at FDR α).
+
+    Per family (``group_cols``; one global family when None): sort the m
+    p-values ascending (``id_cols`` break ties deterministically), find
+    k* = max{ i : p₍ᵢ₎ ≤ i·α/m }, and reject exactly the hypotheses with
+    p ≤ p₍k*₎ — the step-up rule, which rejects a prefix of the sorted
+    list, so tied p-values always decide together regardless of the
+    tiebreak.  The only floats are i·α/m comparisons of exact integers
+    against the input p — identical in any IEEE engine.
+
+    Output: the input keys plus ``(p, i, m, crit, rejected)`` where crit
+    = i·α/m is emitted RAW (both engines compute the identical IEEE
+    double from exact integers — rounding it would reintroduce exact-half
+    divergence: 162·0.05/320 is a tie at the 6th decimal and HALF_UP vs
+    half-even engines disagree).
+
+    Scale shape: one window shuffle on the family key + one
+    map-side-combinable agg for the per-family threshold, joined back
+    broadcast-sized (one row per family).  Families are test batteries —
+    bounded per-group cardinality; a single global family with billions of
+    tests should pre-bucket p into a fixed grid first (the step-up rule
+    only needs the grid counts)."""
+    g = list(group_cols or [])
+    ids = list(id_cols or [])
+    d = df.select(*g, *ids, F.col(p_col).cast("double").alias("p"))
+    if g:
+        w = Window.partitionBy(*g).orderBy("p", *ids)
+        d = d.withColumn("i", F.row_number().over(w).cast("bigint")).withColumn(
+            "m", F.count(F.lit(1)).over(Window.partitionBy(*g)).cast("bigint")
+        )
+    else:
+        # global family: NEVER a single-partition window — the range-
+        # partitioned rank helper plus one driver-sized count scalar
+        # (the helper's persisted frame stays registered in the module's
+        # cache list — both downstream executions of d must read the SAME
+        # range partitioning; long sessions release via release_rank_caches)
+        from kgforge.rank import with_global_rank
+
+        m_total = d.count()
+        d = with_global_rank(d, [F.col("p"), *[F.col(c) for c in ids]],
+                             out="i")
+        d = d.withColumn("i", F.col("i") + 1).withColumn(
+            "m", F.lit(m_total).cast("bigint")
+        )
+    crit = F.col("i").cast("double") * F.lit(float(alpha)) / F.col("m").cast("double")
+    d = d.withColumn("_ok", F.col("p") <= crit)
+    thr = d.filter("_ok").groupBy(*g).agg(F.max("p").alias("_thr"))
+    out = d.join(thr, g, "left") if g else d.crossJoin(
+        F.broadcast(thr.select(F.col("_thr")))
+    )
+    return out.select(
+        *g,
+        *ids,
+        "p",
+        "i",
+        "m",
+        crit.alias("crit"),
+        F.coalesce(F.col("p") <= F.col("_thr"), F.lit(False)).alias("rejected"),
+    )

@@ -796,3 +796,43 @@ def hashed_features(
         .groupBy("id", "dim")
         .agg(F.sum("sign").cast("bigint").alias("weight"))
     )
+
+
+def zipf_fit(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    """Zipf's-law fit per corpus slice: OLS of ln(frequency) on ln(rank)
+    over the token vocabulary — slope ≈ −1 is the classic signature of
+    natural text; a flat or convex profile flags templated/boilerplate
+    sources (a standard corpus-quality diagnostic alongside the Gopher
+    repetition signals).
+
+    Both lns are scaled to exact micro-units (round(ln·10⁶) → int64, the
+    featprop fixed-point discipline) so the moment sums in
+    :func:`kgforge.datapipe.stats.groupwise_ols` stay exact and
+    order-independent; the slope is unitless (both axes share the 10⁶
+    factor) and the intercept is reported in micro-units.
+
+    Scale shape: explode → map-side-combinable token counts, then a rank
+    window bounded by the per-slice VOCABULARY (not the corpus), then the
+    one-agg OLS.  Hot tokens cost one combiner cell per partition."""
+    from kgforge.datapipe.stats import groupwise_ols
+
+    toks = F.explode(_tokens(F.col(text_col)))
+    counts = (
+        df.select(*group_cols, toks.alias("token"))
+        .filter(F.length("token") >= 1)
+        .groupBy(*group_cols, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.desc("n_tok"), "token")
+    d = counts.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(
+        *group_cols,
+        F.round(F.log(F.col("rank").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("n_tok").cast("double")) * 1e6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return groupwise_ols(d, group_cols, "x", "y")
