@@ -358,3 +358,176 @@ def kaplan_meier(
             .alias("survival"),
         )
     )
+
+
+def holt_linear(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend), α = β = 1/2,
+    in INTEGER units with truncating division as the only rounding:
+
+        l_1 = x_1                  b_1 = 0
+        l_t = (x_t + l_{t−1} + b_{t−1}) div 2
+        b_t = (b_{t−1} + (l_t − l_{t−1})) div 2
+
+    — the trend-aware sibling of :func:`ewma_halflife`: where EWMA lags a
+    ramping series by a constant offset, Holt's trend term closes the gap,
+    so ``forecast = level + trend`` is the standard one-tick-ahead
+    projection for capacity planning and alert baselines.  Truncating
+    ``div`` (Java semantics — verified identical in Spark ``div`` and
+    DuckDB ``//``, negatives included) makes the recursion bit-identical
+    on any engine and any partitioning.
+
+    Output: ``(key, n_ticks, level, trend, forecast)``.
+
+    Scale: ONE groupBy collecting each key's own (tick, value) history —
+    per-task memory is the key's history, the same contract as
+    :func:`ewma_halflife` — then a JVM left-fold over the sorted array.
+    The (level, trend) pair rides through the fold as a ``'l:b'`` string
+    accumulator: portable fold runtimes require accumulator type ==
+    element type, and a decimal string is the one encoding with no range
+    ceiling (a bit-packed int64 would silently wrap on large levels).
+    No Python, no shuffle beyond the single grouped exchange."""
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("bigint").alias("x"),
+            ).alias("_p"),
+        )
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+    )
+    # l = split(acc)[0], b = split(acc)[1]; l2 first, then b2 from l2
+    step = (
+        "concat("
+        " cast((x + cast(split(acc, ':')[0] as bigint)"
+        "         + cast(split(acc, ':')[1] as bigint)) div 2 as string),"
+        " ':',"
+        " cast((cast(split(acc, ':')[1] as bigint)"
+        "       + ((x + cast(split(acc, ':')[0] as bigint)"
+        "             + cast(split(acc, ':')[1] as bigint)) div 2"
+        "          - cast(split(acc, ':')[0] as bigint))) div 2 as string))"
+    )
+    fold = (
+        "aggregate(slice(transform(_ps, p -> p.x), 2, size(_ps)),"
+        f" concat(cast(_ps[0].x as string), ':0'), (acc, x) -> {step})"
+    )
+    out = g.select(
+        "key",
+        F.size("_ps").cast("bigint").alias("n_ticks"),
+        F.expr(fold).alias("_lb"),
+    )
+    level = F.split("_lb", ":").getItem(0).cast("bigint")
+    trend = F.split("_lb", ":").getItem(1).cast("bigint")
+    return out.select(
+        "key",
+        "n_ticks",
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 7,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each observation is scored
+    against the mean/stddev of its own trailing ``window`` observations
+    (the current row EXCLUDED — a spike must not mask itself), the
+    standard streaming-metrics anomaly gate.
+
+    ``value_col`` must be integral (scale to cents/micro-units upstream):
+    the trailing frame contributes only integer moments (n, Σx, Σx²), and
+
+        z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²)          [population σ]
+
+    is ONE float expression over integer inputs, so ``round(z, 6)`` is
+    bit-stable across engines and partitionings.  Rows with fewer than 2
+    trailing observations or zero trailing variance get a NULL z (a
+    constant history makes any deviation infinitely surprising — that is
+    a data-quality signal, not an anomaly score).
+
+    Output: ``(key, ts, value, n_prev, z, is_anomaly)`` with
+    ``is_anomaly = |z| ≥ threshold`` (on the rounded z, so the flag is as
+    portable as the score).
+
+    Scale: ONE window partitioned by key ordered by tick with a bounded
+    ROWS frame — no global window, no self-join; each key's frame state
+    is O(window)."""
+    w = Window.partitionBy("key").orderBy("ts").rowsBetween(-window, -1)
+    d = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("bigint").alias("value"),
+        )
+        .withColumn("n_prev", F.count("value").over(w).cast("bigint"))
+        .withColumn("_s", F.sum("value").over(w))
+        .withColumn("_q", F.sum(F.col("value") * F.col("value")).over(w))
+    )
+    rad = F.col("n_prev") * F.col("_q") - F.col("_s") * F.col("_s")
+    z = F.round(
+        (F.col("value") * F.col("n_prev") - F.col("_s")).cast("double")
+        / F.sqrt(rad.cast("double")),
+        6,
+    )
+    return (
+        d.withColumn(
+            "z", F.when((F.col("n_prev") >= 2) & (rad > 0), z)
+        )
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("z").isNotNull(), F.abs(F.col("z")) >= threshold),
+        )
+        .drop("_s", "_q")
+    )
+
+
+def activity_streaks(df: DataFrame, key_col: str, day_col: str) -> DataFrame:
+    """Per-key consecutive-day activity streaks (gaps-and-islands): distinct
+    active days collapse into maximal runs of consecutive days, and each
+    key reports how many runs it has, its longest run, and the length of
+    its most recent run — the retention/engagement shape ("7-day streak")
+    every activity dashboard wants.
+
+    ``day_col`` must be integral epoch days (convert upstream).  The
+    island id is the classic ``day − row_number()`` trick over the key's
+    distinct days: consecutive days share it, any gap shifts it.  All
+    outputs are exact integers.
+
+    Output: ``(key, n_active_days, n_streaks, longest_streak,
+    latest_streak, latest_streak_end)``.
+
+    Scale: one dropDuplicates + one window partitioned by key + two
+    grouped aggregations, all on the same key partitioning — Catalyst
+    reuses the exchange; nothing is global."""
+    w = Window.partitionBy("key").orderBy("day")
+    runs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(day_col).cast("bigint").alias("day"),
+        )
+        .dropDuplicates(["key", "day"])
+        .withColumn(
+            "_isl", F.col("day") - F.row_number().over(w).cast("bigint")
+        )
+        .groupBy("key", "_isl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_len"),
+            F.max("day").alias("_end"),
+        )
+    )
+    return runs.groupBy("key").agg(
+        F.sum("_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+        F.max_by("_len", "_end").alias("latest_streak"),
+        F.max("_end").alias("latest_streak_end"),
+    )

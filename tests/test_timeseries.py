@@ -46,3 +46,98 @@ def test_bad_args(spark):
         fill_gaps(df, "k", "ts", ["v"], step=0)
     with pytest.raises(ValueError):
         fill_gaps(df, "k", "ts", [])
+
+
+# ---------------------------------------------------------------------------
+# holt_linear
+# ---------------------------------------------------------------------------
+
+def _holt_ref(xs):
+    l, b = xs[0], 0
+    for x in xs[1:]:
+        # Java div truncates toward zero
+        t = x + l + b
+        l2 = t // 2 if t >= 0 else -((-t) // 2)
+        d = b + (l2 - l)
+        b = d // 2 if d >= 0 else -((-d) // 2)
+        l = l2
+    return l, b
+
+
+def test_holt_matches_reference_fold(spark):
+    from kgforge.datapipe.timeseries import holt_linear
+
+    xs = [10, 14, 6, 20, -3, 7, 7, 100]
+    rows = [("a", i, x) for i, x in enumerate(xs)] + [("b", 0, 5)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r["key"]: (r["n_ticks"], r["level"], r["trend"], r["forecast"])
+           for r in holt_linear(df, "k", "t", "v").collect()}
+    l, b = _holt_ref(xs)
+    assert got["a"] == (len(xs), l, b, l + b)
+    assert got["b"] == (1, 5, 0, 5)
+
+
+def test_holt_partition_invariant(spark):
+    from kgforge.datapipe.timeseries import holt_linear
+
+    rows = [("k", i, (i * 37) % 101 - 50) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "k string, t int, v long")
+    a = holt_linear(df1.repartition(1), "k", "t", "v").collect()[0]
+    b = holt_linear(df1.repartition(16), "k", "t", "v").collect()[0]
+    assert (a["level"], a["trend"]) == (b["level"], b["trend"])
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+def test_zscore_trailing_window_excludes_self(spark):
+    from kgforge.datapipe.timeseries import rolling_zscore
+
+    rows = [("a", 1, 10), ("a", 2, 14), ("a", 3, 6), ("a", 4, 20)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r["ts"]: (r["n_prev"], r["z"], r["is_anomaly"])
+           for r in rolling_zscore(df, "k", "t", "v", window=3,
+                                   threshold=2.0).collect()}
+    assert got[1] == (0, None, None)
+    assert got[2] == (1, None, None)
+    # prev {10,14}: mean 12, pop sigma 2 -> z = -3
+    assert got[3] == (2, -3.0, True)
+    # prev {10,14,6}: mean 10, pop sigma sqrt(32/3) -> z ~ 3.061862
+    assert got[4][0] == 3 and abs(got[4][1] - 3.061862) < 1e-6 and got[4][2]
+
+
+def test_zscore_constant_history_null(spark):
+    from kgforge.datapipe.timeseries import rolling_zscore
+
+    rows = [("a", i, 7) for i in range(5)] + [("a", 5, 99)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r["ts"]: r["z"] for r in
+           rolling_zscore(df, "k", "t", "v", window=4).collect()}
+    # zero trailing variance -> NULL score even for the wild value
+    assert got[5] is None
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks
+# ---------------------------------------------------------------------------
+
+def test_streaks_islands(spark):
+    from kgforge.datapipe.timeseries import activity_streaks
+
+    rows = [("a", d) for d in (1, 2, 3, 7, 8, 2)] + [("b", 5)]
+    df = spark.createDataFrame(rows, "k string, d long")
+    got = {r["key"]: (r["n_active_days"], r["n_streaks"], r["longest_streak"],
+                      r["latest_streak"], r["latest_streak_end"])
+           for r in activity_streaks(df, "k", "d").collect()}
+    assert got["a"] == (5, 2, 3, 2, 8)
+    assert got["b"] == (1, 1, 1, 1, 5)
+
+
+def test_streaks_single_long_run(spark):
+    from kgforge.datapipe.timeseries import activity_streaks
+
+    df = spark.createDataFrame([("k", d) for d in range(100, 200)],
+                               "k string, d long")
+    r = activity_streaks(df, "k", "d").collect()[0]
+    assert (r["n_streaks"], r["longest_streak"], r["latest_streak_end"]) == (1, 100, 199)
