@@ -10780,6 +10780,143 @@ FROM agg GROUP BY key
 """
 
 
+
+def _event_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization (datapipe/sessions.py sessionize) of
+    the event stream: 1-hour gap over epoch seconds."""
+    from kgforge.datapipe.sessions import sessionize
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    return sessionize(ev, "uid", "sec", 3600)
+
+
+_EVENT_SESSIONS_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS "user",
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts
+  FROM events
+),
+flagged AS (
+  SELECT "user", ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY "user" ORDER BY ts) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+numbered AS (
+  SELECT "user", ts,
+         CAST(sum(new_s) OVER (PARTITION BY "user" ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) + 1
+           AS session_idx
+  FROM flagged
+)
+SELECT "user", session_idx,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ts) - min(ts) AS duration
+FROM numbered GROUP BY "user", session_idx
+"""
+
+
+def _event_funnel(spark, sf_dir):
+    """Ordered funnel conversion (datapipe/sessions.py funnel_steps):
+    signup -> view -> click -> purchase, greedy first-occurrence
+    sequencing per user."""
+    from kgforge.datapipe.sessions import funnel_steps
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        "event_type",
+    )
+    return funnel_steps(
+        ev, "uid", "sec", "event_type", ["signup", "view", "click", "purchase"]
+    )
+
+
+_EVENT_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+              WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS idx
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+per_user AS (
+  SELECT u, list(CAST(idx AS VARCHAR) ORDER BY ts, idx) AS evs
+  FROM ev GROUP BY u
+),
+depths AS (
+  SELECT CAST(list_reduce(
+           list_prepend('0', evs),
+           (acc, x) -> CASE WHEN CAST(x AS INT) = CAST(acc AS INT)
+                            THEN CAST(CAST(acc AS INT) + 1 AS VARCHAR)
+                            ELSE acc END) AS BIGINT) AS depth
+  FROM per_user
+),
+spine AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'signup'), (2, 'view'),
+                        (3, 'click'), (4, 'purchase')) s(step_idx, step_name)
+),
+reached AS (
+  SELECT step_idx, step_name,
+         CAST(coalesce(sum(CASE WHEN depth >= step_idx THEN 1 END), 0)
+              AS BIGINT) AS n_reached
+  FROM spine LEFT JOIN depths ON true
+  GROUP BY step_idx, step_name
+)
+SELECT step_idx, step_name, n_reached,
+       CASE WHEN first_value(n_reached) OVER (ORDER BY step_idx) > 0 THEN
+         round(CAST(n_reached AS DOUBLE)
+               / first_value(n_reached) OVER (ORDER BY step_idx), 6) END
+         AS frac_of_entered,
+       CASE WHEN coalesce(lag(n_reached) OVER (ORDER BY step_idx),
+                          first_value(n_reached) OVER (ORDER BY step_idx)) > 0
+            THEN round(CAST(n_reached AS DOUBLE)
+                       / coalesce(lag(n_reached) OVER (ORDER BY step_idx),
+                                  first_value(n_reached)
+                                    OVER (ORDER BY step_idx)), 6) END
+         AS frac_of_prev
+FROM reached
+"""
+
+
+def _user_retention(spark, sf_dir):
+    """Weekly retention cohorts (datapipe/sessions.py retention_cohorts)
+    over epoch days, period 7."""
+    from kgforge.datapipe.sessions import retention_cohorts
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("d"),
+    )
+    return retention_cohorts(ev, "uid", "d", 7)
+
+
+_USER_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           // 7 AS p
+  FROM events
+),
+first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+cells AS (
+  SELECT cohort, p - cohort AS "offset",
+         CAST(count(DISTINCT ev.u) AS BIGINT) AS n_active
+  FROM ev JOIN first ON ev.u = first.u
+  GROUP BY cohort, p - cohort
+),
+sizes AS (SELECT cohort, n_active AS cohort_size FROM cells WHERE "offset" = 0)
+SELECT cells.cohort, "offset", n_active, cohort_size,
+       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+FROM cells JOIN sizes ON cells.cohort = sizes.cohort
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11044,6 +11181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_spend": _holt_spend,
         "spend_zscore": _spend_zscore,
         "user_streaks": _user_streaks,
+        "event_sessions": _event_sessions,
+        "event_funnel": _event_funnel,
+        "user_retention": _user_retention,
     }
 
 
@@ -13107,6 +13247,9 @@ def oracle_sql() -> dict[str, str]:
         "holt_spend": _HOLT_ORACLE,
         "spend_zscore": _SPEND_ZSCORE_ORACLE,
         "user_streaks": _USER_STREAKS_ORACLE,
+        "event_sessions": _EVENT_SESSIONS_ORACLE,
+        "event_funnel": _EVENT_FUNNEL_ORACLE,
+        "user_retention": _USER_RETENTION_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
