@@ -10917,6 +10917,49 @@ FROM cells JOIN sizes ON cells.cohort = sizes.cohort
 """
 
 
+
+def _purchase_asof_view(spark, sf_dir):
+    """Point-in-time join (datapipe/asof.py asof_join): every purchase gets
+    the same user's latest view within 24h — union + keyed-window, no
+    range join, DuckDB native ASOF JOIN as the oracle."""
+    from kgforge.datapipe.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    return asof_join(
+        purchases, views, "u", "t", ["event_id", "cents"], tolerance=86400
+    )
+
+
+_PURCHASE_ASOF_ORACLE = """
+WITH v AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         max({'event_id': event_id,
+              'cents': CAST(round(value*100) AS BIGINT)}) AS s
+  FROM events WHERE event_type = 'view' GROUP BY u, t
+),
+p AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.u, p.t, p.event_id,
+       CASE WHEN p.t - v.t <= 86400 THEN v.t END AS asof_ts,
+       CASE WHEN p.t - v.t <= 86400 THEN v.s.event_id END AS asof_event_id,
+       CASE WHEN p.t - v.t <= 86400 THEN v.s.cents END AS asof_cents
+FROM p ASOF LEFT JOIN v ON p.u = v.u AND p.t >= v.t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11184,6 +11227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _event_sessions,
         "event_funnel": _event_funnel,
         "user_retention": _user_retention,
+        "purchase_asof_view": _purchase_asof_view,
     }
 
 
@@ -13250,6 +13294,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _EVENT_SESSIONS_ORACLE,
         "event_funnel": _EVENT_FUNNEL_ORACLE,
         "user_retention": _USER_RETENTION_ORACLE,
+        "purchase_asof_view": _PURCHASE_ASOF_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
