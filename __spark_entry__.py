@@ -10960,6 +10960,97 @@ FROM p ASOF LEFT JOIN v ON p.u = v.u AND p.t >= v.t
 """
 
 
+
+def _kg_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function + effective diameter
+    (kg/hyperball.py) of the cosine>=0.25 similarity graph — iterated
+    HLL register merging, integer micro-unit sums."""
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+    from kgforge.kg.hyperball import hyperball
+
+    emb = _read(spark, sf_dir, "embeddings")
+    e = embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_TRUSS_TAU
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return hyperball(e, max_t=6, p=9, target=0.9)
+
+
+def _kg_hyperball_oracle(max_t: int = 6, p: int = 9, target: float = 0.9) -> str:
+    from kgforge.datapipe.sketch import _HLL_W, _stage2_sql
+
+    m = 1 << p
+    w = _HLL_W
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = repr(alpha * m * m)
+    cap = repr(2.5 * m)
+    fm = repr(float(m))
+    h1 = _stage2_sql("CAST(n AS VARCHAR)", 31, 1009)
+    h2 = _stage2_sql("CAST(n AS VARCHAR)", 131, 10007)
+    rounds, ests, unions = [], [], []
+    for t in range(max_t + 1):
+        if t > 0:
+            rounds.append(f"""
+r{t} AS MATERIALIZED (
+  SELECT n, bucket, max(r) AS r FROM (
+    SELECT n, bucket, r FROM r{t-1}
+    UNION ALL
+    SELECT adj.s AS n, x.bucket, x.r FROM adj JOIN r{t-1} x ON adj.d = x.n
+  ) GROUP BY n, bucket
+)""")
+        ests.append(f"""
+n{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS t, CAST(sum(em) AS BIGINT) AS nf_micro
+  FROM (
+    SELECT CAST(round(
+      CASE WHEN raw <= CAST('{cap}' AS DOUBLE) AND zeros > 0
+           THEN CAST('{fm}' AS DOUBLE) * ln(CAST('{fm}' AS DOUBLE) / zeros)
+           ELSE raw END * CAST(1000000 AS DOUBLE)) AS BIGINT) AS em
+    FROM (
+      SELECT CAST('{amm}' AS DOUBLE) / (sp + ({m} - present)) AS raw,
+             CAST({m} - present AS DOUBLE) AS zeros
+      FROM (
+        SELECT n, CAST(count(*) AS BIGINT) AS present,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list(r ORDER BY bucket),
+                   x -> 1.0 / CAST(1::BIGINT << x AS DOUBLE))),
+                 (a, b) -> a + b) AS sp
+        FROM r{t} GROUP BY n
+      )
+    )
+  )
+)""")
+        unions.append(f"SELECT * FROM n{t}")
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_TRUSS_TAU}
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b, a FROM e0
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM adj),
+r0 AS MATERIALIZED (
+  SELECT n, h1 % {m} AS bucket,
+         CASE WHEN h2 > 0 THEN length(bin(h2 & -h2)) ELSE {w + 1} END AS r
+  FROM (SELECT n, {h1} AS h1, {h2} AS h2 FROM nodes)
+),{",".join(rounds)},{",".join(ests)},
+allr AS ({" UNION ALL ".join(unions)}),
+withr AS (
+  SELECT t, nf_micro,
+         round(CAST(nf_micro AS DOUBLE)
+               / max(CASE WHEN t = {max_t} THEN nf_micro END) OVER (), 6)
+           AS ratio
+  FROM allr
+)
+SELECT t, CAST(nf_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS nf, ratio,
+       t = min(CASE WHEN ratio >= CAST('{repr(target)}' AS DOUBLE)
+                    THEN t END) OVER () AS reached_target
+FROM withr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11228,6 +11319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": _event_funnel,
         "user_retention": _user_retention,
         "purchase_asof_view": _purchase_asof_view,
+        "kg_hyperball": _kg_hyperball,
     }
 
 
@@ -13295,6 +13387,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _EVENT_FUNNEL_ORACLE,
         "user_retention": _USER_RETENTION_ORACLE,
         "purchase_asof_view": _PURCHASE_ASOF_ORACLE,
+        "kg_hyperball": _kg_hyperball_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
