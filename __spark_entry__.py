@@ -11051,6 +11051,83 @@ FROM withr
 """
 
 
+
+def _forecast_eval(spark, sf_dir):
+    """MASE forecast backtest (datapipe/timeseries.py forecast_backtest)
+    of each user bucket's daily spend: last 7 days held out, naive /
+    seasonal-naive / Holt baselines, integer error sums."""
+    from kgforge.datapipe.timeseries import forecast_backtest
+
+    return forecast_backtest(
+        _daily_spend(spark, sf_dir), "ukey", "day", "spend", horizon=7, season=7
+    )
+
+
+_HOLT_STEP_SQL = (
+    "concat("
+    " CAST((CAST(x AS BIGINT) + CAST(split_part(acc, ':', 1) AS BIGINT)"
+    "       + CAST(split_part(acc, ':', 2) AS BIGINT)) // 2 AS VARCHAR),"
+    " ':',"
+    " CAST((CAST(split_part(acc, ':', 2) AS BIGINT)"
+    "       + ((CAST(x AS BIGINT) + CAST(split_part(acc, ':', 1) AS BIGINT)"
+    "           + CAST(split_part(acc, ':', 2) AS BIGINT)) // 2"
+    "          - CAST(split_part(acc, ':', 1) AS BIGINT))) // 2 AS VARCHAR))"
+)
+
+_FORECAST_EVAL_ORACLE = f"""
+WITH {_DAILY_SPEND_CTE.strip()},
+arr AS (
+  SELECT ukey AS key, list(spend ORDER BY day) AS xs
+  FROM daily GROUP BY ukey
+),
+base AS (
+  SELECT key, xs, CAST(len(xs) AS BIGINT) AS n,
+         CAST(len(xs) - 7 AS BIGINT) AS ntr
+  FROM arr WHERE len(xs) >= 15
+),
+folded AS (
+  SELECT key, xs, n, ntr,
+         list_reduce(
+           list_prepend(concat(CAST(xs[1] AS VARCHAR), ':0'),
+                        list_transform(xs[2:CAST(ntr AS INT)],
+                                       x -> CAST(x AS VARCHAR))),
+           (acc, x) -> {_HOLT_STEP_SQL}) AS lb
+  FROM base
+),
+scored AS (
+  SELECT key, n, ntr,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 8),
+      i -> abs(xs[CAST(ntr + i AS INT)] - xs[CAST(ntr AS INT)]))),
+      (a, e) -> a + e) AS sae_n,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 8),
+      i -> abs(xs[CAST(ntr + i AS INT)]
+               - xs[CAST(ntr + i - 7 * ((i + 6) // 7) AS INT)]))),
+      (a, e) -> a + e) AS sae_s,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 8),
+      i -> abs(xs[CAST(ntr + i AS INT)]
+               - (CAST(split_part(lb, ':', 1) AS BIGINT)
+                  + i * CAST(split_part(lb, ':', 2) AS BIGINT))))),
+      (a, e) -> a + e) AS sae_h,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(8, CAST(ntr AS INT) + 1),
+        t -> abs(xs[t] - xs[t - 7]))),
+      (a, e) -> a + e) AS sd
+  FROM folded
+)
+SELECT key, n AS n_ticks,
+  round(CAST(sae_n AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS naive_mae,
+  round(CAST(sae_s AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS snaive_mae,
+  round(CAST(sae_h AS DOUBLE) / CAST(7 AS DOUBLE), 6) AS holt_mae,
+  CASE WHEN sd > 0 THEN round(CAST(sae_n * (ntr - 7) AS DOUBLE)
+       / (CAST(7 AS DOUBLE) * CAST(sd AS DOUBLE)), 6) END AS naive_mase,
+  CASE WHEN sd > 0 THEN round(CAST(sae_s * (ntr - 7) AS DOUBLE)
+       / (CAST(7 AS DOUBLE) * CAST(sd AS DOUBLE)), 6) END AS snaive_mase,
+  CASE WHEN sd > 0 THEN round(CAST(sae_h * (ntr - 7) AS DOUBLE)
+       / (CAST(7 AS DOUBLE) * CAST(sd AS DOUBLE)), 6) END AS holt_mase
+FROM scored
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11320,6 +11397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_retention": _user_retention,
         "purchase_asof_view": _purchase_asof_view,
         "kg_hyperball": _kg_hyperball,
+        "forecast_eval": _forecast_eval,
     }
 
 
@@ -13388,6 +13466,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": _USER_RETENTION_ORACLE,
         "purchase_asof_view": _PURCHASE_ASOF_ORACLE,
         "kg_hyperball": _kg_hyperball_oracle(),
+        "forecast_eval": _FORECAST_EVAL_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

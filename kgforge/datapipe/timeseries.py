@@ -531,3 +531,130 @@ def activity_streaks(df: DataFrame, key_col: str, day_col: str) -> DataFrame:
         F.max_by("_len", "_end").alias("latest_streak"),
         F.max("_end").alias("latest_streak_end"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    season: int = 7,
+) -> DataFrame:
+    """Per-key forecast backtest: hold out each key's last ``horizon``
+    ticks, forecast them with the three standard baselines — naive
+    (last train value), seasonal naive (value one ``season`` back,
+    recycled), and Holt linear (:func:`holt_linear`'s integer level +
+    trend fold, projected ``i`` ticks ahead) — and score MAE and MASE
+    (Hyndman & Koehler 2006: MAE scaled by the train-set seasonal-naive
+    MAE, the scale-free accuracy measure that makes methods comparable
+    across series).
+
+    Keys with fewer than ``horizon + season + 1`` observations are
+    dropped (not enough history to train and scale).  ``value_col`` must
+    be integral: every error sum is an exact integer, and each reported
+    score is ONE float division rounded to 6 — bit-stable across engines
+    and partitionings.  MASE is NULL when the train seasonal differences
+    are all zero (a constant series makes the scale degenerate).
+
+    Output: ``(key, n_ticks, naive_mae, snaive_mae, holt_mae,
+    naive_mase, snaive_mase, holt_mase)``.
+
+    Scale: ONE groupBy collecting each key's own history (the
+    :func:`ewma_halflife` contract), then pure JVM array folds."""
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    h, s = horizon, season
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("bigint").alias("x"),
+            ).alias("_p"),
+        )
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("_p")).alias("_ps"))
+        .select(
+            "key", F.expr("transform(_ps, p -> p.x)").alias("xs")
+        )
+        .filter(F.size("xs") >= h + s + 1)
+        .withColumn("n", F.size("xs").cast("bigint"))
+        .withColumn("ntr", F.col("n") - h)
+    )
+    # integer sums of absolute errors over the holdout, per method
+    sae_naive = (
+        f"aggregate(transform(sequence(1, {h}),"
+        f" i -> abs(element_at(xs, cast(ntr + i as int))"
+        f"          - element_at(xs, cast(ntr as int)))),"
+        f" cast(0 as bigint), (a, e) -> a + e)"
+    )
+    # seasonal naive: y[T+i] ~ y[T + i - s*ceil(i/s)]
+    sae_snaive = (
+        f"aggregate(transform(sequence(1, {h}),"
+        f" i -> abs(element_at(xs, cast(ntr + i as int))"
+        f"          - element_at(xs, cast(ntr + i - {s} * ((i + {s} - 1) div {s}) as int)))),"
+        f" cast(0 as bigint), (a, e) -> a + e)"
+    )
+    # Holt level:trend fold over the train prefix (string accumulator —
+    # see holt_linear), then |y[T+i] - (level + i*trend)|
+    holt_step = (
+        "concat("
+        " cast((x + cast(split(acc, ':')[0] as bigint)"
+        "         + cast(split(acc, ':')[1] as bigint)) div 2 as string),"
+        " ':',"
+        " cast((cast(split(acc, ':')[1] as bigint)"
+        "       + ((x + cast(split(acc, ':')[0] as bigint)"
+        "             + cast(split(acc, ':')[1] as bigint)) div 2"
+        "          - cast(split(acc, ':')[0] as bigint))) div 2 as string))"
+    )
+    lb = (
+        f"aggregate(slice(xs, 2, cast(ntr - 1 as int)),"
+        f" concat(cast(xs[0] as string), ':0'), (acc, x) -> {holt_step})"
+    )
+    sae_holt = (
+        f"aggregate(transform(sequence(1, {h}),"
+        f" i -> abs(element_at(xs, cast(ntr + i as int))"
+        f"          - (cast(split(_lb, ':')[0] as bigint)"
+        f"             + i * cast(split(_lb, ':')[1] as bigint)))),"
+        f" cast(0 as bigint), (a, e) -> a + e)"
+    )
+    # MASE scale: train seasonal-difference MAE numerator (integer)
+    sdiff = (
+        f"aggregate(transform(sequence({s} + 1, cast(ntr as int)),"
+        f" t -> abs(element_at(xs, t) - element_at(xs, t - {s}))),"
+        f" cast(0 as bigint), (a, e) -> a + e)"
+    )
+    scored = (
+        g.withColumn("_lb", F.expr(lb))
+        .withColumn("_sae_n", F.expr(sae_naive))
+        .withColumn("_sae_s", F.expr(sae_snaive))
+        .withColumn("_sae_h", F.expr(sae_holt))
+        .withColumn("_sd", F.expr(sdiff))
+    )
+
+    def mae(c):
+        return F.round(F.col(c).cast("double") / F.lit(float(h)), 6)
+
+    def mase(c):
+        return F.when(
+            F.col("_sd") > 0,
+            F.round(
+                (F.col(c) * (F.col("ntr") - s)).cast("double")
+                / (F.lit(float(h)) * F.col("_sd").cast("double")),
+                6,
+            ),
+        )
+
+    return scored.select(
+        "key",
+        F.col("n").alias("n_ticks"),
+        mae("_sae_n").alias("naive_mae"),
+        mae("_sae_s").alias("snaive_mae"),
+        mae("_sae_h").alias("holt_mae"),
+        mase("_sae_n").alias("naive_mase"),
+        mase("_sae_s").alias("snaive_mase"),
+        mase("_sae_h").alias("holt_mase"),
+    )

@@ -141,3 +141,72 @@ def test_streaks_single_long_run(spark):
                                "k string, d long")
     r = activity_streaks(df, "k", "d").collect()[0]
     assert (r["n_streaks"], r["longest_streak"], r["latest_streak_end"]) == (1, 100, 199)
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest
+# ---------------------------------------------------------------------------
+
+def _jdiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_backtest_matches_python_mirror(spark):
+    from kgforge.datapipe.timeseries import forecast_backtest
+
+    import random
+
+    rng = random.Random(3)
+    xs = [100 + 10 * (i % 7) + rng.randrange(-5, 6) for i in range(40)]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, t int, v long"
+    )
+    got = forecast_backtest(df, "k", "t", "v", horizon=7, season=7).collect()[0]
+
+    h, s = 7, 7
+    ntr = len(xs) - h
+    train, test = xs[:ntr], xs[ntr:]
+    l, b = train[0], 0
+    for x in train[1:]:
+        l2 = _jdiv(x + l + b, 2)
+        b = _jdiv(b + (l2 - l), 2)
+        l = l2
+    sae_n = sum(abs(test[i] - train[-1]) for i in range(h))
+    sae_s = sum(
+        abs(test[i] - xs[ntr + (i + 1) - s * ((i + s) // s) - 1]) for i in range(h)
+    )
+    sae_h = sum(abs(test[i] - (l + (i + 1) * b)) for i in range(h))
+    sd = sum(abs(train[t] - train[t - s]) for t in range(s, ntr))
+    assert got["naive_mae"] == round(sae_n / h, 6)
+    assert got["snaive_mae"] == round(sae_s / h, 6)
+    assert got["holt_mae"] == round(sae_h / h, 6)
+    assert got["naive_mase"] == round(sae_n * (ntr - s) / (h * sd), 6)
+    # seasonal series: snaive must beat naive
+    assert got["snaive_mae"] < got["naive_mae"]
+
+
+def test_backtest_drops_short_and_nulls_constant(spark):
+    from kgforge.datapipe.timeseries import forecast_backtest
+
+    rows = [("short", i, i) for i in range(10)] + [
+        ("const", i, 5) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    out = {r["key"]: r for r in
+           forecast_backtest(df, "k", "t", "v", horizon=7, season=7).collect()}
+    assert "short" not in out  # 10 < 7 + 7 + 1
+    c = out["const"]
+    assert c["naive_mae"] == 0.0 and c["naive_mase"] is None
+
+
+def test_backtest_validates_args(spark):
+    from kgforge.datapipe.timeseries import forecast_backtest
+
+    df = spark.createDataFrame([("k", 0, 0)], "k string, t int, v long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        forecast_backtest(df, "k", "t", "v", horizon=0)
+    with _pt.raises(ValueError):
+        forecast_backtest(df, "k", "t", "v", horizon=1, season=0)
