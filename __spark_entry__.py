@@ -11128,6 +11128,71 @@ FROM scored
 """
 
 
+
+def _geo_points(spark, sf_dir):
+    """Deterministic planar point cloud from customer keys (the same
+    synthetic-derivation precedent as kg_scc's functional digraph)."""
+    return _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") * 7919 % 20000).cast("bigint").alias("x"),
+        (F.col("c_custkey") * 104729 % 20000).cast("bigint").alias("y"),
+    )
+
+
+def _geo_pairs(spark, sf_dir):
+    """Grid-cell spatial join (datapipe/geo.py planar_radius_join): all
+    customer-point pairs within radius 600 — the oracle is an
+    INDEPENDENT brute-force pair join, not a mirror of the grid."""
+    from kgforge.datapipe.geo import planar_radius_join
+
+    return planar_radius_join(_geo_points(spark, sf_dir), "id", "x", "y", 600)
+
+
+_GEO_POINTS_CTE = """
+p AS (
+  SELECT c_custkey AS id,
+         CAST((c_custkey * 7919) % 20000 AS BIGINT) AS x,
+         CAST((c_custkey * 104729) % 20000 AS BIGINT) AS y
+  FROM customer
+)
+"""
+
+_GEO_PAIRS_ORACLE = f"""
+WITH {_GEO_POINTS_CTE.strip()}
+SELECT a.id AS a, b.id AS b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 360000
+"""
+
+
+def _geo_nn(spark, sf_dir):
+    """Bounded-range nearest neighbor (datapipe/geo.py nearest_neighbor)
+    over the same point cloud, radius 600, smaller-id tiebreak."""
+    from kgforge.datapipe.geo import nearest_neighbor
+
+    return nearest_neighbor(_geo_points(spark, sf_dir), "id", "x", "y", 600)
+
+
+_GEO_NN_ORACLE = f"""
+WITH {_GEO_POINTS_CTE.strip()},
+pairs AS (
+  SELECT a.id AS a, b.id AS b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 360000
+),
+sym AS (
+  SELECT a AS id, b AS nn, dist2 FROM pairs
+  UNION ALL
+  SELECT b AS id, a AS nn, dist2 FROM pairs
+)
+SELECT id, (min({{'dist2': dist2, 'nn': nn}})).nn AS nn_id,
+       (min({{'dist2': dist2, 'nn': nn}})).dist2 AS dist2
+FROM sym GROUP BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11398,6 +11463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_view": _purchase_asof_view,
         "kg_hyperball": _kg_hyperball,
         "forecast_eval": _forecast_eval,
+        "geo_pairs": _geo_pairs,
+        "geo_nn": _geo_nn,
     }
 
 
@@ -13467,6 +13534,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_asof_view": _PURCHASE_ASOF_ORACLE,
         "kg_hyperball": _kg_hyperball_oracle(),
         "forecast_eval": _FORECAST_EVAL_ORACLE,
+        "geo_pairs": _GEO_PAIRS_ORACLE,
+        "geo_nn": _GEO_NN_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
