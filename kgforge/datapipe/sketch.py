@@ -43,6 +43,76 @@ def _stage2(col, mult1: int, mult2: int):
     return poly_hash(poly_hash(col, mult1).cast("string"), mult2)
 
 
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """The mergeable HLL state: ``(*group_cols, _bucket, _r)`` register
+    maxima, ≤ 2**p rows per group regardless of input size.  This is the
+    artifact you PERSIST at 100 TB — estimates for any coarser grouping
+    come from :func:`hll_merge_registers` + :func:`hll_estimate_registers`
+    without rescanning the facts (register max is associative/commutative,
+    the defining HLL property)."""
+    if not 7 <= p <= 16:
+        raise ValueError("p must be in [7, 16]")
+    m = 1 << p
+    s = F.col(value_col).cast("string")
+    with_h = df.select(
+        *group_cols,
+        (_stage2(s, 31, 1009) % m).alias("_bucket"),
+        _stage2(s, 131, 10007).alias("_rl"),
+    )
+    rho = F.when(
+        F.col("_rl") > 0,
+        F.length(F.conv(F.expr("_rl & -_rl"), 10, 2)),
+    ).otherwise(F.lit(_HLL_W + 1))
+    return (
+        with_h.select(*group_cols, "_bucket", rho.alias("_rho"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.max("_rho").alias("_r"))
+    )
+
+
+def hll_merge_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Re-aggregate register tables to a coarser grouping: one map-side-
+    combinable max — the rollup path that replaces a 100-TB rescan."""
+    return regs.groupBy(*group_cols, "_bucket").agg(
+        F.max("_r").alias("_r")
+    )
+
+
+def hll_estimate_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 9
+) -> DataFrame:
+    """Registers → ``(*group_cols, present, est)`` via the standard
+    bias-corrected harmonic mean + small-range linear counting."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("present"),
+        F.array_sort(F.collect_list(F.struct("_bucket", "_r"))).alias("_regs"),
+    )
+    sum_present = F.aggregate(
+        "_regs",
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.lit(1.0)
+        / F.call_function("shiftleft", F.lit(1).cast("long"), e["_r"]),
+    )
+    harm = sum_present + (F.lit(m) - F.col("present")).cast("double")
+    raw = F.lit(alpha * m * m) / harm
+    zeros = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per.select(*group_cols, "present", est.alias("est"))
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -62,45 +132,9 @@ def hll_distinct(
     of the second lane, the classic geometric observable.  ``present``
     (non-zero registers) is exposed because it drives the small-range
     linear-count correction and is the piece to monitor for saturation."""
-    if not 7 <= p <= 16:
-        raise ValueError("p must be in [7, 16]")
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-
-    s = F.col(value_col).cast("string")
-    with_h = df.select(
-        *group_cols,
-        (_stage2(s, 31, 1009) % m).alias("_bucket"),
-        _stage2(s, 131, 10007).alias("_rl"),
+    return hll_estimate_registers(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
     )
-    rho = F.when(
-        F.col("_rl") > 0,
-        F.length(F.conv(F.expr("_rl & -_rl"), 10, 2)),
-    ).otherwise(F.lit(_HLL_W + 1))
-    reg = (
-        with_h.select(*group_cols, "_bucket", rho.alias("_rho"))
-        .groupBy(*group_cols, "_bucket")
-        .agg(F.max("_rho").alias("_r"))
-    )
-    per = reg.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("present"),
-        F.array_sort(F.collect_list(F.struct("_bucket", "_r"))).alias("_regs"),
-    )
-    sum_present = F.aggregate(
-        "_regs",
-        F.lit(0.0),
-        lambda acc, e: acc
-        + F.lit(1.0)
-        / F.call_function("shiftleft", F.lit(1).cast("long"), e["_r"]),
-    )
-    harm = sum_present + (F.lit(m) - F.col("present")).cast("double")
-    raw = F.lit(alpha * m * m) / harm
-    zeros = F.lit(m) - F.col("present")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
-    return per.select(*group_cols, "present", est.alias("est"))
 
 
 def _poly_sql(col: str, mult: int) -> str:
