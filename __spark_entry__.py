@@ -6586,7 +6586,9 @@ SELECT s.doc_id, (p.g * s.rk) // p.n AS bucket FROM s, p
 
 
 def _kg_triples_oracle(catalog: list | None = None, vocab: list | None = None,
-                       d_cte: str | None = None) -> str:
+                       d_cte: str | None = None,
+                       span_count_expr: str = "'1'",
+                       extra_legs: str = "") -> str:
     """DuckDB mirror of the full build_kg DAG over the flat-span projection:
     the mention CTE (shared with doc_mentions), trigram-Jaccard link scoring
     with the max-struct tie order, char-3-shingle all-pairs canonicalization
@@ -6678,9 +6680,10 @@ SELECT '{kg}surface/' || surface, '{kg}nearDuplicateOf',
        '{kg}surface/' || canon, 'iri', TRUE
 FROM canon WHERE canon <> surface
 UNION ALL
-SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}spanCount', '1',
+SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}spanCount', {span_count_expr},
        'xsd:long', FALSE
 FROM (SELECT DISTINCT doc_id FROM d)
+{extra_legs}
 """
 
 
@@ -6690,6 +6693,86 @@ def _kg_triples_interleaved(spark, sf_dir):
     docs = docs_from_testdata(spark, sf_dir)
     triples, _ = build_kg(docs)
     return triples
+
+
+def _kg_triples_mixed(spark, sf_dir):
+    """The INTERLEAVED text+media span path value-checked end to end: a
+    deterministic SQL-expressible mixed-span projection (one text span,
+    plus an image span on even doc_ids and an audio span on %3 doc_ids,
+    with derived media_refs) through the full build_kg DAG — so hasMedia /
+    mediaKind / per-doc spanCount emission is oracle-verified, not just
+    rows-only (kg_triples_interleaved covers the python-synthesized span
+    variant; this closes COVERAGE.md's known-limitation #1 for every
+    SQL-expressible part of the span model)."""
+    from kgforge.kg.pipeline import build_kg
+
+    did = F.col("doc_id")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.lower(F.col("text")).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    img_span = F.struct(
+        F.when(did % 2 == 0, F.lit("image")).otherwise(F.lit("skip")).alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("img://"), (did % 37).cast("string")).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    aud_span = F.struct(
+        F.when(did % 3 == 0, F.lit("audio")).otherwise(F.lit("skip")).alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("aud://"), (did % 11).cast("string")).alias("media_ref"),
+        F.lit(2).alias("offset"),
+    )
+    docs = _read(spark, sf_dir, "documents").select(
+        did.cast("string").alias("doc_id"),
+        F.filter(
+            F.array(text_span, img_span, aud_span),
+            lambda x: x["kind"] != "skip",
+        ).alias("spans"),
+    )
+    catalog = spark.createDataFrame(
+        _KG_CATALOG, "norm string, eid string, canonical string, etype string"
+    )
+    triples, _ = build_kg(
+        docs,
+        mention_strategy="regex",
+        link_strategy="sql",
+        collect_metrics=False,
+        mention_vocab=_MENTION_VOCAB,
+        mention_case_insensitive=False,
+        catalog=catalog,
+    )
+    return triples
+
+
+def _kg_triples_mixed_oracle() -> str:
+    kg = "http://kgforge.dev/ns/"
+    doc = "http://kgforge.dev/doc/"
+    span_count = (
+        "CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END"
+        " + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)"
+    )
+    extra = f"""
+UNION ALL
+SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}hasMedia',
+       'img://' || CAST(doc_id % 37 AS VARCHAR), 'iri', TRUE
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}hasMedia',
+       'aud://' || CAST(doc_id % 11 AS VARCHAR), 'iri', TRUE
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'img://' || CAST(doc_id % 37 AS VARCHAR), '{kg}mediaKind',
+       'image', 'string', FALSE
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'aud://' || CAST(doc_id % 11 AS VARCHAR), '{kg}mediaKind',
+       'audio', 'string', FALSE
+FROM documents WHERE doc_id % 3 = 0
+"""
+    return _kg_triples_oracle(span_count_expr=span_count, extra_legs=extra)
 
 
 # --------------------------------------------------------------------------
@@ -11193,6 +11276,447 @@ FROM sym GROUP BY id
 """
 
 
+# --------------------------------------------------------------------------
+# rectangle motifs + greedy coloring over the embedding similarity graph
+# --------------------------------------------------------------------------
+
+_MOTIF_TAU = 0.25
+
+
+def _cos_edges(spark, sf_dir):
+    from kgforge.datapipe.similarity import embedding_near_duplicates_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_exact(
+        emb, "vec_id", "embedding", threshold=_MOTIF_TAU
+    ).select("a", "b")
+
+
+_COS_E0 = f"""
+e0 AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[])) >= {_MOTIF_TAU}
+),
+adjm AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b, a FROM e0
+)
+"""
+
+
+def _kg_squares(spark, sf_dir):
+    """Exact 4-cycle count of the cosine>=0.25 similarity graph via the
+    hub-immune min-vertex charging identity (kg/motifs.py).  The oracle is
+    DELIBERATELY the other formula — sum C(lambda,2)/2 over all pairs — so
+    the two independent decompositions cross-validate each other."""
+    from kgforge.kg.motifs import square_count
+
+    return square_count(_cos_edges(spark, sf_dir), src="a", dst="b")
+
+
+_KG_SQUARES_ORACLE = f"""
+WITH {_COS_E0.strip()},
+lam AS MATERIALIZED (
+  SELECT l.w AS p, r.w AS q, count(*) AS c
+  FROM adjm l JOIN adjm r ON l.v = r.v AND l.w < r.w
+  GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS n_squares
+FROM lam
+"""
+
+
+def _kg_square_pairs(spark, sf_dir):
+    """The candidate distance-2 pairs of the rectangle decomposition:
+    (a, b, n_low, n_common) for every pair with >= 1 order-LOW common
+    neighbor (kg/motifs.py square_pairs) — the oracle reproduces the
+    (degree, id) precedence classification by brute force."""
+    from kgforge.kg.motifs import square_pairs
+
+    return square_pairs(_cos_edges(spark, sf_dir), src="a", dst="b")
+
+
+_KG_SQUARE_PAIRS_ORACLE = f"""
+WITH {_COS_E0.strip()},
+deg AS MATERIALIZED (SELECT v, count(*) AS d FROM adjm GROUP BY v),
+cn AS MATERIALIZED (
+  SELECT l.w AS p, r.w AS q, l.v AS x
+  FROM adjm l JOIN adjm r ON l.v = r.v AND l.w < r.w
+),
+cls AS MATERIALIZED (
+  SELECT cn.p, cn.q,
+         CASE WHEN (dx.d, cn.x) < (dp.d, cn.p)
+               AND (dx.d, cn.x) < (dq.d, cn.q) THEN 1 ELSE 0 END AS is_low
+  FROM cn
+  JOIN deg dx ON dx.v = cn.x
+  JOIN deg dp ON dp.v = cn.p
+  JOIN deg dq ON dq.v = cn.q
+)
+SELECT p AS a, q AS b, CAST(sum(is_low) AS BIGINT) AS n_low,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM cls GROUP BY p, q HAVING sum(is_low) >= 1
+"""
+
+
+_COLORING_ORACLE_ROUNDS = 24
+
+
+def _kg_coloring(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring (kg/coloring.py) of
+    the cosine>=0.25 similarity graph — the conflict-free parallel
+    schedule over near-dup clusters (same-color nodes share no edge)."""
+    from kgforge.kg.coloring import greedy_coloring
+
+    return greedy_coloring(_cos_edges(spark, sf_dir), src="a", dst="b")
+
+
+def _kg_coloring_oracle(rounds: int = _COLORING_ORACLE_ROUNDS) -> str:
+    def prio(col):
+        return _poly_sql(f"CAST({col} AS VARCHAR)", 31)
+
+    parts = []
+    prev_an, prev_ae, prev_col = "an0", "ae0", "col0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""adc{r} AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM {prev_ae}
+  UNION ALL SELECT b, a FROM {prev_ae}
+),
+cnm{r} AS MATERIALIZED (
+  SELECT node, p AS mp, mid FROM (
+    SELECT node, {prio('nbr')} AS p, CAST(nbr AS VARCHAR) AS mid,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY {prio('nbr')}, CAST(nbr AS VARCHAR)) AS rn
+    FROM adc{r}
+  ) WHERE rn = 1
+),
+cwin{r} AS MATERIALIZED (
+  SELECT an.node FROM {prev_an} an LEFT JOIN cnm{r} m ON m.node = an.node
+  WHERE m.node IS NULL
+     OR {prio('an.node')} < m.mp
+     OR ({prio('an.node')} = m.mp AND CAST(an.node AS VARCHAR) < m.mid)
+),
+cused{r} AS MATERIALIZED (
+  SELECT w.node, list_sort(list(DISTINCT c.color)) AS used
+  FROM cwin{r} w
+  JOIN adj0 a ON a.node = w.node
+  JOIN {prev_col} c ON c.node = a.nbr
+  GROUP BY w.node
+),
+col{r} AS MATERIALIZED (
+  SELECT node, color, round FROM {prev_col}
+  UNION ALL
+  SELECT w.node,
+         CASE WHEN u.used IS NULL THEN 0
+              ELSE list_reduce(list_prepend(0, u.used),
+                   (acc, x) -> CASE WHEN x = acc THEN acc + 1 ELSE acc END)
+         END AS color,
+         {r} AS round
+  FROM cwin{r} w LEFT JOIN cused{r} u ON u.node = w.node
+),
+an{r} AS MATERIALIZED (
+  SELECT node FROM {prev_an}
+  WHERE node NOT IN (SELECT node FROM cwin{r})
+),
+ae{r} AS MATERIALIZED (
+  SELECT a, b FROM {prev_ae}
+  WHERE a NOT IN (SELECT node FROM cwin{r})
+    AND b NOT IN (SELECT node FROM cwin{r})
+)""")
+        prev_an, prev_ae, prev_col = f"an{r}", f"ae{r}", f"col{r}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_COS_E0.strip()},
+ae0 AS MATERIALIZED (SELECT a, b FROM e0),
+adj0 AS MATERIALIZED (SELECT v AS node, w AS nbr FROM adjm),
+an0 AS MATERIALIZED (SELECT DISTINCT v AS node FROM adjm),
+col0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS node, 0 AS color, 0 AS round WHERE false
+),
+{chain}
+SELECT node, CAST(color AS INTEGER) AS color, CAST(round AS INTEGER) AS round
+FROM {prev_col}
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance (datapipe/ivm.py)
+# --------------------------------------------------------------------------
+
+_IVM_CUT = "1997-01-01"
+
+
+def _ivm_orders(spark, sf_dir):
+    """Maintained GROUP BY view under a signed CDC delta (datapipe/ivm.py):
+    the base view aggregates pre-cut orders; the delta inserts post-cut
+    orders and deletes the custkey%7 stratum of the base.  The Spark side
+    takes the MERGE path (delta-only shuffle + partial-sum union); the
+    oracle recomputes from scratch — value-checking the IVM algebra."""
+    from kgforge.datapipe.ivm import aggregate_base, merge_delta
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cut = F.lit(_IVM_CUT).cast("date")
+    base = orders.filter(F.col("o_orderdate") < cut)
+    view = aggregate_base(base, ["o_orderpriority"], ["cents"])
+    delta = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .withColumn("_sign", F.lit(1))
+        .unionByName(
+            base.filter(F.col("o_custkey") % 7 == 0).withColumn(
+                "_sign", F.lit(-1)
+            )
+        )
+    )
+    out = merge_delta(view, delta, ["o_orderpriority"], ["cents"])
+    return out.select(
+        "o_orderpriority",
+        "cnt",
+        "sum_cents",
+        F.round(F.col("sum_cents") / 100.0 / F.col("cnt"), 6).alias(
+            "avg_price"
+        ),
+    )
+
+
+_IVM_ORDERS_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE (o_orderdate < DATE '{_IVM_CUT}' AND o_custkey % 7 <> 0)
+     OR o_orderdate >= DATE '{_IVM_CUT}'
+)
+SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 6) AS avg_price
+FROM f GROUP BY pri
+"""
+
+
+# --------------------------------------------------------------------------
+# re-identification risk + frozen-bounds incremental generalization
+# --------------------------------------------------------------------------
+
+_RISK_K = 10
+
+
+def _reid_risk(spark, sf_dir):
+    """Per-QI-group prosecutor risk over (nation, segment) equivalence
+    classes (anonymize/risk.py) — the measurement companion to the
+    k-anonymity/suppression operators."""
+    from kgforge.anonymize.risk import group_risk
+
+    cust = _read(spark, sf_dir, "customer")
+    return group_risk(cust, ["c_nationkey", "c_mktsegment"], _RISK_K)
+
+
+_REID_RISK_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS k,
+       round(1.0 / count(*), 6) AS prosecutor_risk,
+       count(*) < {_RISK_K} AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
+def _reid_summary(spark, sf_dir):
+    """Global disclosure-risk and utility metrics (journalist/marketer
+    risk, discernibility, at-risk fraction) over the same QI grouping."""
+    from kgforge.anonymize.risk import risk_summary
+
+    cust = _read(spark, sf_dir, "customer")
+    return risk_summary(cust, ["c_nationkey", "c_mktsegment"], _RISK_K)
+
+
+_REID_SUMMARY_ORACLE = f"""
+WITH g AS (
+  SELECT count(*) AS k FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(sum(k) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(k) AS BIGINT) AS min_k,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS avg_group_size,
+       round(1.0 / min(k), 6) AS journalist_risk,
+       round(CAST(count(*) AS DOUBLE) / sum(k), 6) AS marketer_risk,
+       CAST(sum(k * k) AS BIGINT) AS discernibility,
+       CAST(sum(CASE WHEN k < {_RISK_K} THEN k ELSE 0 END) AS BIGINT)
+         AS records_at_risk,
+       round(CAST(sum(CASE WHEN k < {_RISK_K} THEN k ELSE 0 END) AS DOUBLE)
+             / sum(k), 6) AS pct_at_risk
+FROM g
+"""
+
+
+def _anon_apply_bounds(spark, sf_dir):
+    """Frozen-scheme incremental generalization
+    (anonymize/incremental.py): the customer-acctbal bucket boundaries
+    PUBLISHED by the generalize pipeline are applied to a NEW table
+    (supplier balances) as a zero-shuffle map expression — new data lands
+    in the same published buckets, end buckets clamp."""
+    from kgforge.anonymize.incremental import apply_bounds, inner_boundaries
+
+    bounds = _generalize_acctbal_bounds(spark, sf_dir)
+    cuts = inner_boundaries(bounds)
+    supp = _read(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal").isNotNull()
+    )
+    return apply_bounds(supp, "s_acctbal", cuts).select("s_suppkey", "bucket")
+
+
+def _anon_apply_bounds_oracle() -> str:
+    # lazy: _GEN_RANKED is defined further down the module
+    return (
+        _GEN_RANKED
+        + """
+    , ii AS (
+      SELECT unnest(generate_series(1, (SELECT g FROM p) - 1)) AS i
+    ), cuts AS (
+      SELECT (a.c_acctbal + b.c_acctbal) / 2 AS cut
+      FROM ii
+      JOIN s a ON a.rk = ii.i * (SELECT n FROM p) // (SELECT g FROM p) - 1
+      JOIN s b ON b.rk = ii.i * (SELECT n FROM p) // (SELECT g FROM p)
+    )
+    SELECT s_suppkey,
+           CAST((SELECT count(*) FROM cuts
+                 WHERE cut < sup.s_acctbal) AS BIGINT) AS bucket
+    FROM supplier sup WHERE s_acctbal IS NOT NULL
+    """
+    )
+
+
+# --------------------------------------------------------------------------
+# full-domain generalization (Samarati lattice search, anonymize/lattice.py)
+# --------------------------------------------------------------------------
+
+_FDG_K = 25
+
+
+def _fdg_customers(spark, sf_dir):
+    """Minimal full-domain generalization of (acctbal, segment) reaching
+    k=25 (anonymize/lattice.py): the Samarati/Incognito alternative to the
+    reference's data-derived buckets.  The oracle scores EVERY lattice
+    candidate and picks the same (sum, lex)-minimal winner, so the whole
+    search — not just the final grouping — is value-checked."""
+    from kgforge.anonymize.lattice import full_domain_generalize
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg")
+    )
+    bal = F.col("bal")
+    hier = {
+        "bal": [
+            (F.floor(bal / 1000) * 1000).cast("bigint"),
+            (F.floor(bal / 2500) * 2500).cast("bigint"),
+            F.lit("*"),
+        ],
+        "seg": [F.col("seg"), F.lit("*")],
+    }
+    levels, groups = full_domain_generalize(cust, hier, _FDG_K)
+    return groups.select(
+        F.lit(levels["bal"]).alias("lvl_bal"),
+        F.lit(levels["seg"]).alias("lvl_seg"),
+        "bal_g",
+        "seg_g",
+        "n",
+    )
+
+
+def _fdg_customers_oracle(k: int = _FDG_K) -> str:
+    def ga(la: int) -> str:
+        if la == 0:
+            return "CAST(CAST(floor(bal / 1000) * 1000 AS BIGINT) AS VARCHAR)"
+        if la == 1:
+            return "CAST(CAST(floor(bal / 2500) * 2500 AS BIGINT) AS VARCHAR)"
+        return "'*'"
+
+    def gb(lb: int) -> str:
+        return "seg" if lb == 0 else "'*'"
+
+    legs = "\nUNION ALL\n".join(
+        f"SELECT {la} AS la, {lb} AS lb, {ga(la)} AS bal_g, {gb(lb)} AS seg_g,"
+        f" count(*) AS n FROM base GROUP BY 3, 4"
+        for la in range(3)
+        for lb in range(2)
+    )
+    return f"""
+WITH base AS (
+  SELECT c_acctbal AS bal, c_mktsegment AS seg FROM customer
+),
+allc AS MATERIALIZED (
+{legs}
+),
+mins AS (SELECT la, lb, min(n) AS mn FROM allc GROUP BY la, lb),
+win AS (
+  SELECT la, lb FROM mins WHERE mn >= {k}
+  ORDER BY la + lb, la, lb LIMIT 1
+)
+SELECT CAST(a.la AS INTEGER) AS lvl_bal, CAST(a.lb AS INTEGER) AS lvl_seg,
+       bal_g, seg_g, CAST(n AS BIGINT) AS n
+FROM allc a JOIN win USING (la, lb)
+"""
+
+
+def _hll_rollup(spark, sf_dir):
+    """Sketch RE-AGGREGATION: per-event-type HLL registers are merged
+    upward into the grand-total row (register max, never a rescan of the
+    fact stream) — the property that makes sketches the right distinct
+    counter at 100 TB.  The merged 'ALL' estimate is mathematically the
+    direct whole-table sketch, which is exactly what the oracle computes."""
+    from kgforge.datapipe.sketch import (
+        hll_estimate_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id", p=_HLL_P).persist()
+    try:
+        per = hll_estimate_registers(regs, ["event_type"], p=_HLL_P)
+        merged = hll_merge_registers(
+            regs.select(F.lit("ALL").alias("event_type"), "_bucket", "_r"),
+            ["event_type"],
+        )
+        total = hll_estimate_registers(merged, ["event_type"], p=_HLL_P)
+        out = per.unionByName(total).select(
+            "event_type", "present", F.round("est", 6).alias("est")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        regs.unpersist()
+
+
+def _hll_rollup_oracle() -> str:
+    from kgforge.datapipe.sketch import hll_oracle_sql
+
+    leg1 = hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        ["event_type"],
+        "CAST(user_id AS VARCHAR)",
+        p=_HLL_P,
+    )
+    leg2 = hll_oracle_sql(
+        "SELECT 'ALL' AS event_type, user_id FROM events",
+        ["event_type"],
+        "CAST(user_id AS VARCHAR)",
+        p=_HLL_P,
+    )
+    return f"""
+WITH per_type AS (
+  WITH {leg1}
+),
+grand AS (
+  WITH {leg2}
+)
+SELECT * FROM per_type UNION ALL SELECT * FROM grand
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11465,6 +11989,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": _forecast_eval,
         "geo_pairs": _geo_pairs,
         "geo_nn": _geo_nn,
+        "kg_squares": _kg_squares,
+        "kg_square_pairs": _kg_square_pairs,
+        "kg_coloring": _kg_coloring,
+        "ivm_orders": _ivm_orders,
+        "reid_risk": _reid_risk,
+        "reid_summary": _reid_summary,
+        "anon_apply_bounds": _anon_apply_bounds,
+        "kg_triples_mixed": _kg_triples_mixed,
+        "fdg_customers": _fdg_customers,
+        "hll_rollup": _hll_rollup,
     }
 
 
@@ -13536,6 +14070,16 @@ def oracle_sql() -> dict[str, str]:
         "forecast_eval": _FORECAST_EVAL_ORACLE,
         "geo_pairs": _GEO_PAIRS_ORACLE,
         "geo_nn": _GEO_NN_ORACLE,
+        "kg_squares": _KG_SQUARES_ORACLE,
+        "kg_square_pairs": _KG_SQUARE_PAIRS_ORACLE,
+        "kg_coloring": _kg_coloring_oracle(),
+        "ivm_orders": _IVM_ORDERS_ORACLE,
+        "reid_risk": _REID_RISK_ORACLE,
+        "reid_summary": _REID_SUMMARY_ORACLE,
+        "anon_apply_bounds": _anon_apply_bounds_oracle(),
+        "kg_triples_mixed": _kg_triples_mixed_oracle(),
+        "fdg_customers": _fdg_customers_oracle(),
+        "hll_rollup": _hll_rollup_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -502,3 +502,43 @@ def test_session9_ops_plan_quality(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert marker not in plan, marker
+
+
+def test_session12_ops_plan_quality(spark):
+    q = entry.queries()
+    # rectangle motifs: equi-joins only on the oriented edge keys — never
+    # a cartesian, never python; the whole decomposition is JVM codegen
+    from kgforge.kg.motifs import square_pairs
+
+    plan = _plan(square_pairs(
+        spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan, marker
+
+    # IVM merge: the base view is already aggregated — the merge is two
+    # hash aggregates (delta partial + union merge), no join of any kind,
+    # no python, no global window
+    plan = _plan(q["ivm_orders"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                   "SortMergeJoin", "BroadcastHashJoin"):
+        assert marker not in plan, marker
+    assert "SinglePartition" not in plan
+
+    # risk metrics: one map-side-combinable groupBy (+ a global one-row
+    # reduce for the summary) — no joins, no python
+    for name in ("reid_risk", "reid_summary"):
+        plan = _plan(q[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "CartesianProduct", "SortMergeJoin",
+                       "BroadcastHashJoin"):
+            assert marker not in plan, (name, marker)
+
+    # frozen-bounds application: pure map stage — the classifier fold is a
+    # broadcast-literal expression, ZERO exchanges over the new data
+    from kgforge.anonymize.incremental import apply_bounds
+
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    plan = _plan(apply_bounds(supp, "s_acctbal", [0.0, 1000.0, 5000.0]))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
