@@ -11717,6 +11717,77 @@ SELECT * FROM per_type UNION ALL SELECT * FROM grand
 """
 
 
+def _kg_relations(spark, sf_dir):
+    """Surface-pattern relation extraction (kg/relations.py: Hearst/DIPRE
+    bootstrapping re-derived for Spark) over the corpus with
+    deterministically injected relation sentences — the base text is
+    lowercase-only, so every candidate comes from the portable injection;
+    patterns are RE2-safe and the NP shape, match order, and support
+    counting mirror verbatim in the DuckDB oracle."""
+    from kgforge.kg.relations import (
+        extract_relation_candidates,
+        relation_support,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.concat(
+                F.lit(". Person"), (d % 17).cast("string"),
+                F.lit(" Alpha, CEO of Org"), (d % 13).cast("string"),
+                F.lit(" Beta, spoke."))).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(". Org"), (d % 13).cast("string"),
+                F.lit(" Beta acquired Org"), (d % 11).cast("string"),
+                F.lit(" Gamma today."))).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.concat(
+                F.lit(". Org"), (d % 11).cast("string"),
+                F.lit(" Gamma is based in City"), (d % 19).cast("string"),
+                F.lit(" Town."))).otherwise(F.lit("")),
+            F.when(d % 8 == 0, F.concat(
+                F.lit(". Org"), (d % 13).cast("string"),
+                F.lit(" Beta was founded by Person"), (d % 17).cast("string"),
+                F.lit(" Alpha."))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sup = relation_support(
+        extract_relation_candidates(injected, "doc_id", "text"))
+    return sup.select(
+        "pred", "subj", "obj",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _dsir_select_q(spark, sf_dir):
+    """DSIR importance-resampling selection (datapipe/dsir.py, Xie et al.
+    2023) with deterministically injected topic tokens: even docs carry
+    the 'quantum' topic, the target sample is every 10th doc (all even →
+    quantum-heavy), so even raw docs score higher.  Bucket log-ratios and
+    Gumbel keys are frozen to integer micro-units, making the top-100
+    selection bit-reproducible in the DuckDB mirror."""
+    from kgforge.datapipe.dsir import dsir_log_weights, dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 2 == 0, F.lit(" quantum flux lattice"))
+            .otherwise(F.lit(" pastoral meadow herd")),
+        ).alias("text"),
+    )
+    target = raw.filter(F.col("doc_id") % 10 == 0)
+    w = dsir_log_weights(raw, target, "doc_id", "text",
+                         n_buckets=4096, alpha=1.0)
+    return dsir_select(w, 100).select(
+        F.col("id").cast("bigint").alias("id"), "logw_micro", "key_micro")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -11999,6 +12070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_mixed": _kg_triples_mixed,
         "fdg_customers": _fdg_customers,
         "hll_rollup": _hll_rollup,
+        "kg_relations": _kg_relations,
+        "dsir_select": _dsir_select_q,
     }
 
 
@@ -12516,6 +12589,108 @@ SELECT p.id,
 FROM pts p
 LEFT JOIN core_lbl cl ON p.id = cl.id
 LEFT JOIN border_lbl bl ON p.id = bl.id
+"""
+
+
+def _kg_relations_oracle() -> str:
+    """RE2 mirror of kg_relations: same injection, same two-capture-group
+    patterns (RE2-safe by construction — no lookaround/backrefs), same
+    one-explode candidate stream and support aggregation."""
+    from kgforge.kg.relations import DEFAULT_RELATION_PATTERNS
+
+    inject = (
+        "text"
+        " || CASE WHEN doc_id % 5 = 0 THEN '. Person' || CAST(doc_id % 17 AS VARCHAR)"
+        " || ' Alpha, CEO of Org' || CAST(doc_id % 13 AS VARCHAR) || ' Beta, spoke.' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN '. Org' || CAST(doc_id % 13 AS VARCHAR)"
+        " || ' Beta acquired Org' || CAST(doc_id % 11 AS VARCHAR) || ' Gamma today.' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN '. Org' || CAST(doc_id % 11 AS VARCHAR)"
+        " || ' Gamma is based in City' || CAST(doc_id % 19 AS VARCHAR) || ' Town.' ELSE '' END"
+        " || CASE WHEN doc_id % 8 = 0 THEN '. Org' || CAST(doc_id % 13 AS VARCHAR)"
+        " || ' Beta was founded by Person' || CAST(doc_id % 17 AS VARCHAR) || ' Alpha.' ELSE '' END"
+    )
+    legs = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{pred}' AS pred, "
+        f"regexp_extract_all(text, '{pat}', 1) AS s, "
+        f"regexp_extract_all(text, '{pat}', 2) AS o FROM inj"
+        for pred, pat in DEFAULT_RELATION_PATTERNS
+    )
+    return f"""
+WITH inj AS (SELECT doc_id, {inject} AS text FROM documents),
+legs AS (
+  {legs}
+),
+idx AS (
+  SELECT doc_id, pred, s, o, unnest(generate_series(1, len(s))) AS i FROM legs
+),
+cand AS (SELECT doc_id, pred, s[i] AS subj, o[i] AS obj FROM idx)
+SELECT pred, subj, obj,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM cand GROUP BY pred, subj, obj
+"""
+
+
+def _dsir_select_oracle() -> str:
+    """Bit-exact DSIR mirror: same grams (unigrams + bigrams of the
+    lowered/trimmed split), same padded two-stage bucket hash, same
+    Laplace log-ratio frozen to integer micro-units, same derandomized
+    Gumbel key — so the top-100 ORDER BY ... LIMIT set is identical."""
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    gb_hash = _stage2_padded_sql("gram")
+    id_hash = _stage2_padded_sql("CAST(id AS VARCHAR)")
+    b = 4096
+    return f"""
+WITH raw AS (
+  SELECT doc_id AS id,
+         text || CASE WHEN doc_id % 2 = 0 THEN ' quantum flux lattice'
+                      ELSE ' pastoral meadow herd' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM raw
+),
+grams AS (
+  SELECT id, gram FROM (
+    SELECT id, unnest(list_concat(t,
+      list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1]))) AS gram
+    FROM toks)
+  WHERE gram <> ''
+),
+gb AS (SELECT id, ({gb_hash}) % {b} AS b FROM grams),
+nrm AS (SELECT b, CAST(count(*) AS BIGINT) AS nr FROM gb GROUP BY b),
+ntm AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
+        FROM gb WHERE id % 10 = 0 GROUP BY b),
+model AS (
+  SELECT coalesce(nrm.b, ntm.b) AS b,
+         coalesce(nr, 0) AS nr, coalesce(nt, 0) AS nt
+  FROM nrm FULL OUTER JOIN ntm ON nrm.b = ntm.b
+),
+tot AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+               CAST(sum(nt) AS BIGINT) AS tt FROM model),
+lrm AS (
+  SELECT b, CAST(round((
+      ln((nt + CAST(1.0 AS DOUBLE)) / (tt + CAST({b}.0 AS DOUBLE)))
+    - ln((nr + CAST(1.0 AS DOUBLE)) / (tr + CAST({b}.0 AS DOUBLE)))
+  ) * 1000000) AS BIGINT) AS lr
+  FROM model, tot
+),
+scored AS (
+  SELECT gb.id, CAST(sum(lr) AS BIGINT) AS lw
+  FROM gb JOIN lrm ON gb.b = lrm.b GROUP BY gb.id
+),
+w AS (
+  SELECT r.id, coalesce(lw, 0) AS logw_micro
+  FROM (SELECT DISTINCT id FROM raw) r LEFT JOIN scored ON r.id = scored.id
+)
+SELECT CAST(id AS BIGINT) AS id, logw_micro,
+       logw_micro + CAST(round(-ln(-ln((({id_hash}) + CAST(0.5 AS DOUBLE))
+         / CAST(2147483647 AS DOUBLE))) * 1000000) AS BIGINT) AS key_micro
+FROM w
+ORDER BY key_micro DESC, id ASC
+LIMIT 100
 """
 
 
@@ -14080,6 +14255,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_mixed": _kg_triples_mixed_oracle(),
         "fdg_customers": _fdg_customers_oracle(),
         "hll_rollup": _hll_rollup_oracle(),
+        "kg_relations": _kg_relations_oracle(),
+        "dsir_select": _dsir_select_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
