@@ -11788,6 +11788,60 @@ def _dsir_select_q(spark, sf_dir):
         F.col("id").cast("bigint").alias("id"), "logw_micro", "key_micro")
 
 
+def _acronym_links_q(spark, sf_dir):
+    """Initialism entity linking (kg/linking.py:acronym_links) over a
+    corpus with deterministically injected acronym tokens (the base text
+    is lowercase-only, so every ALL-CAPS token comes from the injection);
+    BDL is deliberately ambiguous — one row per candidate entity."""
+    from kgforge.kg.linking import acronym_links
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 6 == 0, F.lit(" IBM")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit(" ibm")).otherwise(F.lit("")),
+            F.when(d % 10 == 0, F.lit(" ACB")).otherwise(F.lit("")),
+            F.when(d % 15 == 0, F.lit(" BDL")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    mentions = injected.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, '[A-Z]{2,}', 0)")
+        ).alias("surface"),
+    )
+    catalog = spark.createDataFrame(
+        [("o1", "International Business Machines"),
+         ("o2", "Austrian Central Bank"),
+         ("o3", "Big Data Lab"),
+         ("o4", "Big Dune Lodge"),
+         ("o5", "Graz University Tech")],
+        "eid string, canonical string",
+    )
+    return acronym_links(mentions, catalog).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "surface", "eid", "canonical",
+    )
+
+
+def _kg_salience(spark, sf_dir):
+    """Entity-mention salience (kg/salience.py — frequency + first-mention
+    position in pure integer micro-units) rolled up per entity surface over
+    the demo-vocabulary mention stream."""
+    from kgforge.kg.salience import entity_salience_rollup, mention_salience
+
+    m = _doc_mentions(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    lengths = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("doc_len"),
+    ).filter(F.col("doc_len") > 0)
+    return entity_salience_rollup(mention_salience(m, lengths))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12072,6 +12126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup": _hll_rollup,
         "kg_relations": _kg_relations,
         "dsir_select": _dsir_select_q,
+        "acronym_links": _acronym_links_q,
+        "kg_salience": _kg_salience,
     }
 
 
@@ -12691,6 +12747,68 @@ SELECT CAST(id AS BIGINT) AS id, logw_micro,
 FROM w
 ORDER BY key_micro DESC, id ASC
 LIMIT 100
+"""
+
+
+_ACRONYM_LINKS_ORACLE = """
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 6 = 0 THEN ' IBM' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ibm' ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN ' ACB' ELSE '' END
+    || CASE WHEN doc_id % 15 = 0 THEN ' BDL' ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Z]{2,}')) AS surface
+  FROM inj
+),
+cat(eid, canonical) AS (VALUES
+  ('o1', 'International Business Machines'),
+  ('o2', 'Austrian Central Bank'),
+  ('o3', 'Big Data Lab'),
+  ('o4', 'Big Dune Lodge'),
+  ('o5', 'Graz University Tech')
+),
+ini AS (
+  SELECT eid, canonical,
+         upper(array_to_string(list_transform(
+           list_filter(string_split(canonical, ' '), w -> w <> ''),
+           w -> w[1]), '')) AS initials
+  FROM cat
+)
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id, m.surface, ini.eid, ini.canonical
+FROM m JOIN ini ON m.surface = ini.initials
+"""
+
+
+def _kg_salience_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len
+  FROM documents WHERE length(text) > 0
+),
+per AS (
+  SELECT m.doc_id, m.surface,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(min(start) AS BIGINT) AS first_start
+  FROM mentions m GROUP BY m.doc_id, m.surface
+),
+pj AS (
+  SELECT per.surface, per.n_mentions, per.first_start, lens.doc_len,
+         per.n_mentions * 1000000
+           + ((lens.doc_len - per.first_start) * 1000000) // lens.doc_len
+           AS sal
+  FROM per JOIN lens ON per.doc_id = lens.doc_id
+)
+SELECT surface,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_mentions) AS BIGINT) AS total_mentions,
+       CAST(sum(sal) AS BIGINT) AS total_salience_micro,
+       CAST(sum((first_start * 1000) // doc_len) // count(*) AS BIGINT)
+         AS mean_first_permille
+FROM pj GROUP BY surface
 """
 
 
@@ -14257,6 +14375,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup": _hll_rollup_oracle(),
         "kg_relations": _kg_relations_oracle(),
         "dsir_select": _dsir_select_oracle(),
+        "acronym_links": _ACRONYM_LINKS_ORACLE,
+        "kg_salience": _kg_salience_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -119,3 +119,44 @@ def link_mentions(mentions: DataFrame, strategy: str = "sql",
         )
     )
     return best
+
+
+def entity_initials(name_col) -> F.Column:
+    """Word-initial letters of ``name_col``, uppercased and concatenated
+    ("International Business Machines" → "IBM").  Pure JVM expression,
+    mirrored verbatim in DuckDB (list_transform + first char)."""
+    words = F.filter(F.split(name_col, " "), lambda w: w != F.lit(""))
+    return F.upper(F.array_join(
+        F.transform(words, lambda w: F.substring(w, 1, 1)), ""))
+
+
+def acronym_links(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    surface_col: str = "surface",
+    name_col: str = "canonical",
+) -> DataFrame:
+    """Initialism entity linking: an ALL-CAPS single-token mention surface
+    (≥2 letters) links to catalog entities whose word-initial letters spell
+    it — the classic acronym block of entity-resolution blocking schemes
+    (complementary to string-similarity scoring, which never fires on
+    "IBM" vs "International Business Machines": trigram Jaccard = 0).
+
+    Scale shape: the catalog gains one derived column and broadcasts; the
+    mention side is filtered to the all-caps minority BEFORE the join, so
+    the equi-join is a broadcast hash join with no corpus-sized shuffle.
+    Ambiguous acronyms (two entities sharing initials) produce one row per
+    candidate — downstream disambiguation keeps corpus-level support.
+    """
+    s = F.col(surface_col)
+    m = mentions.filter(
+        (F.length(s) >= 2)
+        & (s == F.upper(s))
+        & (~s.contains(" "))
+        & s.rlike("^[A-Z]+$")
+    )
+    cand = catalog.withColumn("_initials", entity_initials(F.col(name_col)))
+    return (
+        m.join(F.broadcast(cand), s == F.col("_initials"))
+        .drop("_initials")
+    )
