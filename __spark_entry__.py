@@ -11842,6 +11842,28 @@ def _kg_salience(spark, sf_dir):
     return entity_salience_rollup(mention_salience(m, lengths))
 
 
+def _truth_fusion(spark, sf_dir):
+    """Truth discovery (kg/fusion.py, Sums-style source-reliability /
+    claim-confidence fixed point in integer micro-units) over synthetic
+    conflicting assertions derived arithmetically from customer keys:
+    7 sources with planted error rates 0/10 … 6/10 assert values for 50
+    fact keys; the resolver picks the per-key winner.  The DuckDB oracle
+    unrolls the 3 rounds as MATERIALIZED CTEs — bit-identical integers."""
+    from kgforge.kg.fusion import resolve_conflicts, truth_discovery
+
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.selectExpr(
+        "concat('s', cast(c_custkey % 7 as string)) as source",
+        "concat('e', cast(c_custkey % 50 as string)) as k",
+        "CASE WHEN ((c_custkey * 31 + (c_custkey % 7) * 17) % 10)"
+        " < (c_custkey % 7) "
+        "THEN concat('w', cast(c_custkey % 3 as string)) "
+        "ELSE concat('v', cast(c_custkey % 50 as string)) END as value",
+    )
+    conf, _trust = truth_discovery(a, ["k"], "value", "source", iterations=3)
+    return resolve_conflicts(conf, ["k"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12128,6 +12150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select_q,
         "acronym_links": _acronym_links_q,
         "kg_salience": _kg_salience,
+        "truth_fusion": _truth_fusion,
     }
 
 
@@ -12809,6 +12832,57 @@ SELECT surface,
        CAST(sum((first_start * 1000) // doc_len) // count(*) AS BIGINT)
          AS mean_first_permille
 FROM pj GROUP BY surface
+"""
+
+
+def _truth_fusion_oracle() -> str:
+    """Unrolled MATERIALIZED mirror of the 3-round Sums fixed point —
+    every step an integer sum or integer division, so the CTEs reproduce
+    the Spark loop bit for bit."""
+    rounds = 3
+    ctes = [
+        """a AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(c_custkey % 7 AS VARCHAR) AS source,
+         'e' || CAST(c_custkey % 50 AS VARCHAR) AS k,
+         CASE WHEN ((c_custkey * 31 + (c_custkey % 7) * 17) % 10)
+                   < (c_custkey % 7)
+              THEN 'w' || CAST(c_custkey % 3 AS VARCHAR)
+              ELSE 'v' || CAST(c_custkey % 50 AS VARCHAR) END AS value
+  FROM customer)""",
+        "nc AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n"
+        " FROM a GROUP BY source)",
+        "t0 AS MATERIALIZED (SELECT source, CAST(1000000 AS BIGINT) AS t"
+        " FROM nc)",
+    ]
+    prev = "t0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT k, value,"
+            f" CAST(sum(t) AS BIGINT) AS cr, CAST(count(*) AS BIGINT) AS ns"
+            f" FROM a JOIN {prev} USING(source) GROUP BY k, value)"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT k, CAST(sum(cr) AS BIGINT) AS ks"
+            f" FROM c{r} GROUP BY k)"
+        )
+        ctes.append(
+            f"cn{r} AS MATERIALIZED (SELECT c{r}.k, c{r}.value,"
+            f" CAST((cr * 1000000) // ks AS BIGINT) AS cn, ns"
+            f" FROM c{r} JOIN k{r} ON c{r}.k = k{r}.k)"
+        )
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT a.source,"
+            f" CAST(CAST(sum(cn) AS BIGINT) // max(nc.n) AS BIGINT) AS t"
+            f" FROM a JOIN cn{r} ON a.k = cn{r}.k AND a.value = cn{r}.value"
+            f" JOIN nc ON nc.source = a.source GROUP BY a.source)"
+        )
+        prev = f"t{r}"
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT k, value, conf_micro, n_sources FROM (
+  SELECT k, value, cn AS conf_micro, ns AS n_sources,
+         row_number() OVER (PARTITION BY k ORDER BY cn DESC, value ASC) AS rn
+  FROM cn{rounds})
+WHERE rn = 1
 """
 
 
@@ -14377,6 +14451,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_oracle(),
         "acronym_links": _ACRONYM_LINKS_ORACLE,
         "kg_salience": _kg_salience_oracle(),
+        "truth_fusion": _truth_fusion_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
