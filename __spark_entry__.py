@@ -11864,6 +11864,81 @@ def _truth_fusion(spark, sf_dir):
     return resolve_conflicts(conf, ["k"])
 
 
+def _r2rml_triples_q(spark, sf_dir):
+    """R2RML-lite warehouse→KG mapping (kg/r2rml.py): customer and orders
+    tables melt into canonical triples in one map-only pass each — subject
+    templates, rdf:type, column literals, and the FK template that links
+    each order to its customer's subject IRI.  Zero shuffles (plan-gated
+    in tests); the oracle is plain string concatenation."""
+    from kgforge.kg.r2rml import ObjectMap, TriplesMap, r2rml_graph
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    cm = TriplesMap(
+        subject_template="http://ex/cust/{c_custkey}",
+        rdf_class="http://ex/Customer",
+        object_maps=(
+            ObjectMap("http://ex/name", column="c_name"),
+            ObjectMap("http://ex/segment", column="c_mktsegment"),
+            ObjectMap("http://ex/nation",
+                      template="http://ex/nation/{c_nationkey}"),
+        ),
+    )
+    om = TriplesMap(
+        subject_template="http://ex/order/{o_orderkey}",
+        rdf_class="http://ex/Order",
+        object_maps=(
+            ObjectMap("http://ex/customer",
+                      template="http://ex/cust/{o_custkey}"),
+            ObjectMap("http://ex/priority", column="o_orderpriority"),
+            ObjectMap("http://ex/status", column="o_orderstatus"),
+        ),
+    )
+    return r2rml_graph([(cust, cm), (orders, om)])
+
+
+def _entity_disambig(spark, sf_dir):
+    """Context-coherence disambiguation (kg/disambig.py) over injected
+    ambiguous mentions: 'paris' resolves to Paris-France or Paris-Texas
+    by summed KB relatedness to the doc's unambiguous anchors — integer
+    weights, argmax with eid tie-break, all mirrored in SQL."""
+    from kgforge.kg.disambig import coherence_disambiguate
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit(" paris france")).otherwise(F.lit("")),
+            F.when(d % 9 == 0, F.lit(" paris texas")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" berlin")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    surf_pat = "(paris|france|texas|berlin)"
+    mentions = injected.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{surf_pat}', 1)")
+        ).alias("surface"),
+    )
+    aliases = spark.createDataFrame(
+        [("paris", "e_par_fr"), ("paris", "e_par_tx"),
+         ("france", "e_fr"), ("texas", "e_tx"), ("berlin", "e_ber")],
+        "surface string, eid string",
+    )
+    kb = spark.createDataFrame(
+        [("e_par_fr", "e_fr", 5), ("e_par_fr", "e_ber", 1),
+         ("e_par_tx", "e_tx", 7)],
+        "a string, b string, w int",
+    )
+    out = coherence_disambiguate(mentions, aliases, kb)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "surface", "eid", "score",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12151,6 +12226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronym_links": _acronym_links_q,
         "kg_salience": _kg_salience,
         "truth_fusion": _truth_fusion,
+        "r2rml_triples": _r2rml_triples_q,
+        "entity_disambig": _entity_disambig,
     }
 
 
@@ -12883,6 +12960,99 @@ SELECT k, value, conf_micro, n_sources FROM (
          row_number() OVER (PARTITION BY k ORDER BY cn DESC, value ASC) AS rn
   FROM cn{rounds})
 WHERE rn = 1
+"""
+
+
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_R2RML_ORACLE = f"""
+SELECT subj, pred, obj_value, obj_dtype, obj_is_iri FROM (
+  SELECT 'http://ex/cust/' || CAST(c_custkey AS VARCHAR) AS subj,
+         '{_RDF_TYPE_IRI}' AS pred,
+         'http://ex/Customer' AS obj_value, 'iri' AS obj_dtype,
+         TRUE AS obj_is_iri
+  FROM customer WHERE c_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://ex/name', c_name, 'string', FALSE
+  FROM customer WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://ex/segment', c_mktsegment, 'string', FALSE
+  FROM customer WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/cust/' || CAST(c_custkey AS VARCHAR),
+         'http://ex/nation',
+         'http://ex/nation/' || CAST(c_nationkey AS VARCHAR), 'iri', TRUE
+  FROM customer WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/order/' || CAST(o_orderkey AS VARCHAR),
+         '{_RDF_TYPE_IRI}', 'http://ex/Order', 'iri', TRUE
+  FROM orders WHERE o_orderkey IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/order/' || CAST(o_orderkey AS VARCHAR),
+         'http://ex/customer',
+         'http://ex/cust/' || CAST(o_custkey AS VARCHAR), 'iri', TRUE
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/order/' || CAST(o_orderkey AS VARCHAR),
+         'http://ex/priority', o_orderpriority, 'string', FALSE
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT 'http://ex/order/' || CAST(o_orderkey AS VARCHAR),
+         'http://ex/status', o_orderstatus, 'string', FALSE
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+)
+"""
+
+_ENTITY_DISAMBIG_ORACLE = """
+WITH inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN ' paris france' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN ' paris texas' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' berlin' ELSE '' END AS text
+  FROM documents
+),
+m AS (
+  SELECT DISTINCT doc_id, surface FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text,
+             '(paris|france|texas|berlin)', 1)) AS surface
+    FROM inj)
+),
+al(surface, eid) AS (VALUES
+  ('paris', 'e_par_fr'), ('paris', 'e_par_tx'),
+  ('france', 'e_fr'), ('texas', 'e_tx'), ('berlin', 'e_ber')
+),
+nc AS (SELECT surface, count(*) AS n FROM al GROUP BY surface),
+unamb AS (SELECT al.surface, al.eid FROM al JOIN nc USING(surface) WHERE n = 1),
+amb AS (SELECT al.surface, al.eid FROM al JOIN nc USING(surface) WHERE n > 1),
+ctx AS (SELECT DISTINCT m.doc_id, u.eid AS ctx
+        FROM m JOIN unamb u ON m.surface = u.surface),
+cands AS (SELECT m.doc_id, m.surface, a.eid
+          FROM m JOIN amb a ON m.surface = a.surface),
+kb(a, b, w) AS (VALUES
+  ('e_par_fr', 'e_fr', 5), ('e_par_fr', 'e_ber', 1), ('e_par_tx', 'e_tx', 7)
+),
+sym AS (SELECT a, b, w FROM kb UNION ALL SELECT b, a, w FROM kb),
+sc AS (
+  SELECT c.doc_id, c.surface, c.eid, CAST(sum(s.w) AS BIGINT) AS score
+  FROM cands c
+  JOIN ctx ON ctx.doc_id = c.doc_id AND ctx.ctx <> c.eid
+  JOIN sym s ON s.a = c.eid AND s.b = ctx.ctx
+  GROUP BY c.doc_id, c.surface, c.eid
+),
+fullsc AS (
+  SELECT c.doc_id, c.surface, c.eid,
+         CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+  FROM cands c LEFT JOIN sc ON sc.doc_id = c.doc_id
+   AND sc.surface = c.surface AND sc.eid = c.eid
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, surface, eid, score FROM (
+  SELECT fullsc.*, row_number() OVER (
+    PARTITION BY doc_id, surface ORDER BY score DESC, eid ASC) AS rn
+  FROM fullsc
+) WHERE rn = 1
 """
 
 
@@ -14452,6 +14622,8 @@ def oracle_sql() -> dict[str, str]:
         "acronym_links": _ACRONYM_LINKS_ORACLE,
         "kg_salience": _kg_salience_oracle(),
         "truth_fusion": _truth_fusion_oracle(),
+        "r2rml_triples": _R2RML_ORACLE,
+        "entity_disambig": _ENTITY_DISAMBIG_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
