@@ -11939,6 +11939,43 @@ def _entity_disambig(spark, sf_dir):
     )
 
 
+def _audio_segments(spark, sf_dir):
+    """Energy-based audio segmentation over REAL WAV decode
+    (multimodal.py: synth with deterministic silence blocks → stdlib
+    ``wave`` round-trip → per-window integer energy → gap-and-island
+    merge).  Windowing happens inside the decoder so PCM never crosses
+    the Arrow boundary; everything after is JVM.  The oracle reproduces
+    the PCM formula, window energies, and island merge exactly."""
+    from kgforge.datapipe.multimodal import (
+        synth_wav_payloads,
+        wav_energy_segments,
+        wav_window_energy,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    wavs = synth_wav_payloads(docs.select("doc_id"), silence_period=3)
+    return wav_energy_segments(wav_window_energy(wavs))
+
+
+def _ontology_align(spark, sf_dir):
+    """Instance-overlap ontology alignment (kg/align.py, the PARIS/OAEI
+    extensional-matcher core): customers typed by two vocabularies —
+    full segment names vs truncated labels with a planted B_MISC class
+    absorbing every 7th instance — align by shared-instance Jaccard in
+    integer micro-units; winner per class, deterministic tie-break."""
+    from kgforge.kg.align import align_classes_by_instances, best_class_alignment
+
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.selectExpr(
+        "c_custkey as inst", "concat('A_', c_mktsegment) as cls")
+    b = cust.selectExpr(
+        "c_custkey as inst",
+        "CASE WHEN c_custkey % 7 = 0 THEN 'B_MISC' "
+        "ELSE concat('B_', substring(c_mktsegment, 1, 3)) END as cls",
+    )
+    return best_class_alignment(align_classes_by_instances(a, b))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12228,6 +12265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_fusion": _truth_fusion,
         "r2rml_triples": _r2rml_triples_q,
         "entity_disambig": _entity_disambig,
+        "audio_segments": _audio_segments,
+        "ontology_align": _ontology_align,
     }
 
 
@@ -13052,6 +13091,66 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, surface, eid, score FROM (
   SELECT fullsc.*, row_number() OVER (
     PARTITION BY doc_id, surface ORDER BY score DESC, eid ASC) AS rn
   FROM fullsc
+) WHERE rn = 1
+"""
+
+
+_AUDIO_SEGMENTS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 50 = 0
+),
+s AS (
+  SELECT d.doc_id, i.i // 100 AS win,
+         CASE WHEN (i.i // 100) % 3 = 0 THEN 0
+              ELSE ((d.doc_id * 31 + i.i * 97) % 65536) - 32768 END AS smp
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) AS i
+),
+we AS (
+  SELECT doc_id, win, CAST(sum(smp * smp) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, win
+),
+act AS (
+  SELECT doc_id, win, energy,
+         win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+  FROM we WHERE energy >= 1
+)
+SELECT doc_id,
+       CAST(min(win) AS BIGINT) AS seg_start_win,
+       CAST(max(win) AS BIGINT) AS seg_end_win,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(energy) AS BIGINT) AS energy
+FROM act GROUP BY doc_id, grp
+"""
+
+_ONTOLOGY_ALIGN_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT c_custkey AS inst, 'A_' || c_mktsegment AS cls_a
+  FROM customer
+),
+b AS (
+  SELECT DISTINCT c_custkey AS inst,
+         CASE WHEN c_custkey % 7 = 0 THEN 'B_MISC'
+              ELSE 'B_' || substr(c_mktsegment, 1, 3) END AS cls_b
+  FROM customer
+),
+na AS (SELECT cls_a, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY cls_a),
+nb AS (SELECT cls_b, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY cls_b),
+inter AS (
+  SELECT cls_a, cls_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM a JOIN b USING(inst) GROUP BY cls_a, cls_b
+),
+sc AS (
+  SELECT i.cls_a, i.cls_b, n_common, n_a, n_b,
+         CAST((n_common * 1000000) // (n_a + n_b - n_common) AS BIGINT)
+           AS jaccard_micro
+  FROM inter i JOIN na USING(cls_a) JOIN nb USING(cls_b)
+)
+SELECT cls_a, cls_b, n_common, n_a, n_b, jaccard_micro FROM (
+  SELECT sc.*, row_number() OVER (
+    PARTITION BY cls_a
+    ORDER BY jaccard_micro DESC, n_common DESC, cls_b ASC) AS rn
+  FROM sc
 ) WHERE rn = 1
 """
 
@@ -14624,6 +14723,8 @@ def oracle_sql() -> dict[str, str]:
         "truth_fusion": _truth_fusion_oracle(),
         "r2rml_triples": _R2RML_ORACLE,
         "entity_disambig": _ENTITY_DISAMBIG_ORACLE,
+        "audio_segments": _AUDIO_SEGMENTS_ORACLE,
+        "ontology_align": _ONTOLOGY_ALIGN_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -129,13 +129,18 @@ def resize_images(media: DataFrame, width: int, height: int, real: bool = False)
 # --------------------------------------------------------------------------
 
 def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id",
-                       rate: int = 16000) -> DataFrame:
+                       rate: int = 16000,
+                       silence_period: int | None = None) -> DataFrame:
     """(id) → (id, payload) where payload is REAL RIFF/WAVE bytes: mono,
     16-bit PCM at ``rate``, with a deterministic integer sawtooth signal
     derived from the id —
 
         n_frames  = 400 + id % 100
         sample[i] = ((id * 31 + i * 97) % 65536) - 32768
+
+    With ``silence_period`` = p, every p-th 100-sample block is zeroed
+    (``(i // 100) % p == 0`` → 0) — deterministic silence gaps for the
+    energy-segmentation operator, still pure integer arithmetic.
 
     Pure integer arithmetic, so an external SQL oracle can reproduce every
     sample exactly; the bytes themselves are produced by ``wave.open`` (a
@@ -162,6 +167,8 @@ def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id",
                 n = 400 + seed % 100
                 i = np.arange(n, dtype=np.int64)
                 s = ((seed * 31 + i * 97) % 65536) - 32768
+                if silence_period is not None:
+                    s = np.where((i // 100) % silence_period == 0, 0, s)
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)
@@ -474,3 +481,81 @@ def sample_stream_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
     return df.mapInPandas(decode, schema=out_schema)
+
+
+def wav_window_energy(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload",
+                      window: int = 100) -> DataFrame:
+    """REAL WAV decode → per-window integer energy: (id, win, n_samples,
+    energy) with ``win = sample_index // window`` and energy = Σ sample²
+    over the window (exact int64; the final window may be partial).
+
+    The Arrow stage emits only fixed-width rows (one per window, ~n/window
+    of the sample count) — windowing happens inside the decoder so raw PCM
+    never crosses the Python→JVM boundary."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("win", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+    w_len = int(window)
+
+    def run(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sw = w.getsampwidth()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                if sw != 2:
+                    raise DecoderUnavailable(
+                        f"only 16-bit PCM WAV supported, got sampwidth={sw}"
+                    )
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for win in range(0, (len(s) + w_len - 1) // w_len):
+                    seg = s[win * w_len:(win + 1) * w_len]
+                    rows.append(
+                        (int(rid), win, len(seg), int((seg * seg).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def wav_energy_segments(energy: DataFrame, id_col: str = "doc_id",
+                        threshold: int = 1) -> DataFrame:
+    """Energy-based audio segmentation (the silence-removal / voice-
+    activity shape): windows with energy ≥ ``threshold`` are active;
+    consecutive active windows merge into maximal segments via the
+    gap-and-island identity (win − row_number is constant inside an
+    island).  Output: (id, seg_start_win, seg_end_win, n_windows,
+    energy) — integer-exact, engine-portable.
+
+    The island window partitions by id (bounded by windows-per-item,
+    never global); everything after the decoder is JVM."""
+    from pyspark.sql import Window as W
+
+    active = energy.filter(F.col("energy") >= threshold)
+    w = W.partitionBy(id_col).orderBy("win")
+    return (
+        active.withColumn("_grp", F.col("win") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("win").alias("seg_start_win"),
+            F.max("win").alias("seg_end_win"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("energy").cast("bigint").alias("energy"),
+        )
+        .drop("_grp")
+    )
