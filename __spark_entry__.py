@@ -11976,6 +11976,26 @@ def _ontology_align(spark, sf_dir):
     return best_class_alignment(align_classes_by_instances(a, b))
 
 
+def _image_dups(spark, sf_dir):
+    """Media dedup over REAL P6 decode (multimodal.py:ppm_dhash): every
+    10th doc gets a real PPM whose raster derives from ``(doc_id div 10)
+    % 7`` — planted duplicate groups — and the perceptual difference-hash
+    (8×8 integer brightness grid, 56 bits) groups them exactly.  The
+    oracle reproduces the raster formula arithmetically, so the REAL
+    container round-trip is the part under test on the Spark side."""
+    from kgforge.datapipe.multimodal import (
+        image_dup_groups,
+        ppm_dhash,
+        synth_ppm_payloads,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ids = docs.select(
+        "doc_id", F.expr("(doc_id div 10) % 7").alias("seed"))
+    g = image_dup_groups(ppm_dhash(synth_ppm_payloads(ids, seed_col="seed")))
+    return g.select("dhash", "n_items", F.explode("ids").alias("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12267,6 +12287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_disambig": _entity_disambig,
         "audio_segments": _audio_segments,
         "ontology_align": _ontology_align,
+        "image_dups": _image_dups,
     }
 
 
@@ -13152,6 +13173,40 @@ SELECT cls_a, cls_b, n_common, n_a, n_b, jaccard_micro FROM (
     ORDER BY jaccard_micro DESC, n_common DESC, cls_b ASC) AS rn
   FROM sc
 ) WHERE rn = 1
+"""
+
+
+def _image_dups_oracle() -> str:
+    """Arithmetic mirror of ppm_dhash: brightness(y,x) inlined from the
+    raster byte formula, same 8×8 grid indices, same 56-bit packing."""
+    def bright(y_expr: str, x_expr: str) -> str:
+        p = f"((({y_expr}) * w + ({x_expr})) * 3)"
+        return " + ".join(
+            f"((seed * 37 + ({p} + {c}) * 101) % 256)" for c in range(3)
+        )
+
+    b0 = bright("(i.i * h) // 8", "(j.j * w) // 8")
+    b1 = bright("(i.i * h) // 8", "((j.j + 1) * w) // 8")
+    return f"""
+WITH d AS (
+  SELECT doc_id, (doc_id // 10) % 7 AS seed
+  FROM documents WHERE doc_id % 10 = 0
+),
+dim AS (SELECT doc_id, seed, 8 + seed % 8 AS w, 6 + seed % 6 AS h FROM d),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN ({b0}) > ({b1})
+              THEN (CAST(1 AS BIGINT) << (i.i * 7 + j.j))
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM dim,
+       (SELECT unnest(generate_series(0, 7)) AS i) AS i,
+       (SELECT unnest(generate_series(0, 6)) AS j) AS j
+),
+hs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+       FROM bits GROUP BY doc_id),
+gs AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n_items
+       FROM hs GROUP BY dhash HAVING count(*) >= 2)
+SELECT hs.dhash, gs.n_items, hs.doc_id FROM hs JOIN gs USING(dhash)
 """
 
 
@@ -14725,6 +14780,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_disambig": _ENTITY_DISAMBIG_ORACLE,
         "audio_segments": _AUDIO_SEGMENTS_ORACLE,
         "ontology_align": _ONTOLOGY_ALIGN_ORACLE,
+        "image_dups": _image_dups_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

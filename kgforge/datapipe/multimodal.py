@@ -238,13 +238,18 @@ def decode_wav(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(run, schema=out_schema)
 
 
-def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id",
+                       seed_col: str | None = None) -> DataFrame:
     """(id) → (id, payload) where payload is REAL binary PPM (P6) bytes:
     ``P6\\n<w> <h>\\n255\\n`` + raw RGB raster with a deterministic integer
     pattern derived from the id —
 
         w = 8 + id % 8,  h = 6 + id % 6
         byte[j] = (id * 37 + j * 101) % 256      (j over w*h*3 raster bytes)
+
+    With ``seed_col``, the raster formula uses that column's value instead
+    of the id (rows sharing a seed get byte-identical images — the planted
+    duplicates for media dedup) while the output keeps the row id.
 
     Pure integer arithmetic so an external SQL oracle reproduces every
     byte; the container is a real P6 file (magic, dims, maxval, raster) so
@@ -255,6 +260,7 @@ def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             T.StructField("payload", T.BinaryType(), False),
         ]
     )
+    sc_name = seed_col
 
     def synth(batches):
         import numpy as np
@@ -262,7 +268,8 @@ def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for rid in pdf[id_col]:
+            seeds = pdf[sc_name] if sc_name is not None else pdf[id_col]
+            for rid in seeds:
                 seed = int(rid)
                 w, h = 8 + seed % 8, 6 + seed % 6
                 j = np.arange(w * h * 3, dtype=np.int64)
@@ -271,9 +278,10 @@ def synth_ppm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 payloads.append(header + raster.tobytes())
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
-        synth, schema=out_schema
-    )
+    cols = [F.col(id_col).cast("long").alias(id_col)]
+    if seed_col is not None:
+        cols.append(F.col(seed_col).cast("long").alias(seed_col))
+    return df.select(*cols).mapInPandas(synth, schema=out_schema)
 
 
 def _parse_ppm(data: bytes):
@@ -558,4 +566,65 @@ def wav_energy_segments(energy: DataFrame, id_col: str = "doc_id",
             F.sum("energy").cast("bigint").alias("energy"),
         )
         .drop("_grp")
+    )
+
+
+def ppm_dhash(df: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash over REAL P6 decode: brightness
+    (r+g+b, pure integer) sampled on an 8×8 grid by index arithmetic
+    (y_i = i·h div 8, x_j = j·w div 8 — nearest-pixel, no interpolation,
+    so the hash is integer-exact and engine-portable), then the classic
+    dHash bit per horizontal neighbor pair (7 comparisons × 8 rows = 56
+    bits, deliberately under 64 so the packed key stays a positive
+    int64).  Output: (id, width, height, dhash).
+
+    Identical rasters hash identically at ANY size; near-duplicate
+    variants flip few bits (pair via the simhash band machinery).  The
+    decode runs once per item inside Arrow; only fixed-width rows cross
+    the boundary."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _maxval, raster = _parse_ppm(bytes(payload))
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                bright = px.reshape(h, w, 3).sum(axis=2)
+                ys = [(i * h) // 8 for i in range(8)]
+                xs = [(j * w) // 8 for j in range(8)]
+                grid = bright[np.ix_(ys, xs)]
+                hv = 0
+                for i in range(8):
+                    for j in range(7):
+                        if grid[i, j] > grid[i, j + 1]:
+                            hv |= 1 << (i * 7 + j)
+                rows.append((int(rid), w, h, hv))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_dup_groups(hashed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact perceptual-duplicate groups: (dhash, n_items, ids) for hashes
+    shared by ≥2 items — one map-side-combinable groupBy on the 8-byte
+    key, the media twin of text ``exact_duplicates``."""
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+        )
+        .filter(F.col("n_items") >= 2)
     )
