@@ -11996,6 +11996,23 @@ def _image_dups(spark, sf_dir):
     return g.select("dhash", "n_items", F.explode("ids").alias("doc_id"))
 
 
+def _schema_match(spark, sf_dir):
+    """Instance-based schema matching (datapipe/schemamatch.py): align
+    customer vs orders columns by KMV value-overlap — the planted FK
+    (c_custkey ↔ o_custkey) wins its row; estimates are deterministic
+    (portable two-stage hashes) and mirrored register-exactly."""
+    from kgforge.datapipe.schemamatch import best_column_match, match_columns
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    m = match_columns(
+        cust, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"],
+        orders, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"],
+        k=_KMV_K,
+    )
+    return best_column_match(m)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12288,6 +12305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _audio_segments,
         "ontology_align": _ontology_align,
         "image_dups": _image_dups,
+        "schema_match": _schema_match,
     }
 
 
@@ -13207,6 +13225,62 @@ hs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
 gs AS (SELECT dhash, CAST(count(*) AS BIGINT) AS n_items
        FROM hs GROUP BY dhash HAVING count(*) >= 2)
 SELECT hs.dhash, gs.n_items, hs.doc_id FROM hs JOIN gs USING(dhash)
+"""
+
+
+def _schema_match_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    h = _stage2_padded_sql("val")
+    k = _KMV_K
+    melt = " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS col, CAST({c} AS VARCHAR) AS val FROM {t}"
+        for t, cs in (
+            ("customer", ["c_custkey", "c_nationkey", "c_mktsegment"]),
+            ("orders", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+        )
+        for c in cs
+    )
+    return f"""
+WITH melted AS (
+  SELECT col, val FROM ({melt}) WHERE val IS NOT NULL
+),
+hashed AS (
+  SELECT DISTINCT col, CAST(({h}) + 1 AS BIGINT) AS hv FROM melted
+),
+topk AS (
+  SELECT col, hv FROM (
+    SELECT col, hv, row_number() OVER (PARTITION BY col ORDER BY hv) AS rn
+    FROM hashed
+  ) WHERE rn <= {k}
+),
+sk AS MATERIALIZED (
+  SELECT col, list_sort(list(hv)) AS sketch FROM topk GROUP BY col
+),
+pairs AS (
+  SELECT a.col AS g_a, b.col AS g_b,
+    round(CAST(len(list_filter(
+            list_sort(list_distinct(a.sketch || b.sketch))[:{k}],
+            x -> list_contains(a.sketch, x) AND list_contains(b.sketch, x)))
+          AS DOUBLE)
+        / CAST(len(list_sort(list_distinct(a.sketch || b.sketch))[:{k}])
+          AS DOUBLE), 6) AS jaccard_est
+  FROM sk a JOIN sk b ON a.col < b.col
+),
+cross_t AS (
+  SELECT CASE WHEN string_split(g_a, '.')[1] = 'customer'
+              THEN g_a ELSE g_b END AS col_a,
+         CASE WHEN string_split(g_a, '.')[1] = 'customer'
+              THEN g_b ELSE g_a END AS col_b,
+         jaccard_est
+  FROM pairs
+  WHERE string_split(g_a, '.')[1] <> string_split(g_b, '.')[1]
+)
+SELECT col_a, col_b, jaccard_est FROM (
+  SELECT cross_t.*, row_number() OVER (
+    PARTITION BY col_a ORDER BY jaccard_est DESC, col_b ASC) AS rn
+  FROM cross_t
+) WHERE rn = 1
 """
 
 
@@ -14781,6 +14855,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": _AUDIO_SEGMENTS_ORACLE,
         "ontology_align": _ONTOLOGY_ALIGN_ORACLE,
         "image_dups": _image_dups_oracle(),
+        "schema_match": _schema_match_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
