@@ -106,3 +106,22 @@ def test_best_alignment_tiebreak_smallest_cls_b(spark):
         [(1, "z"), (2, "z"), (1, "m"), (2, "m")], "inst int, cls string")
     best = best_class_alignment(align_classes_by_instances(a, b)).collect()
     assert len(best) == 1 and best[0]["cls_b"] == "m"
+
+
+def test_align_plan_is_jvm_only(spark):
+    a = spark.createDataFrame([(1, "c")], "inst int, cls string")
+    b = spark.createDataFrame([(1, "d")], "inst int, cls string")
+    plan = (best_class_alignment(align_classes_by_instances(a, b))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_audio_segments_single_arrow_stage(spark):
+    from kgforge.datapipe.multimodal import synth_wav_payloads
+    ids = spark.createDataFrame([(2,)], "doc_id long")
+    seg = wav_energy_segments(wav_window_energy(
+        synth_wav_payloads(ids, silence_period=3)))
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    # synth + window-energy are the only Python stages; the island merge
+    # and aggregation stay JVM
+    assert plan.count("MapInPandas") == 2

@@ -102,3 +102,13 @@ def test_entity_salience_rollup(spark):
     assert got["acme"] == (2, 3, acme_doc1 + acme_doc2, (0 + 495) // 2)
     graz = MICRO + (190 * MICRO) // 200
     assert got["graz"] == (1, 1, graz, (10 * 1000) // 200)
+
+
+def test_salience_plan_is_jvm_only(spark):
+    mentions = spark.createDataFrame(
+        [(1, "acme", 0)], "doc_id int, surface string, start int")
+    lengths = spark.createDataFrame([(1, 100)], "doc_id int, doc_len int")
+    per_doc = mention_salience(mentions, lengths)
+    plan = (entity_salience_rollup(per_doc)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -50,3 +50,11 @@ def test_best_column_match_deterministic_tiebreak(spark):
     best = best_column_match(m).collect()
     # p and q have identical value sets → exact tie → smallest col_b wins
     assert len(best) == 1 and best[0]["col_b"] == "tb.p"
+
+
+def test_schemamatch_plan_is_jvm_only(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(1,)], "p int")
+    m = match_columns(a, "ta", ["x"], b, "tb", ["p"])
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
