@@ -12013,6 +12013,46 @@ def _schema_match(spark, sf_dir):
     return best_column_match(m)
 
 
+def _ndcg_orders(spark, sf_dir):
+    """NDCG@10 (datapipe/rankeval.py, integer-exact): per customer, the
+    ranking of their orders by total price evaluated against a graded
+    relevance derived from order priority (URGENT=4 … LOW=0).  Discount
+    weights are driver-inlined micro-integers, so DCG/IDCG/NDCG are all
+    integer arithmetic."""
+    from kgforge.datapipe.rankeval import ndcg_at_k
+
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 20 == 0)
+    d = orders.select(
+        F.col("o_custkey").alias("g"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("score"),
+        F.expr("5 - cast(substring(o_orderpriority, 1, 1) as int)")
+        .alias("rel"),
+    )
+    return ndcg_at_k(d, "g", "id", "score", "rel", k=10).select(
+        F.col("g").cast("bigint").alias("g"),
+        "dcg_micro", "idcg_micro", "ndcg_ppm",
+    )
+
+
+def _conformal_orders(spark, sf_dir):
+    """Split-conformal intervals (datapipe/conformal.py) per order
+    priority: even orderkeys calibrate (per-group mean predictor in
+    micro-cents + exact order-statistic radius at α=1/10), odd orderkeys
+    evaluate coverage — all integer arithmetic, mirrored verbatim."""
+    from kgforge.datapipe.conformal import split_conformal_eval
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("y"),
+        F.col("o_orderkey").alias("k"),
+    )
+    calib = orders.filter(F.col("k") % 2 == 0)
+    test = orders.filter(F.col("k") % 2 == 1)
+    return split_conformal_eval(calib, test, "g", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12306,6 +12346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_align": _ontology_align,
         "image_dups": _image_dups,
         "schema_match": _schema_match,
+        "ndcg_orders": _ndcg_orders,
+        "conformal_orders": _conformal_orders,
     }
 
 
@@ -13281,6 +13323,74 @@ SELECT col_a, col_b, jaccard_est FROM (
     PARTITION BY col_a ORDER BY jaccard_est DESC, col_b ASC) AS rn
   FROM cross_t
 ) WHERE rn = 1
+"""
+
+
+def _ndcg_orders_oracle() -> str:
+    from kgforge.datapipe.rankeval import _discount_weights
+
+    wts = ", ".join(
+        f"({r + 1}, {w})" for r, w in enumerate(_discount_weights(10)))
+    return f"""
+WITH d AS (
+  SELECT o_custkey AS g, o_orderkey AS id, o_totalprice AS score,
+         5 - CAST(substr(o_orderpriority, 1, 1) AS INT) AS rel
+  FROM orders WHERE o_custkey % 20 = 0
+),
+ds AS (SELECT g, rel, row_number() OVER (
+         PARTITION BY g ORDER BY score DESC, id ASC) AS r FROM d),
+di AS (SELECT g, rel, row_number() OVER (
+         PARTITION BY g ORDER BY rel DESC, id ASC) AS r FROM d),
+wt(r, w) AS (VALUES {wts}),
+dcg AS (
+  SELECT g, CAST(sum(rel * w) AS BIGINT) AS dcg_micro
+  FROM ds JOIN wt USING(r) WHERE ds.r <= 10 GROUP BY g
+),
+idcg AS (
+  SELECT g, CAST(sum(rel * w) AS BIGINT) AS idcg_micro
+  FROM di JOIN wt USING(r) WHERE di.r <= 10 GROUP BY g
+)
+SELECT CAST(g AS BIGINT) AS g, dcg_micro, idcg_micro,
+       CASE WHEN idcg_micro > 0
+            THEN CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT)
+       END AS ndcg_ppm
+FROM dcg JOIN idcg USING(g)
+"""
+
+
+_CONFORMAL_ORDERS_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         o_orderkey AS k
+  FROM orders
+),
+calib AS (SELECT * FROM o WHERE k % 2 = 0),
+tst AS (SELECT * FROM o WHERE k % 2 = 1),
+stats AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_calib,
+         CAST((CAST(sum(y) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+           AS pred_micro
+  FROM calib GROUP BY g
+),
+resid AS (
+  SELECT c.g, s.n_calib, s.pred_micro,
+         abs(c.y * 1000000 - s.pred_micro) AS res
+  FROM calib c JOIN stats s USING(g)
+),
+q AS (
+  SELECT g, n_calib, pred_micro, res AS qhat_micro FROM (
+    SELECT resid.*, row_number() OVER (PARTITION BY g ORDER BY res) AS rn
+    FROM resid
+  ) WHERE rn = least(((n_calib + 1) * 9 + 9) // 10, n_calib)
+)
+SELECT q.g, q.n_calib, q.pred_micro, q.qhat_micro,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN abs(t.y * 1000000 - q.pred_micro)
+                          <= q.qhat_micro THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered
+FROM tst t JOIN q USING(g)
+GROUP BY q.g, q.n_calib, q.pred_micro, q.qhat_micro
 """
 
 
@@ -14856,6 +14966,8 @@ def oracle_sql() -> dict[str, str]:
         "ontology_align": _ONTOLOGY_ALIGN_ORACLE,
         "image_dups": _image_dups_oracle(),
         "schema_match": _schema_match_oracle(),
+        "ndcg_orders": _ndcg_orders_oracle(),
+        "conformal_orders": _CONFORMAL_ORDERS_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
