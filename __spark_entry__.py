@@ -12336,7 +12336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdg_customers": _fdg_customers,
         "hll_rollup": _hll_rollup,
         "kg_relations": _kg_relations,
-        "dsir_select": _dsir_select_q,
+        # NOTE: distinct from "dsir_select" (mix.py integer-affinity
+        # variant) — this is the full hashed-ngram DSIR of dsir.py
+        "dsir_ngram_select": _dsir_select_q,
         "acronym_links": _acronym_links_q,
         "kg_salience": _kg_salience,
         "truth_fusion": _truth_fusion,
@@ -14956,7 +14958,7 @@ def oracle_sql() -> dict[str, str]:
         "fdg_customers": _fdg_customers_oracle(),
         "hll_rollup": _hll_rollup_oracle(),
         "kg_relations": _kg_relations_oracle(),
-        "dsir_select": _dsir_select_oracle(),
+        "dsir_ngram_select": _dsir_select_oracle(),
         "acronym_links": _ACRONYM_LINKS_ORACLE,
         "kg_salience": _kg_salience_oracle(),
         "truth_fusion": _truth_fusion_oracle(),
