@@ -171,3 +171,55 @@ def blocking_eval(
             F.round(2 * pc * pq / (pc + pq), 6),
         ).alias("f1"),
     )
+
+
+def bcubed_eval(
+    assignments: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998; the
+    standard ER-clustering metric alongside pairwise F — less sensitive
+    to one giant cluster dominating the pair counts).
+
+    Per item i with predicted cluster C and truth class T:
+    precision_i = o(C,T)/|C|, recall_i = o(C,T)/|T| where o is the
+    overlap count; B³ P/R are the means over items.  Using the identity
+    Σ_i prec_i = Σ_{C,T} o(C,T)²/|C|, the whole metric is three
+    map-side-combinable aggregations over (cluster, truth) contingency
+    cells — no per-item pass, no pair explosion.
+
+    Fixed-point discipline: each cell contributes
+    ``o²·10⁶ div n`` (integer), the mean divides by N once more, and
+    F1 = 2PR div (P+R) — every step integer, engine-exact (the two
+    nested truncations are part of the metric's contract here and the
+    oracle reproduces them verbatim).
+
+    Output: one row (n_items, prec_ppm, rec_ppm, f1_ppm).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("c"),
+        F.col(truth_col).alias("t"),
+    ).distinct()
+    cells = a.groupBy("c", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o"))
+    nc = a.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    nt = a.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    j = cells.join(nc, "c").join(nt, "t")
+    sums = j.agg(
+        F.sum(F.expr("(o * o * 1000000) div n_c")).cast("bigint").alias("_p"),
+        F.sum(F.expr("(o * o * 1000000) div n_t")).cast("bigint").alias("_r"),
+        F.sum("o").cast("bigint").alias("n_items"),
+    )
+    return sums.select(
+        "n_items",
+        F.expr("_p div n_items").cast("bigint").alias("prec_ppm"),
+        F.expr("_r div n_items").cast("bigint").alias("rec_ppm"),
+        F.expr(
+            "CASE WHEN (_p div n_items) + (_r div n_items) > 0 "
+            "THEN (2 * (_p div n_items) * (_r div n_items))"
+            " div ((_p div n_items) + (_r div n_items)) END"
+        ).cast("bigint").alias("f1_ppm"),
+    )

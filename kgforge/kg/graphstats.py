@@ -329,3 +329,60 @@ def conductance(
     finally:
         und.unpersist()
         lab.unpersist()
+
+
+def partition_quality(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Audit of a k-way hash partitioning of a graph — the layout
+    question every distributed graph job answers implicitly (edge-cut =
+    network traffic per iteration, balance = straggler risk; the metrics
+    minimized by partitioners like METIS and measured for hash baselines
+    in the Pregel/PowerGraph literature).
+
+    Nodes are placed by the repo's portable padded two-stage hash mod k
+    (exactly the co-partitioning a cluster layout would use), so the
+    audit itself is deterministic and engine-exact.  Output: one row
+    (k, n_nodes, n_edges, cut_edges, cut_ppm, min_part, max_part,
+    balance_ppm) with balance = max_part·k·10⁶ div n_nodes (10⁶ =
+    perfectly balanced).
+
+    Scale shape: the part assignment is a projection; cut counting is
+    one combinable aggregate over edges; sizes are one aggregate over
+    distinct nodes.  Nothing joins.
+    """
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    part = lambda c: (_stage2_padded(c.cast("string")) % k)
+    e = edges.select(
+        part(F.col(src)).alias("ps"), part(F.col(dst)).alias("pd"))
+    ecut = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0))
+        .cast("bigint").alias("cut_edges"),
+    )
+    nodes = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))).distinct()
+    sizes = (
+        nodes.select(part(F.col("node")).alias("p"))
+        .groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_nodes"),
+            F.min("n").cast("bigint").alias("min_part"),
+            F.max("n").cast("bigint").alias("max_part"),
+        )
+    )
+    return ecut.crossJoin(sizes).select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_nodes", "n_edges", "cut_edges",
+        F.expr("(cut_edges * 1000000) div n_edges").cast("bigint")
+        .alias("cut_ppm"),
+        "min_part", "max_part",
+        F.expr(f"(max_part * {k} * 1000000) div n_nodes").cast("bigint")
+        .alias("balance_ppm"),
+    )
