@@ -12083,6 +12083,25 @@ def _partition_audit(spark, sf_dir):
     return partition_quality(cust, 8)
 
 
+def _shapley_channels(spark, sf_dir):
+    """Exact Shapley channel attribution (datapipe/attribution.py) over
+    the events stream: coalitions are each user's set of non-purchase
+    event types, v(S) = conversion (purchase) count of users with set
+    exactly S; credits are exact integers over the common denominator
+    n! (efficiency Σφ = n!·(v(full) − v(∅)) holds exactly, tested)."""
+    from kgforge.datapipe.attribution import shapley_attribution
+
+    ev = _read(spark, sf_dir, "events")
+    touches = ev.select(
+        F.col("user_id").alias("u"),
+        F.when(F.col("event_type") != "purchase",
+               F.col("event_type")).alias("ch"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    return shapley_attribution(
+        touches, "u", "ch", "conv", ["click", "error", "signup", "view"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12382,6 +12401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_orders": _conformal_orders,
         "bcubed_customers": _bcubed_customers,
         "partition_audit": _partition_audit,
+        "shapley_channels": _shapley_channels,
     }
 
 
@@ -13489,6 +13509,51 @@ SELECT CAST({k} AS BIGINT) AS k, n_nodes, n_edges, cut_edges,
        min_part, max_part,
        CAST((max_part * {k} * 1000000) // n_nodes AS BIGINT) AS balance_ppm
 FROM ecut, sizes
+"""
+
+
+def _shapley_channels_oracle() -> str:
+    import math
+
+    channels = ["click", "error", "signup", "view"]
+    n = len(channels)
+    w = [math.factorial(s) * math.factorial(n - 1 - s) for s in range(n)]
+    nfact = math.factorial(n)
+    w_member = ("CASE len(chans) " + " ".join(
+        f"WHEN {s + 1} THEN {w[s]}" for s in range(n)) + " ELSE 0 END")
+    w_non = ("CASE len(chans) " + " ".join(
+        f"WHEN {s} THEN {w[s]}" for s in range(n)) + " ELSE 0 END")
+    vals = ", ".join(f"('{c}')" for c in channels)
+    return f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         coalesce(list_sort(list(DISTINCT event_type)
+                  FILTER (WHERE event_type <> 'purchase')),
+                  CAST([] AS VARCHAR[])) AS chans,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+),
+coal AS (SELECT chans, CAST(sum(conv) AS BIGINT) AS v
+         FROM pu GROUP BY chans),
+mem AS (
+  SELECT unnest(chans) AS channel, v * ({w_member}) AS d
+  FROM coal WHERE len(chans) > 0
+),
+univ(channel) AS (VALUES {vals}),
+nonm AS (
+  SELECT univ.channel, -v * ({w_non}) AS d
+  FROM coal, univ WHERE NOT list_contains(chans, univ.channel)
+),
+phi AS (
+  SELECT channel, CAST(sum(d) AS BIGINT) AS phi_num
+  FROM (SELECT * FROM mem UNION ALL SELECT * FROM nonm) GROUP BY channel
+)
+SELECT channel, phi_num,
+       CAST(CASE WHEN phi_num >= 0 THEN (phi_num * 1000000) // {nfact}
+                 ELSE -(((-phi_num) * 1000000) // {nfact}) END AS BIGINT)
+         AS phi_micro
+FROM phi
 """
 
 
@@ -15068,6 +15133,7 @@ def oracle_sql() -> dict[str, str]:
         "conformal_orders": _CONFORMAL_ORDERS_ORACLE,
         "bcubed_customers": _BCUBED_ORACLE,
         "partition_audit": _partition_audit_oracle(),
+        "shapley_channels": _shapley_channels_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
