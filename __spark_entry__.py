@@ -12102,6 +12102,36 @@ def _shapley_channels(spark, sf_dir):
         touches, "u", "ch", "conv", ["click", "error", "signup", "view"])
 
 
+def _heavy_change(spark, sf_dir):
+    """CMS heavy-change between two event epochs (datapipe/sketch.py:
+    cms_heavy_change, the deltoids problem): epoch A = even event ids,
+    epoch B = odd ids plus a planted drift (every event of users 0-2
+    replayed), keys = user id mod 100.  Register tables, estimates, and
+    the reported set are deterministic and mirrored register-exactly."""
+    from kgforge.datapipe.sketch import cms_heavy_change
+
+    ev = _read(spark, sf_dir, "events")
+    key = F.concat(F.lit("k"), (F.col("user_id") % 100).cast("string"))
+    a = ev.filter(F.col("event_id") % 2 == 0).select(key.alias("v"))
+    drift = ev.filter(F.col("user_id") % 100 < 3).select(key.alias("v"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(key.alias("v"))
+    for _ in range(3):  # amplify the planted drift (scale-proportional)
+        b = b.unionByName(drift)
+    return cms_heavy_change(a, b, "v", threshold=20)
+
+
+def _trending_events(spark, sf_dir):
+    """Half-life-decayed trending scores (datapipe/timeseries.py:
+    decayed_counts) per event type at a fixed reference date — weights
+    frozen to micro-integers per whole-day age in the driver, so the
+    score is an exact integer sum (mergeable: union + re-sum)."""
+    from kgforge.datapipe.timeseries import decayed_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return decayed_counts(ev, "event_type", "ts", "2024-02-01",
+                          half_life_days=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12402,6 +12432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_customers": _bcubed_customers,
         "partition_audit": _partition_audit,
         "shapley_channels": _shapley_channels,
+        "heavy_change": _heavy_change,
+        "trending_events": _trending_events,
     }
 
 
@@ -13554,6 +13586,81 @@ SELECT channel, phi_num,
                  ELSE -(((-phi_num) * 1000000) // {nfact}) END AS BIGINT)
          AS phi_micro
 FROM phi
+"""
+
+
+def _heavy_change_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_sql
+
+    width = 512
+    mults = (31, 131, 1009, 10007)
+    key = "'k' || CAST(user_id % 100 AS VARCHAR)"
+
+    def reg(name: str, src: str) -> str:
+        lanes = "\n    UNION ALL ".join(
+            f"SELECT {j} AS lane, ({_stage2_sql('v', m, 131)}) % {width}"
+            f" AS slot FROM {src}"
+            for j, m in enumerate(mults)
+        )
+        return (f"{name} AS MATERIALIZED (SELECT lane, slot,"
+                f" CAST(count(*) AS BIGINT) AS c FROM (\n    {lanes}\n  )"
+                f" GROUP BY lane, slot)")
+
+    joins_a = "\n  ".join(
+        f"LEFT JOIN ra a{j} ON a{j}.lane = {j} AND a{j}.slot ="
+        f" ({_stage2_sql('cand.v', m, 131)}) % {width}"
+        for j, m in enumerate(mults)
+    )
+    joins_b = "\n  ".join(
+        f"LEFT JOIN rb b{j} ON b{j}.lane = {j} AND b{j}.slot ="
+        f" ({_stage2_sql('cand.v', m, 131)}) % {width}"
+        for j, m in enumerate(mults)
+    )
+    la = ", ".join(f"coalesce(a{j}.c, 0)" for j in range(4))
+    lb = ", ".join(f"coalesce(b{j}.c, 0)" for j in range(4))
+    return f"""
+WITH ea AS (SELECT {key} AS v FROM events WHERE event_id % 2 = 0),
+eb AS (
+  SELECT {key} AS v FROM events WHERE event_id % 2 = 1
+  UNION ALL SELECT {key} FROM events WHERE user_id % 100 < 3
+  UNION ALL SELECT {key} FROM events WHERE user_id % 100 < 3
+  UNION ALL SELECT {key} FROM events WHERE user_id % 100 < 3
+),
+{reg("ra", "ea")},
+{reg("rb", "eb")},
+cand AS (SELECT DISTINCT v FROM (SELECT v FROM ea UNION ALL SELECT v FROM eb)),
+est AS (
+  SELECT cand.v,
+         CAST(least({la}) AS BIGINT) AS est_a,
+         CAST(least({lb}) AS BIGINT) AS est_b
+  FROM cand
+  {joins_a}
+  {joins_b}
+)
+SELECT v AS value, est_a, est_b, est_b - est_a AS delta
+FROM est WHERE abs(est_b - est_a) >= 20
+"""
+
+
+def _trending_events_oracle() -> str:
+    h, horizon_hl = 7, 20
+    weights = ", ".join(
+        f"({d}, {round(1_000_000 * 2.0 ** (-d / h))})"
+        for d in range(h * horizon_hl + 1)
+    )
+    return f"""
+WITH w(age, w) AS (VALUES {weights}),
+aged AS (
+  SELECT event_type AS key,
+         date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS age
+  FROM events
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS decayed_micro
+FROM aged LEFT JOIN w ON aged.age = w.age
+WHERE aged.age >= 0
+GROUP BY key
 """
 
 
@@ -15134,6 +15241,8 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_customers": _BCUBED_ORACLE,
         "partition_audit": _partition_audit_oracle(),
         "shapley_channels": _shapley_channels_oracle(),
+        "heavy_change": _heavy_change_oracle(),
+        "trending_events": _trending_events_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -440,3 +440,63 @@ def kmv_jaccard_pairs(
     )
     est = inter.cast("double") / F.size(merged).cast("double")
     return j.select("g_a", "g_b", F.round(est, 6).alias("jaccard_est"))
+
+
+def cms_heavy_change(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 512,
+    mults: tuple = (31, 131, 1009, 10007),
+) -> DataFrame:
+    """Heavy-CHANGE detection between two epochs (the deltoids problem,
+    Cormode & Muthukrishnan 2004: "what changed", not "what is big"):
+    build one count-min register table per epoch, estimate every
+    candidate key in both, report keys with |est_b − est_a| ≥
+    ``threshold``.
+
+    Both register tables are the mergeable epoch artifacts you would
+    persist anyway; the comparison touches candidates × two
+    broadcast-sized register tables.  One-sided error per epoch means
+    the delta can err in either direction by at most the sum of the two
+    collision inflations — the standard sketch contract, and every
+    register (hence every estimate and the reported set) is
+    deterministic and oracle-mirrorable.
+
+    Output: (value, est_a, est_b, delta)."""
+    reg_a = cms_build(df_a, value_col, depth=depth, width=width, mults=mults)
+    reg_b = cms_build(df_b, value_col, depth=depth, width=width, mults=mults)
+    s = F.col(value_col).cast("string")
+    cand = (
+        df_a.select(s.alias("value"))
+        .unionByName(df_b.select(s.alias("value")))
+        .distinct()
+    )
+    cand = cand.select(
+        "value",
+        *[
+            (_stage2(F.col("value"), mults[j], 131) % width).alias(f"_s{j}")
+            for j in range(depth)
+        ],
+    )
+    est = cand
+    for tag, reg in (("a", reg_a), ("b", reg_b)):
+        for j in range(depth):
+            rj = reg.filter(F.col("lane") == j).select(
+                F.col("slot").alias(f"_s{j}"),
+                F.col("c").alias(f"_{tag}{j}"),
+            )
+            est = est.join(F.broadcast(rj), f"_s{j}", "left")
+    ea = F.least(*[F.coalesce(F.col(f"_a{j}"), F.lit(0))
+                   for j in range(depth)]).cast("bigint")
+    eb = F.least(*[F.coalesce(F.col(f"_b{j}"), F.lit(0))
+                   for j in range(depth)]).cast("bigint")
+    out = est.select(
+        "value",
+        ea.alias("est_a"),
+        eb.alias("est_b"),
+        (eb - ea).alias("delta"),
+    )
+    return out.filter(F.abs(F.col("delta")) >= threshold)

@@ -658,3 +658,49 @@ def forecast_backtest(
         mase("_sae_s").alias("snaive_mase"),
         mase("_sae_h").alias("holt_mase"),
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    ref_date: str,
+    half_life_days: int = 7,
+    horizon_halflives: int = 20,
+) -> DataFrame:
+    """Exponentially time-decayed counts — the trending/recency score
+    (Cormode, Shkapenyuk, Srivastava & Xu 2009 forward-decay family,
+    half-life form): each event aged ``d`` whole days at ``ref_date``
+    contributes weight 2^(−d/h).
+
+    Determinism discipline: the weight for every integer day age is
+    frozen ONCE in the driver (round(10⁶·2^(−d/h)), ages beyond
+    ``horizon_halflives``·h contribute 0) and shipped as a broadcast
+    table, so the score is an integer sum — order-free, mergeable
+    (union + re-sum, the streaming property that makes decayed counters
+    practical), and mirrored verbatim by a VALUES table in SQL.
+
+    Events dated after ``ref_date`` (negative age) are excluded.
+    Output: (key, n_events, decayed_micro)."""
+    if half_life_days < 1:
+        raise ValueError("half_life_days must be >= 1")
+    horizon = half_life_days * horizon_halflives
+    weights = [
+        (d, round(1_000_000 * 2.0 ** (-d / half_life_days)))
+        for d in range(horizon + 1)
+    ]
+    wdf = df.sparkSession.createDataFrame(weights, "age int, w bigint")
+    aged = df.select(
+        F.col(key_col).alias("key"),
+        F.datediff(F.lit(ref_date).cast("date"),
+                   F.col(ts_col).cast("date")).alias("age"),
+    ).filter(F.col("age") >= 0)
+    return (
+        aged.join(F.broadcast(wdf), "age", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.coalesce("w", F.lit(0))).cast("bigint")
+            .alias("decayed_micro"),
+        )
+    )
