@@ -12132,6 +12132,22 @@ def _trending_events(spark, sf_dir):
                           half_life_days=7)
 
 
+def _dp_median_acctbal(spark, sf_dir):
+    """ε-DP median account balance (cents) per market segment via the
+    derandomized exponential mechanism (privacy.py:dp_quantile):
+    interval widths × micro-frozen exp factors → integer cumulative
+    ladder → hash-threshold crossing → hash offset inside the gap.
+    Bit-reproducible; the oracle mirrors every window."""
+    from kgforge.anonymize.privacy import dp_quantile
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"),
+        F.expr("cast(round(c_acctbal * 100) as bigint)").alias("v"),
+    )
+    return dp_quantile(cust, ["g"], "v", lo=-100000, hi=1000000,
+                       epsilon=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12434,6 +12450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_channels": _shapley_channels,
         "heavy_change": _heavy_change,
         "trending_events": _trending_events,
+        "dp_median": _dp_median_acctbal,
     }
 
 
@@ -13661,6 +13678,63 @@ SELECT key,
 FROM aged LEFT JOIN w ON aged.age = w.age
 WHERE aged.age >= 0
 GROUP BY key
+"""
+
+
+def _dp_median_oracle() -> str:
+    from kgforge.datapipe.sketch import _stage2_padded_sql
+
+    m = 2147483647
+    lo, hi = -100000, 1000000
+    u1 = _stage2_padded_sql("(g || ':dpq:gap')")
+    u2 = _stage2_padded_sql("(g || ':dpq:off')")
+    return f"""
+WITH d AS (
+  SELECT c_mktsegment AS g,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+  FROM customer
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) BETWEEN {lo} AND {hi}
+),
+ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i FROM d
+),
+np AS (SELECT g, CAST(max(i) AS BIGINT) AS n FROM ranked GROUP BY g),
+gaps AS (
+  SELECT g, CAST(i AS BIGINT) AS gap, v AS l,
+         lead(v, 1, {hi}) OVER (PARTITION BY g ORDER BY i) AS r
+  FROM ranked
+  UNION ALL
+  SELECT g, 0, {lo}, v FROM ranked WHERE i = 1
+),
+wg AS (
+  SELECT gaps.g, gap, l, r, n,
+         (r - l) * CAST(round(exp(-0.5 * abs(gap - (n // 2))) * 1000000)
+                        AS BIGINT) AS w
+  FROM gaps JOIN np ON gaps.g = np.g
+),
+lad AS (
+  SELECT wg.*, CAST(sum(w) OVER (PARTITION BY g ORDER BY gap
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM wg
+),
+tg AS (
+  SELECT g, tot,
+         (tot // {m}) * ({u1}) + ((tot % {m}) * ({u1})) // {m} AS target
+  FROM (SELECT g, CAST(max(cum) AS BIGINT) AS tot FROM lad GROUP BY g)
+),
+crossed AS (
+  SELECT lad.g, gap, l, r, n
+  FROM lad JOIN tg ON lad.g = tg.g WHERE cum > target
+),
+ch AS (
+  SELECT g, gap, l, r, n FROM (
+    SELECT crossed.*, row_number() OVER (
+      PARTITION BY g ORDER BY gap) AS rn FROM crossed
+  ) WHERE rn = 1
+)
+SELECT g, n,
+       CAST(l + (({u2}) * (r - l)) // {m} AS BIGINT) AS released
+FROM ch
 """
 
 
@@ -15243,6 +15317,7 @@ def oracle_sql() -> dict[str, str]:
         "shapley_channels": _shapley_channels_oracle(),
         "heavy_change": _heavy_change_oracle(),
         "trending_events": _trending_events_oracle(),
+        "dp_median": _dp_median_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

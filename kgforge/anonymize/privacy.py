@@ -533,3 +533,109 @@ def rr_frequency_estimate(
             ).alias("pi_hat"),
         )
     )
+
+
+def dp_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    epsilon: float,
+    seed: str = "dpq",
+) -> DataFrame:
+    """ε-DP median via the exponential mechanism (McSherry & Talwar 2007;
+    the interval-sampling quantile form of Smith 2011), derandomized like
+    every mechanism in this module: the two uniform draws are portable
+    hashes of (group, seed), so the release is a pure function of
+    (data, ε, seed) and mirrors bit-for-bit in SQL.
+
+    The mechanism samples an inter-order-statistic gap with probability
+    ∝ width·exp(−ε·|i − m|/2) (m = n div 2), then a point uniformly
+    inside it.  Determinism discipline: each gap's exp factor is frozen
+    to micro-units (round-6-family), widths are INTEGER domain units
+    (``lo``/``hi`` integer bounds, integer-valued column — use cents),
+    so the cumulative-weight ladder, threshold crossing, and released
+    value are exact integer arithmetic — the kg_walks_biased ladder
+    pattern.
+
+    Privacy: standard per-release ε-DP with the usual caveats — bounds
+    must be data-independent, a fresh release needs a fresh ``seed``
+    (reuse republishes the same draw), and rank utility has sensitivity
+    1.  Output: (group…, n, released).
+
+    Scale shape: one rank window and one cumulative window per group
+    (groups bounded), a per-group total + threshold join, no driver
+    work."""
+    from pyspark.sql import Window
+
+    from kgforge.datapipe.dedup import _POLY_MOD
+    from kgforge.datapipe.sketch import _stage2_padded
+
+    if lo >= hi:
+        raise ValueError("need lo < hi")
+    g = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("bigint")
+    d = df.select(*g, v.alias("_v")).filter(
+        (F.col("_v") >= lo) & (F.col("_v") <= hi))
+
+    w_rank = Window.partitionBy(*group_cols).orderBy("_v")
+    ranked = d.withColumn("_i", F.row_number().over(w_rank))
+    n_per = ranked.groupBy(*group_cols).agg(
+        F.max("_i").cast("bigint").alias("_n"))
+
+    # gap i (1..n): [v_i, next value); gap 0: [lo, min value)
+    gaps_mid = ranked.withColumn(
+        "_right", F.lead("_v", 1, hi).over(w_rank)
+    ).select(*g, F.col("_i").alias("_gap"), F.col("_v").alias("_left"),
+             "_right")
+    gaps_zero = ranked.filter(F.col("_i") == 1).select(
+        *g, F.lit(0).alias("_gap"), F.lit(lo).cast("bigint").alias("_left"),
+        F.col("_v").alias("_right"))
+    gaps = gaps_mid.unionByName(gaps_zero).join(n_per, group_cols)
+
+    m = F.expr("_n div 2")
+    dist = F.abs(F.col("_gap") - m)
+    wf = F.round(F.exp(dist.cast("double") * F.lit(-float(epsilon) / 2.0))
+                 * 1_000_000).cast("bigint")
+    weighted = gaps.select(
+        *g, "_gap", "_left", "_right", "_n",
+        ((F.col("_right") - F.col("_left")) * wf).alias("_w"),
+    )
+    w_cum = Window.partitionBy(*group_cols).orderBy("_gap") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    laddered = weighted.withColumn("_cum", F.sum("_w").over(w_cum))
+    totals = laddered.groupBy(*group_cols).agg(
+        F.max("_cum").cast("bigint").alias("_tot"))
+
+    key = F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("\x00"))
+                             for c in g])
+    u1 = _stage2_padded(F.concat(key, F.lit(":" + seed + ":gap")))
+    u2 = _stage2_padded(F.concat(key, F.lit(":" + seed + ":off")))
+    # floor(tot·u1/M) WITHOUT the 63-bit overflow of tot·u1: split tot
+    # into q·M + r — exact: q·u1 + floor(r·u1/M)
+    with_t = laddered.join(totals, group_cols).withColumn(
+        "_u1", u1
+    ).withColumn(
+        "_target",
+        F.expr(
+            f"(_tot div {_POLY_MOD}) * _u1"
+            f" + ((_tot % {_POLY_MOD}) * _u1) div {_POLY_MOD}"
+        ),
+    )
+    chosen = (
+        with_t.filter(F.col("_cum") > F.col("_target"))
+        .groupBy(*group_cols)
+        .agg(F.min(F.struct("_gap", "_left", "_right", "_n")).alias("_c"))
+        .select(*g, F.col("_c._gap").alias("_gap"),
+                F.col("_c._left").alias("_left"),
+                F.col("_c._right").alias("_right"),
+                F.col("_c._n").alias("n"))
+    )
+    released = chosen.withColumn("_u2", u2).select(
+        *g, "n",
+        (F.col("_left")
+         + F.expr(f"(_u2 * (_right - _left)) div {_POLY_MOD}"))
+        .cast("bigint").alias("released"),
+    )
+    return released
