@@ -117,6 +117,8 @@ def build_kg(
     mention_vocab: list | None = None,
     mention_case_insensitive: bool = True,
     catalog: DataFrame | None = None,
+    relation_patterns: tuple | None = None,
+    relation_min_support: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Returns (triples, metrics).
 
@@ -240,6 +242,36 @@ def build_kg(
         t_spancount,
     ):
         triples = triples.unionByName(part)
+
+    if relation_patterns is not None:
+        # optional surface-pattern relation mining (kg/relations.py):
+        # corpus-supported (subj, pred, obj) candidates promoted into the
+        # graph under the kg rel/ namespace — one extra map-only scan of
+        # the text spans plus one combinable support aggregation
+        from kgforge.kg.relations import (
+            extract_relation_candidates,
+            relation_support,
+            relations_to_triples,
+        )
+
+        text_spans = spans.filter(F.col("kind") == "text").select(
+            "doc_id", "text")
+        sup = relation_support(
+            extract_relation_candidates(
+                text_spans, "doc_id", "text", patterns=relation_patterns))
+        t_rel = relations_to_triples(
+            sup, min_support=relation_min_support, namespace=KG + "rel/"
+        ).select(
+            F.col("subject").alias("subj"),
+            F.col("predicate").alias("pred"),
+            F.col("object").alias("obj_value"),
+            F.lit("iri").alias("obj_dtype"),
+            F.lit(True).alias("obj_is_iri"),
+        )
+        triples = triples.unionByName(t_rel)
+        if collect_metrics:
+            metrics["n_relation_triples"] = t_rel.count()
+
     metrics["n_triples"] = None  # filled by the caller's action (avoid extra job)
     return triples, metrics
 
