@@ -12148,6 +12148,24 @@ def _dp_median_acctbal(spark, sf_dir):
                        epsilon=1.0)
 
 
+_FD_PAIRS = [
+    ("c_custkey", "c_name"),
+    ("c_name", "c_custkey"),
+    ("c_nationkey", "c_mktsegment"),
+    ("c_mktsegment", "c_nationkey"),
+]
+
+
+def _fd_profile(spark, sf_dir):
+    """Functional-dependency discovery (datapipe/profile.py:fd_discovery,
+    TANE/FDep pairwise core + g3 violation cost) over customer column
+    pairs — the key FDs hold exactly, the categorical pairs report their
+    exact minimum-deletion repair size.  One scan for all pairs."""
+    from kgforge.datapipe.profile import fd_discovery
+
+    return fd_discovery(_read(spark, sf_dir, "customer"), _FD_PAIRS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12451,6 +12469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_change": _heavy_change,
         "trending_events": _trending_events,
         "dp_median": _dp_median_acctbal,
+        "fd_profile": _fd_profile,
     }
 
 
@@ -13735,6 +13754,40 @@ ch AS (
 SELECT g, n,
        CAST(l + (({u2}) * (r - l)) // {m} AS BIGINT) AS released
 FROM ch
+"""
+
+
+def _fd_profile_oracle() -> str:
+    legs = "\n  UNION ALL ".join(
+        f"SELECT '{a}' AS lhs, '{b}' AS rhs,"
+        f" coalesce(CAST({a} AS VARCHAR), chr(0) || 'null' || chr(0)) AS lv,"
+        f" coalesce(CAST({b} AS VARCHAR), chr(0) || 'null' || chr(0)) AS rv"
+        f" FROM customer"
+        for a, b in _FD_PAIRS
+    )
+    return f"""
+WITH melted AS (
+  {legs}
+),
+cells AS (
+  SELECT lhs, rhs, lv, rv, CAST(count(*) AS BIGINT) AS cnt
+  FROM melted GROUP BY lhs, rhs, lv, rv
+),
+grp AS (
+  SELECT lhs, rhs, lv,
+         CAST(sum(cnt) AS BIGINT) AS rows_,
+         CAST(max(cnt) AS BIGINT) AS keep,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM cells GROUP BY lhs, rhs, lv
+)
+SELECT lhs, rhs,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(rows_ - keep) AS BIGINT) AS g3_rows,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS exact
+FROM grp GROUP BY lhs, rhs
 """
 
 
@@ -15318,6 +15371,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_change": _heavy_change_oracle(),
         "trending_events": _trending_events_oracle(),
         "dp_median": _dp_median_oracle(),
+        "fd_profile": _fd_profile_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -648,3 +648,58 @@ def gini_concentration(
             ),
         ).alias("gini"),
     )
+
+
+def fd_discovery(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs (the
+    pairwise core of the TANE / FDep profiling family, Huhtala et al.
+    1999): for each LHS→RHS pair report whether the FD holds exactly and
+    its g3 violation cost (Kivinen & Mannila 1995 — the minimum number
+    of rows to delete so it holds: Σ over LHS groups of rows − the
+    majority RHS count).
+
+    ONE corpus scan for ALL pairs: each row explodes into |pairs|
+    (pair, lhs, rhs) structs (NULLs folded to a sentinel so they compare
+    as values), then two map-side-combinable aggregations.  Integer
+    outputs only.
+
+    Output: (lhs, rhs, n_rows, n_groups, n_violating_groups, g3_rows,
+    exact)."""
+    if not pairs:
+        raise ValueError("no candidate pairs")
+    sent = F.lit("\x00null\x00")
+    structs = [
+        F.struct(
+            F.lit(i).alias("pid"),
+            F.coalesce(F.col(a).cast("string"), sent).alias("lhs_v"),
+            F.coalesce(F.col(b).cast("string"), sent).alias("rhs_v"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    melted = df.select(F.explode(F.array(*structs)).alias("m")).select(
+        F.col("m.pid").alias("pid"),
+        F.col("m.lhs_v").alias("lhs_v"),
+        F.col("m.rhs_v").alias("rhs_v"),
+    )
+    cells = melted.groupBy("pid", "lhs_v", "rhs_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    groups = cells.groupBy("pid", "lhs_v").agg(
+        F.sum("cnt").cast("bigint").alias("rows"),
+        F.max("cnt").cast("bigint").alias("keep"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    agg = groups.groupBy("pid").agg(
+        F.sum("rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_violating_groups"),
+        F.sum(F.col("rows") - F.col("keep")).cast("bigint").alias("g3_rows"),
+    )
+    names = df.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pid int, lhs string, rhs string",
+    )
+    return agg.join(F.broadcast(names), "pid").select(
+        "lhs", "rhs", "n_rows", "n_groups", "n_violating_groups", "g3_rows",
+        (F.col("n_violating_groups") == 0).alias("exact"),
+    )

@@ -463,3 +463,92 @@ def stream_maintain_view(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+# --------------------------------------------------------------------------
+# streaming sketch maintenance: CMS registers are ADDITIVE, so the epoch
+# fold is pure union + re-sum — the ideal IVM state (no merge algebra, no
+# negative-count guard needed)
+# --------------------------------------------------------------------------
+
+
+def read_cms(spark: SparkSession, sketch_dir: str) -> DataFrame | None:
+    """Current committed CMS register table, or None before the first
+    epoch."""
+    import os
+
+    state = _kg_marker(sketch_dir)
+    if state["version"] < 0:
+        return None
+    return spark.read.parquet(
+        os.path.join(sketch_dir, f"v{state['version']:06d}"))
+
+
+def maintain_cms_epoch(batch_df: DataFrame, epoch_id: int, sketch_dir: str,
+                       value_col: str, depth: int = 4, width: int = 512,
+                       mults: tuple = (31, 131, 1009, 10007)) -> bool:
+    """Fold ONE microbatch into the versioned count-min register table:
+    new = (old ∪ batch registers) re-summed per (lane, slot).  Register
+    addition is exact (CMS(a ∪ b) == CMS(a) + CMS(b) cell-wise), so the
+    streamed sketch equals the batch sketch BIT-FOR-BIT — tested.  Same
+    exactly-once contract as the other epoch folds (epoch-marker skip,
+    _SUCCESS re-commit, atomic marker swap)."""
+    import json
+    import os
+
+    from kgforge.datapipe.sketch import cms_build
+
+    state = _kg_marker(sketch_dir)
+    if state["epoch"] >= epoch_id:
+        return False
+    os.makedirs(sketch_dir, exist_ok=True)
+    version = state["version"]
+    if not batch_df.isEmpty():
+        spark = batch_df.sparkSession
+        out = os.path.join(sketch_dir, f"v{int(epoch_id):06d}")
+        if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+            regs = cms_build(batch_df, value_col, depth=depth,
+                             width=width, mults=mults)
+            if version >= 0:
+                old = spark.read.parquet(
+                    os.path.join(sketch_dir, f"v{version:06d}"))
+                regs = (
+                    old.unionByName(regs)
+                    .groupBy("lane", "slot")
+                    .agg(F.sum("c").cast("bigint").alias("c"))
+                )
+            regs.write.mode("overwrite").parquet(out)
+        version = int(epoch_id)
+    tmp = os.path.join(sketch_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": int(epoch_id), "version": version}, f)
+    os.replace(tmp, os.path.join(sketch_dir, "_LATEST"))
+    return True
+
+
+def stream_cms(spark: SparkSession, src_dir: str, sketch_dir: str,
+               checkpoint_dir: str, schema, value_col: str,
+               depth: int = 4, width: int = 512,
+               mults: tuple = (31, 131, 1009, 10007),
+               max_files_per_trigger: int = 1):
+    """Maintain a count-min frequency sketch over a file stream: each
+    microbatch's registers add into the committed table — the streaming
+    twin of ``datapipe/sketch.py:cms_build`` (heavy hitters / heavy
+    change read the SAME artifact, so the batch operators work on the
+    streamed state unchanged)."""
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        maintain_cms_epoch(batch_df, int(epoch_id), sketch_dir, value_col,
+                           depth=depth, width=width, mults=mults)
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
