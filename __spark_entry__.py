@@ -12166,6 +12166,17 @@ def _fd_profile(spark, sf_dir):
     return fd_discovery(_read(spark, sf_dir, "customer"), _FD_PAIRS)
 
 
+def _kg_pmi(spark, sf_dir):
+    """Entity relatedness via co-mention PMI (kg/relatedness.py) over the
+    demo-vocabulary mention stream — the weight table collective linking
+    (entity_disambig) consumes; one ln per pair frozen to micro-units,
+    all counts exact distinct-doc integers."""
+    from kgforge.kg.relatedness import comention_pmi
+
+    return comention_pmi(_doc_mentions(spark, sf_dir), "doc_id", "surface",
+                         min_pairs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12470,6 +12481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_events": _trending_events,
         "dp_median": _dp_median_acctbal,
         "fd_profile": _fd_profile,
+        "kg_pmi": _kg_pmi,
     }
 
 
@@ -13788,6 +13800,27 @@ SELECT lhs, rhs,
        CAST(sum(rows_ - keep) AS BIGINT) AS g3_rows,
        sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS exact
 FROM grp GROUP BY lhs, rhs
+"""
+
+
+def _kg_pmi_oracle() -> str:
+    return f"""
+WITH {_doc_mentions_cte()},
+dm AS (SELECT DISTINCT doc_id AS doc, surface AS ent FROM mentions),
+nd AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM dm),
+ce AS (SELECT ent, CAST(count(*) AS BIGINT) AS c FROM dm GROUP BY ent),
+pairs AS (
+  SELECT l.ent AS a, r.ent AS b, CAST(count(*) AS BIGINT) AS c_ab
+  FROM dm l JOIN dm r ON l.doc = r.doc AND l.ent < r.ent
+  GROUP BY l.ent, r.ent HAVING count(*) >= 2
+)
+SELECT a, b, ca.c AS c_a, cb.c AS c_b, c_ab,
+       CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE)
+                     / CAST(ca.c * cb.c AS DOUBLE)) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM pairs
+JOIN ce ca ON pairs.a = ca.ent
+JOIN ce cb ON pairs.b = cb.ent, nd
 """
 
 
@@ -15372,6 +15405,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_events": _trending_events_oracle(),
         "dp_median": _dp_median_oracle(),
         "fd_profile": _fd_profile_oracle(),
+        "kg_pmi": _kg_pmi_oracle(),
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.
