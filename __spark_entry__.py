@@ -12177,6 +12177,19 @@ def _kg_pmi(spark, sf_dir):
                          min_pairs=2)
 
 
+def _doc_containment(spark, sf_dir):
+    """Asymmetric containment join (datapipe/setsim.py:containment_join,
+    Broder's containment vs resemblance): full token-SET containment
+    (t=1.0) over every 5th doc — the 30-word synthetic vocabulary makes
+    subset documents naturally common, so the result is non-vacuous
+    without injection.  The oracle is an INDEPENDENT brute-force pair
+    join, not a mirror of the prefix filter."""
+    from kgforge.datapipe.setsim import containment_join
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return containment_join(docs, "doc_id", "text", 1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12482,6 +12495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_median": _dp_median_acctbal,
         "fd_profile": _fd_profile,
         "kg_pmi": _kg_pmi,
+        "doc_containment": _doc_containment,
     }
 
 
@@ -13821,6 +13835,26 @@ SELECT a, b, ca.c AS c_a, cb.c AS c_b, c_ab,
 FROM pairs
 JOIN ce ca ON pairs.a = ca.ent
 JOIN ce cb ON pairs.b = cb.ent, nd
+"""
+
+
+_DOC_CONTAINMENT_ORACLE = """
+WITH dcont AS (
+  SELECT doc_id AS id,
+         list_filter(list_distinct(string_split(lower(trim(text)), ' ')),
+                     x -> x <> '') AS s
+  FROM documents WHERE doc_id % 5 = 0
+),
+nz AS (SELECT id, s, len(s) AS n FROM dcont WHERE len(s) > 0),
+pairs AS (
+  SELECT a.id AS a, b.id AS b, a.n AS n_a,
+         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS BIGINT)
+           AS inter
+  FROM nz a JOIN nz b ON a.id <> b.id
+)
+SELECT a, b, CAST(n_a AS BIGINT) AS n_a, inter,
+       CAST((inter * 1000000) // n_a AS BIGINT) AS containment_ppm
+FROM pairs WHERE inter >= n_a
 """
 
 
@@ -15406,6 +15440,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_median": _dp_median_oracle(),
         "fd_profile": _fd_profile_oracle(),
         "kg_pmi": _kg_pmi_oracle(),
+        "doc_containment": _DOC_CONTAINMENT_ORACLE,
         # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
         # python-synthesized with splitmix64) — the driver records the weaker
         # rows-only check for it; kg_triples value-checks the same DAG.

@@ -101,3 +101,86 @@ def set_similarity_join(
             F.col("inter").cast("double") / F.col("union_n").cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Asymmetric containment join: ``(a, b, n_a, inter,
+    containment_ppm)`` for every ordered pair a ≠ b with
+    |A ∩ B| / |A| ≥ threshold over whitespace-token SETS — the
+    subset-document detector (near-complete containment catches quotes,
+    excerpts, and supersets that symmetric Jaccard misses; Broder 1997
+    distinguishes exactly this *containment* from *resemblance*).
+
+    Prefix filter, asymmetric form: a qualifying pair has intersection ≥
+    ceil(t·|A|), which cannot fit entirely in A's suffix of length
+    |A| − ceil(t·|A|), so A must share one of its first
+    |A| − ceil(t·|A|) + 1 rarest tokens with B — only the CONTAINED side
+    is prefix-pruned; the containing side indexes every token (it has no
+    size bound).  Candidates verify with an exact counting join;
+    containment is reported as the exact integer ``inter·10⁶ div n_a``.
+
+    Scale shape: same ladder as :func:`set_similarity_join` — frequency
+    aggregate, bounded per-doc window, equi-join rare-prefix × full
+    index, verify on candidates only."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold)).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.trim(F.col(text_col))), " ")
+                )
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=True)
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("id").orderBy(F.col("_f"), F.col("tok"))
+    ranked = (
+        toks.join(freq, "tok")
+        .join(sizes, "id")
+        .withColumn("_r", F.row_number().over(w))
+    )
+    # ceil(t·n) = (n·tn + td − 1) div td — exact on the decimal reading
+    prefix_a = ranked.filter(
+        F.col("_r") <= F.col("n") - F.expr(f"(n * {tn} + {td} - 1) div {td}") + 1
+    ).select(F.col("id").alias("a"), "tok", F.col("n").alias("n_a"))
+    index_b = toks.select(F.col("id").alias("b"), "tok")
+    cand = (
+        prefix_a.join(index_b, "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "n_a")
+        .distinct()
+    )
+    pair_tokens = (
+        toks.select(F.col("id").alias("a"), "tok")
+        .join(toks.select(F.col("id").alias("b"), "tok"), "tok")
+    )
+    inter = (
+        cand.join(pair_tokens, ["a", "b"], "left_semi")
+        .join(
+            pair_tokens.groupBy("a", "b").agg(
+                F.count(F.lit(1)).cast("bigint").alias("inter")),
+            ["a", "b"],
+        )
+    )
+    return (
+        inter.filter(F.col("inter") * td >= F.col("n_a") * tn)
+        .select(
+            "a", "b", F.col("n_a").cast("bigint").alias("n_a"), "inter",
+            F.expr("(inter * 1000000) div n_a").cast("bigint")
+            .alias("containment_ppm"),
+        )
+    )
