@@ -2208,26 +2208,49 @@ def _doc_mentions(spark, sf_dir):
     )
 
 
-def _doc_mentions_cte(vocab: list | None = None, d_cte: str | None = None) -> str:
-    """Shared CTE body: (doc_id, surface, start) mention tuples in DuckDB.
+_RE_METACHARS = ".()[]{}|^$*+?\\"
+
+
+def _re_escape(s: str) -> str:
+    """RE2-side mirror of the re.escape the pipeline applies to vocab
+    surfaces (mentions.py:_alternation) — 'A. Muller' must match a literal
+    dot, not any char."""
+    return "".join("\\" + c if c in _RE_METACHARS else c for c in s)
+
+
+def _doc_mentions_cte(vocab: list | None = None, d_cte: str | None = None,
+                      span_scope: bool = False, ci: bool = False) -> str:
+    """Shared CTE body: (doc_id[, span_idx], surface, start) mention tuples
+    in DuckDB.
 
     ``vocab`` overrides the demo mention vocabulary and ``d_cte`` the corpus
     projection (``SELECT doc_id, <text expr> AS t FROM ...``) — the same
-    parametrization build_kg exposes via mention_vocab / custom docs."""
-    pat = "(" + "|".join(sorted(vocab or _MENTION_VOCAB, key=len, reverse=True)) + ")"
+    parametrization build_kg exposes via mention_vocab / custom docs.
+    ``span_scope=True`` threads a ``span_idx`` column through (the d_cte
+    must provide it) so multi-span interleaved docs keep per-span mention
+    identity exactly like mentions.py; ``ci=True`` prefixes (?i), matching
+    detect_mentions' case_insensitive default (RE2 and Python re both do
+    Unicode simple case folding)."""
+    pat = "(" + "|".join(
+        _re_escape(s)
+        for s in sorted(vocab or _MENTION_VOCAB, key=len, reverse=True)
+    ) + ")"
+    if ci:
+        pat = "(?i)" + pat
     d_cte = d_cte or "SELECT doc_id, lower(text) AS t FROM documents"
+    sidx = ", span_idx" if span_scope else ""
     return f"""
 d AS (
   {d_cte}
 ), m AS (
-  SELECT doc_id,
+  SELECT doc_id{sidx},
          regexp_extract_all(t, '{pat}') AS ms,
          string_split_regex(t, '{pat}') AS segs
   FROM d
 ), mentions AS (
-  SELECT doc_id, r['surface'] AS surface, CAST(r['start'] AS BIGINT) AS start
+  SELECT doc_id{sidx}, r['surface'] AS surface, CAST(r['start'] AS BIGINT) AS start
   FROM (
-    SELECT doc_id, unnest(list_transform(generate_series(1, len(ms)), i -> {{
+    SELECT doc_id{sidx}, unnest(list_transform(generate_series(1, len(ms)), i -> {{
       'surface': ms[i],
       'start': list_reduce(list_prepend(0, list_transform(segs[1:i], s -> length(s))), (a, b) -> a + b)
              + list_reduce(list_prepend(0, list_transform(ms[1:i-1], s -> length(s))), (a, b) -> a + b)
@@ -6588,7 +6611,11 @@ SELECT s.doc_id, (p.g * s.rk) // p.n AS bucket FROM s, p
 def _kg_triples_oracle(catalog: list | None = None, vocab: list | None = None,
                        d_cte: str | None = None,
                        span_count_expr: str = "'1'",
-                       extra_legs: str = "") -> str:
+                       extra_legs: str = "",
+                       span_scope: bool = False,
+                       ci: bool = False,
+                       lower_norm: bool = False,
+                       span_count_from: str | None = None) -> str:
     """DuckDB mirror of the full build_kg DAG over the flat-span projection:
     the mention CTE (shared with doc_mentions), trigram-Jaccard link scoring
     with the max-struct tie order, char-3-shingle all-pairs canonicalization
@@ -6597,15 +6624,25 @@ def _kg_triples_oracle(catalog: list | None = None, vocab: list | None = None,
     canonicalName / surfaceForm / nearDuplicateOf / spanCount).
 
     ``catalog``/``vocab``/``d_cte`` mirror build_kg's domain parametrization
-    (see _kg_triples_geo for a second, data-derived domain)."""
+    (see _kg_triples_geo for a second, data-derived domain).  The interleaved
+    variant adds: ``span_scope`` (per-span mention identity through the
+    best-pick, like linking.py's groupBy(doc_id, span_idx, start)), ``ci``
+    (case-insensitive matching with original-case surfaces, the
+    detect_mentions default), ``lower_norm`` (normalize surfaces with
+    lower() at the catalog join and in every shingle set, mirroring
+    linking.py norm/lower and _py_shingles), and ``span_count_from``
+    (a doc-id spine that covers zero-text-span docs — pipeline.py joins
+    span counts back to the full docs table, so media-only docs still emit
+    spanCount)."""
     tri = (
         "list_distinct(list_transform("
         "generate_series(1, greatest(length({p}) - 2, 1)),"
         " i -> substr({p}, i, 3)))"
     )
-    ta = tri.format(p="'^' || surface || '$'")
+    surf_expr = "lower(surface)" if lower_norm else "surface"
+    ta = tri.format(p=f"'^' || {surf_expr} || '$'")
     tb = tri.format(p="'^' || lower(canonical) || '$'")
-    ts = tri.format(p="'^' || surface || '$'")
+    ts = tri.format(p=f"'^' || {surf_expr} || '$'")
     values = ", ".join(
         f"('{n}', '{e}', '{c}', '{t}')" for n, e, c, t in (catalog or _KG_CATALOG)
     )
@@ -6613,25 +6650,28 @@ def _kg_triples_oracle(catalog: list | None = None, vocab: list | None = None,
     ent = "http://kgforge.dev/entity/"
     doc = "http://kgforge.dev/doc/"
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sidx = ", span_idx" if span_scope else ""
+    norm_expr = "lower(m.surface)" if lower_norm else "m.surface"
+    span_count_from = span_count_from or "(SELECT DISTINCT doc_id FROM d)"
     return f"""
-WITH RECURSIVE {_doc_mentions_cte(vocab, d_cte)},
+WITH RECURSIVE {_doc_mentions_cte(vocab, d_cte, span_scope=span_scope, ci=ci)},
 cands(norm, eid, canonical, etype) AS (VALUES {values}),
 joined AS (
-  SELECT m.doc_id, m.start, m.surface, c.eid, c.canonical, c.etype
-  FROM mentions m JOIN cands c ON c.norm = m.surface
+  SELECT m.doc_id{sidx}, m.start, m.surface, c.eid, c.canonical, c.etype
+  FROM mentions m JOIN cands c ON c.norm = {norm_expr}
 ), tri AS (
-  SELECT doc_id, start, surface, eid, canonical, etype,
+  SELECT doc_id{sidx}, start, surface, eid, canonical, etype,
          {ta} AS ta, {tb} AS tb
   FROM joined
 ), scored AS (
-  SELECT doc_id, start, surface, eid, canonical, etype,
+  SELECT doc_id{sidx}, start, surface, eid, canonical, etype,
          len(list_intersect(ta, tb)) * 1.0
            / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS score
   FROM tri
 ), best AS (
   SELECT * FROM (
-    SELECT doc_id, start, surface, eid, canonical, etype,
-           row_number() OVER (PARTITION BY doc_id, start
+    SELECT doc_id{sidx}, start, surface, eid, canonical, etype,
+           row_number() OVER (PARTITION BY doc_id{sidx}, start
                               ORDER BY score DESC, eid DESC, etype DESC,
                                        canonical DESC, surface DESC) AS rn
     FROM scored
@@ -6682,17 +6722,89 @@ FROM canon WHERE canon <> surface
 UNION ALL
 SELECT '{doc}' || CAST(doc_id AS VARCHAR), '{kg}spanCount', {span_count_expr},
        'xsd:long', FALSE
-FROM (SELECT DISTINCT doc_id FROM d)
+FROM {span_count_from}
 {extra_legs}
 """
 
 
+def _interleaved_docs_path(sf_dir: str) -> str:
+    """Deterministic on-disk home for the synthesized interleaved span table
+    (one per scale factor) — Spark writes it once, DuckDB reads the SAME
+    parquet, which is what upgrades this query from the driver's rows-only
+    check to a full value oracle (round-3 verdict item 3)."""
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/kgforge_interleaved_docs_{base}"
+
+
 def _kg_triples_interleaved(spark, sf_dir):
+    """The python-synthesized interleaved text+media flagship, value-checked:
+    docs_from_testdata's span table is persisted to parquet (idempotent,
+    deterministic content) and build_kg runs over the re-read file; the
+    DuckDB oracle replays the full DAG — (?i) mention alternation over
+    original-case span text with per-span identity, lower()-normalized
+    catalog join and shingles, media triples per media span, and the
+    full-doc-spine spanCount — against the same parquet."""
     from kgforge.kg.pipeline import build_kg, docs_from_testdata
 
-    docs = docs_from_testdata(spark, sf_dir)
+    path = _interleaved_docs_path(sf_dir)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        docs_from_testdata(spark, sf_dir).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
     triples, _ = build_kg(docs)
     return triples
+
+
+def _interleaved_spans_sql(path: str) -> str:
+    """(doc_id, span_idx, kind, text, media_ref) — DuckDB unnest of the
+    persisted span table with 0-based span index (posexplode twin)."""
+    return (
+        "SELECT doc_id, CAST(r['i'] AS INT) - 1 AS span_idx,"
+        " r['k'] AS kind, r['t'] AS text, r['m'] AS media_ref"
+        " FROM (SELECT doc_id,"
+        " unnest(list_transform(generate_series(1, len(spans)), i ->"
+        " {'i': i, 'k': spans[i]['kind'], 't': spans[i]['text'],"
+        " 'm': spans[i]['media_ref']})) AS r"
+        f" FROM read_parquet('{path}/*.parquet'))"
+    )
+
+
+def _kg_triples_interleaved_oracle() -> str:
+    from kgforge.kg.vocab import ALL_SURFACES, ENTITIES
+
+    sfd = os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = _interleaved_docs_path(sfd)
+    spans_sql = _interleaved_spans_sql(path)
+    catalog = [
+        (v.lower(), e.eid, e.canonical, e.etype)
+        for e in ENTITIES
+        for v in e.variants
+    ]
+    kg = "http://kgforge.dev/ns/"
+    doc = "http://kgforge.dev/doc/"
+    extra = f"""
+UNION ALL
+SELECT '{doc}' || doc_id, '{kg}hasMedia', media_ref, 'iri', TRUE
+FROM ({spans_sql}) WHERE kind <> 'text'
+UNION ALL
+SELECT media_ref, '{kg}mediaKind', kind, 'string', FALSE
+FROM ({spans_sql}) WHERE kind <> 'text'"""
+    return _kg_triples_oracle(
+        catalog=catalog,
+        vocab=list(ALL_SURFACES),
+        d_cte=(
+            f"SELECT doc_id, span_idx, text AS t FROM ({spans_sql})"
+            " WHERE kind = 'text'"
+        ),
+        span_count_expr="CAST(_n AS VARCHAR)",
+        span_count_from=(
+            f"(SELECT doc_id, len(spans) AS _n"
+            f" FROM read_parquet('{path}/*.parquet'))"
+        ),
+        extra_legs=extra,
+        span_scope=True,
+        ci=True,
+        lower_norm=True,
+    )
 
 
 def _kg_triples_mixed(spark, sf_dir):
@@ -13753,8 +13865,9 @@ gaps AS (
 ),
 wg AS (
   SELECT gaps.g, gap, l, r, n,
-         (r - l) * CAST(round(exp(-0.5 * abs(gap - (n // 2))) * 1000000)
-                        AS BIGINT) AS w
+         (r - l) * greatest(
+             CAST(round(exp(-0.5 * abs(gap - (n // 2))) * 1000000)
+                  AS BIGINT), CAST(1 AS BIGINT)) AS w
   FROM gaps JOIN np ON gaps.g = np.g
 ),
 lad AS (
@@ -15441,7 +15554,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_profile": _fd_profile_oracle(),
         "kg_pmi": _kg_pmi_oracle(),
         "doc_containment": _DOC_CONTAINMENT_ORACLE,
-        # kg_triples_interleaved: not ANSI-SQL-expressible (spans are
-        # python-synthesized with splitmix64) — the driver records the weaker
-        # rows-only check for it; kg_triples value-checks the same DAG.
+        # kg_triples_interleaved: the python-synthesized span table is
+        # persisted to parquet by the query itself; the oracle replays the
+        # full build_kg DAG in DuckDB against the SAME file — zero
+        # rows-only entries remain in the registry.
+        "kg_triples_interleaved": _kg_triples_interleaved_oracle(),
     }

@@ -596,8 +596,17 @@ def dp_quantile(
 
     m = F.expr("_n div 2")
     dist = F.abs(F.col("_gap") - m)
-    wf = F.round(F.exp(dist.cast("double") * F.lit(-float(epsilon) / 2.0))
-                 * 1_000_000).cast("bigint")
+    # clamp the frozen exp factor to >= 1 micro-unit: for a low-variance
+    # column every far-from-median gap can round to 0, which would zero
+    # _tot and make the group vanish from the release instead of
+    # returning a value — the clamp keeps every non-empty group alive
+    # (the [v_n, hi) gap always has nonzero width since lo < hi) at a
+    # utility distortion below 1e-6 of the weight scale
+    wf = F.greatest(
+        F.round(F.exp(dist.cast("double") * F.lit(-float(epsilon) / 2.0))
+                * 1_000_000).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
     weighted = gaps.select(
         *g, "_gap", "_left", "_right", "_n",
         ((F.col("_right") - F.col("_left")) * wf).alias("_w"),

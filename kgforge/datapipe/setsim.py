@@ -164,17 +164,14 @@ def containment_join(
         .select("a", "b", "n_a")
         .distinct()
     )
-    pair_tokens = (
-        toks.select(F.col("id").alias("a"), "tok")
-        .join(toks.select(F.col("id").alias("b"), "tok"), "tok")
-    )
+    # verify on candidates only (same ladder as set_similarity_join):
+    # expand each candidate pair by a's tokens, keep those b also has —
+    # the counting join never touches a non-candidate pair
     inter = (
-        cand.join(pair_tokens, ["a", "b"], "left_semi")
-        .join(
-            pair_tokens.groupBy("a", "b").agg(
-                F.count(F.lit(1)).cast("bigint").alias("inter")),
-            ["a", "b"],
-        )
+        cand.join(toks.select(F.col("id").alias("a"), "tok"), "a")
+        .join(toks.select(F.col("id").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b", "n_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
     return (
         inter.filter(F.col("inter") * td >= F.col("n_a") * tn)

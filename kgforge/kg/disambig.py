@@ -57,9 +57,17 @@ def coherence_disambiguate(
     )
     cands = mdist.join(F.broadcast(amb), "surface")
 
-    sym = kb_edges.select("a", "b", "w").unionByName(
-        kb_edges.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    # symmetrize then dedup: if the caller's table already stores both
+    # orientations (common for undirected relatedness exports, e.g.
+    # symmetrized comention_pmi output) or has duplicate rows, the naive
+    # union would double every coherence score and could flip ties —
+    # keep one weight per ordered pair (max, deterministic)
+    sym = (
+        kb_edges.select("a", "b", "w")
+        .unionByName(kb_edges.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
     )
     scored = (
         cands.join(context, "doc_id")

@@ -377,12 +377,26 @@ def partition_quality(
             F.max("n").cast("bigint").alias("max_part"),
         )
     )
+    # empty-graph guard: n_edges = 0 makes every other aggregate NULL and
+    # the div expressions NULL (or an error under ANSI mode) — emit an
+    # explicit zeroed row instead, consistent with the module's k < 2
+    # validation style
     return ecut.crossJoin(sizes).select(
         F.lit(k).cast("bigint").alias("k"),
-        "n_nodes", "n_edges", "cut_edges",
-        F.expr("(cut_edges * 1000000) div n_edges").cast("bigint")
-        .alias("cut_ppm"),
-        "min_part", "max_part",
-        F.expr(f"(max_part * {k} * 1000000) div n_nodes").cast("bigint")
-        .alias("balance_ppm"),
+        F.coalesce(F.col("n_nodes"), F.lit(0)).cast("bigint").alias("n_nodes"),
+        "n_edges",
+        F.coalesce(F.col("cut_edges"), F.lit(0)).cast("bigint")
+        .alias("cut_edges"),
+        F.expr(
+            "CASE WHEN n_edges > 0 THEN (cut_edges * 1000000) div n_edges "
+            "ELSE 0 END"
+        ).cast("bigint").alias("cut_ppm"),
+        F.coalesce(F.col("min_part"), F.lit(0)).cast("bigint")
+        .alias("min_part"),
+        F.coalesce(F.col("max_part"), F.lit(0)).cast("bigint")
+        .alias("max_part"),
+        F.expr(
+            f"CASE WHEN coalesce(n_nodes, 0) > 0 "
+            f"THEN (max_part * {k} * 1000000) div n_nodes ELSE 0 END"
+        ).cast("bigint").alias("balance_ppm"),
     )

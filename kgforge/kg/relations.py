@@ -91,9 +91,12 @@ def extract_relation_candidates(
         proj.append(
             F.expr(f"regexp_extract_all({text_col}, '{pat}', 2)").alias(f"_o{i}")
         )
-        # sequence(1, 0) DESCENDS in Spark — guard the empty case
+        # sequence(1, 0) DESCENDS in Spark — guard the empty case; the
+        # NULL arm is explicit because under spark.sql.legacy.sizeOfNull
+        # size(NULL) = -1 would fall to the ELSE branch and
+        # sequence(1, -1) would emit junk descending rows
         legs.append(
-            f"CASE WHEN size(_s{i}) = 0 THEN "
+            f"CASE WHEN _s{i} IS NULL OR size(_s{i}) = 0 THEN "
             f"array() "
             f"ELSE transform(sequence(1, size(_s{i})), "
             f"n -> struct('{pred}' AS pred, _s{i}[n-1] AS subj, _o{i}[n-1] AS obj)) END"
