@@ -244,18 +244,27 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
     if lo in secs and hi in secs:
         ratio = hi / lo
         eff = secs[lo] / (ratio * secs[hi])
-        # probe-gated bounded retake of the two outer legs on a bad number
-        if not 0.8 <= eff <= 1.15:
+        # probe-gated bounded retake of the two outer legs on a bad number:
+        # a throttled window fakes both sub-target and super-linear
+        # readings, and the throttle BURSTS last minutes — so a dirty probe
+        # means sleep-and-reprobe (bounded), not retake-into-the-same-burst
+        # and not give-up (the r04 shakedown run lost a witness to exactly
+        # one dirty probe)
+        attempts = 0
+        est = (leg_estimates.get(lo, 60.0) + leg_estimates.get(hi, 30.0)) * 1.3
+        while not 0.8 <= eff <= 1.15 and attempts < 3 and budget.fits(est + 60):
+            attempts += 1
             probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
-            out["probe_before_retake"] = probe
-            est = (leg_estimates.get(lo, 60.0) + leg_estimates.get(hi, 30.0)) * 1.3
-            if 0.72 <= probe <= 1.15 and budget.fits(est):
-                for c in (lo, hi):
-                    dt, _ = leg(c)
-                    secs[c] = round(min(secs[c], dt), 3)
-                out["seconds"] = {str(c): secs[c] for c in secs}
-                out["retaken"] = True
-                eff = secs[lo] / (ratio * secs[hi])
+            out.setdefault("probe_history", []).append(probe)
+            if not 0.72 <= probe <= 1.15:
+                time.sleep(45)
+                continue
+            for c in (lo, hi):
+                dt, _ = leg(c)
+                secs[c] = round(min(secs[c], dt), 3)
+            out["seconds"] = {str(c): secs[c] for c in secs}
+            out["retaken"] = out.get("retaken", 0) + 1
+            eff = secs[lo] / (ratio * secs[hi])
         out["efficiency"] = round(eff, 4)
         if len(secs) >= 3:
             f, w = _fit_f_w(sorted(secs.items()))

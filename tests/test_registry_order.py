@@ -1,0 +1,97 @@
+"""Registry-order pin: the driver's correctness gate samples the FIRST 50
+``queries()`` entries, so the flagship-first ordering is load-bearing — an
+innocent insertion anywhere above the fold would silently rotate a flagship
+out of the sampled window (round-3 verdict item 7).  New queries go AFTER
+these fifty."""
+
+import __spark_entry__ as entrymod
+
+# The pinned driver-sampled window: reference-parity anonymization surface
+# first, then the KG-construction flagships, graph analytics, SPARQL, and
+# RDF serialization/reasoning layers.
+FIRST_50 = [
+    "mask_names",
+    "generalize_acctbal",
+    "generalize_acctbal_bounds",
+    "generalize_orderdate",
+    "kanon_min_group",
+    "kanon_randomized",
+    "kg_triples",
+    "kg_triples_interleaved",
+    "kg_triples_geo",
+    "doc_mentions",
+    "doc_links",
+    "kg_cooccurrence",
+    "kg_components",
+    "kg_pagerank",
+    "kg_ppr",
+    "kg_triangles",
+    "kg_nodesim",
+    "kg_linkpred",
+    "kg_truss",
+    "kg_ecc",
+    "kg_assort",
+    "kg_betweenness",
+    "kg_scc",
+    "kg_clustering",
+    "kg_wl",
+    "kg_featprop",
+    "kg_communities",
+    "kg_kcore",
+    "kg_hits",
+    "kg_walks",
+    "kg_walks_biased",
+    "kg_void",
+    "kg_closeness",
+    "kg_diff",
+    "kg_mis",
+    "kg_anon_mention_counts",
+    "sparql_balances",
+    "sparql_kg",
+    "sparql_agg",
+    "sparql_construct_kg",
+    "sparql_path",
+    "sparql_negation",
+    "sparql_describe",
+    "ntriples_out",
+    "ntriples_roundtrip",
+    "turtle_out",
+    "turtle_roundtrip",
+    "rdfs_entailed",
+    "owl_entailed",
+    "shacl_report",
+]
+
+
+def test_first_50_pinned():
+    names = list(entrymod.queries())
+    assert names[:50] == FIRST_50, (
+        "the first 50 queries() entries are the driver's sampled window — "
+        "insert new queries AFTER them; diff: "
+        + str(
+            [
+                (i, got, want)
+                for i, (got, want) in enumerate(zip(names[:50], FIRST_50))
+                if got != want
+            ]
+        )
+    )
+
+
+def test_every_sampled_query_has_an_oracle():
+    """Everything in the sampled window must be value-checked — zero
+    rows-only rows in CORRECTNESS (round-4 goal)."""
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in FIRST_50 if n not in oracles]
+    assert missing == [], f"sampled queries without a value oracle: {missing}"
+
+
+def test_registry_no_silent_loss():
+    """queries() and oracle_sql() are built as dict literals — a duplicated
+    key would silently shadow an earlier query (hit twice in round 3).
+    The sizes can only grow; names referenced by oracles must exist."""
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 289
+    unknown = sorted(set(o) - set(q))
+    assert unknown == [], f"oracle_sql keys without a queries() entry: {unknown}"
