@@ -249,10 +249,14 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
         # readings, and the throttle BURSTS last minutes — so a dirty probe
         # means sleep-and-reprobe (bounded), not retake-into-the-same-burst
         # and not give-up (the r04 shakedown run lost a witness to exactly
-        # one dirty probe)
+        # one dirty probe).  Acceptance band is (0.8, 1.5): a mildly
+        # super-linear raw reading (slow 2c leg) documents itself via the
+        # probe history + fit and is NOT worth burning budget that a later
+        # witness needs — a second shakedown run spent two retakes chasing
+        # raw 1.16 into [., 1.15] and starved the anon witness entirely
         attempts = 0
         est = (leg_estimates.get(lo, 60.0) + leg_estimates.get(hi, 30.0)) * 1.3
-        while not 0.8 <= eff <= 1.15 and attempts < 3 and budget.fits(est + 60):
+        while (eff < 0.8 or eff > 1.5) and attempts < 2 and budget.fits(est + 60):
             attempts += 1
             probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
             out.setdefault("probe_history", []).append(probe)
