@@ -12316,6 +12316,202 @@ def _doc_containment(spark, sf_dir):
     return containment_join(docs, "doc_id", "text", 1.0)
 
 
+def _copurchase(spark, sf_dir):
+    """Item-item co-purchase recommendation (datapipe/recommend.py): parts
+    bucketed into 25 item families, baskets = orders; top-3 neighbors per
+    family by the exact integer squared-cosine ppm.  The pair join is keyed
+    by basket with fan-out bounded by items-per-basket (<=7 in lineitem) —
+    never an item-product; the oracle mirrors every count and div."""
+    from kgforge.datapipe.recommend import copurchase_topk
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 25).cast("bigint").alias("item"),
+    )
+    return copurchase_topk(li, "basket", "item", k=3, min_co=2)
+
+
+def _copurchase_oracle() -> str:
+    return """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey % 25 AS BIGINT) AS it
+  FROM lineitem
+),
+co AS (
+  SELECT a.it AS item_a, c.it AS item_b, CAST(count(*) AS BIGINT) AS co_n
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+sym AS (
+  SELECT item_a AS item, item_b AS rec, co_n FROM co
+  UNION ALL
+  SELECT item_b, item_a, co_n FROM co
+),
+sc AS (
+  SELECT s.item, s.rec, s.co_n,
+         CAST((s.co_n * s.co_n * 1000000) // (di.n * dr.n) AS BIGINT)
+           AS cos2_ppm
+  FROM sym s JOIN deg di ON di.it = s.item JOIN deg dr ON dr.it = s.rec
+)
+SELECT item, rec, co_n, cos2_ppm, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT sc.*, row_number() OVER (
+    PARTITION BY item ORDER BY cos2_ppm DESC, co_n DESC, rec) AS rank
+  FROM sc
+) WHERE rank <= 3
+"""
+
+
+def _gini_tree(spark, sf_dir):
+    """Depth-2 CART induction with exact integer Gini
+    (datapipe/classify.py:gini_tree2) over customer: features
+    (c_mktsegment, c_nationkey), label sign(c_acctbal).  The chosen splits
+    never leave DataFrames (1-row broadcasts); the oracle replays the full
+    two-level arg-min in SQL."""
+    from kgforge.datapipe.classify import gini_tree2
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.when(F.col("c_acctbal") > 0, F.lit("p")).otherwise(F.lit("n"))
+        .alias("lab"),
+    )
+    return gini_tree2(cust, ["seg", "nat"], "lab")
+
+
+def _gini_score_ctes(tag: str, src: str) -> str:
+    """Scoring pipeline for one tree node: candidates over (seg, nat) of
+    ``src`` -> arg-min (score, feat, value) in b{tag} (one row or empty)."""
+    return f"""
+m{tag} AS (
+  SELECT 'seg' AS feat, seg AS value, lab FROM {src}
+  UNION ALL SELECT 'nat', nat, lab FROM {src}
+),
+l{tag} AS (
+  SELECT feat, value, lab, CAST(count(*) AS BIGINT) AS c
+  FROM m{tag} GROUP BY 1, 2, 3
+),
+t{tag} AS (SELECT lab, CAST(count(*) AS BIGINT) AS tc FROM {src} GROUP BY 1),
+n{tag} AS (
+  SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS nt,
+         CAST(coalesce(sum(tc * tc), 0) AS BIGINT) AS sq
+  FROM t{tag}
+),
+s{tag} AS (
+  SELECT feat, value,
+         CAST(sum(c) AS BIGINT) AS nl,
+         CAST(sum(c * c) AS BIGINT) AS sl,
+         CAST(sum(c * tc) AS BIGINT) AS cr
+  FROM l{tag} JOIN t{tag} USING (lab) GROUP BY 1, 2
+),
+sc{tag} AS (
+  SELECT feat, value, nl,
+         (CASE WHEN nl > 0
+               THEN (1000000 * (nl * nl - sl)) // nl ELSE 0 END)
+         + (CASE WHEN nt - nl > 0
+                 THEN (1000000 * ((nt - nl) * (nt - nl)
+                       - (sq - 2 * cr + sl))) // (nt - nl) ELSE 0 END)
+           AS score
+  FROM s{tag}, n{tag}
+),
+b{tag} AS (
+  SELECT feat AS bf, value AS bv, CAST(score AS BIGINT) AS bs
+  FROM sc{tag} ORDER BY score, feat, value LIMIT 1
+)"""
+
+
+def _gini_leaf_sql(name: str, src: str) -> str:
+    return f"""
+SELECT '{name}' AS node, NULL AS feat, NULL AS value,
+       CAST(NULL AS BIGINT) AS score_micro,
+       (SELECT CAST(count(*) AS BIGINT) FROM {src}) AS n,
+       (SELECT lab FROM {src} GROUP BY lab
+        ORDER BY count(*) DESC, lab LIMIT 1) AS majority_cls,
+       (SELECT CAST(count(*) AS BIGINT) FROM {src} GROUP BY lab
+        ORDER BY count(*) DESC, lab LIMIT 1) AS n_majority"""
+
+
+def _gini_tree_oracle() -> str:
+    branch = (
+        "CASE WHEN bf = 'seg' THEN seg = bv"
+        " WHEN bf = 'nat' THEN nat = bv ELSE FALSE END"
+    )
+    node_row = (
+        "SELECT '{name}' AS node, bf AS feat, bv AS value,"
+        " bs AS score_micro,"
+        " (SELECT CAST(count(*) AS BIGINT) FROM {src}) AS n,"
+        " NULL AS majority_cls, CAST(NULL AS BIGINT) AS n_majority"
+        " FROM (SELECT 1) one LEFT JOIN {b} ON TRUE"
+    )
+    return f"""
+WITH src AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS VARCHAR) AS nat,
+         CASE WHEN c_acctbal > 0 THEN 'p' ELSE 'n' END AS lab
+  FROM customer
+),
+{_gini_score_ctes('0', 'src')},
+srcL AS (SELECT src.* FROM src, b0 WHERE {branch}),
+srcR AS (SELECT src.* FROM src, b0 WHERE NOT ({branch})),
+{_gini_score_ctes('L', 'srcL')},
+{_gini_score_ctes('R', 'srcR')},
+srcLL AS (SELECT srcL.* FROM srcL, bL WHERE {branch}),
+srcLR AS (SELECT srcL.* FROM srcL, bL WHERE NOT ({branch})),
+srcRL AS (SELECT srcR.* FROM srcR, bR WHERE {branch}),
+srcRR AS (SELECT srcR.* FROM srcR, bR WHERE NOT ({branch}))
+{node_row.format(name='root', src='src', b='b0')}
+UNION ALL {node_row.format(name='L', src='srcL', b='bL')}
+UNION ALL {node_row.format(name='R', src='srcR', b='bR')}
+UNION ALL {_gini_leaf_sql('LL', 'srcLL')}
+UNION ALL {_gini_leaf_sql('LR', 'srcLR')}
+UNION ALL {_gini_leaf_sql('RL', 'srcRL')}
+UNION ALL {_gini_leaf_sql('RR', 'srcRR')}
+"""
+
+
+def _woe_segments(spark, sf_dir):
+    """Weight-of-evidence / information-value feature profile
+    (datapipe/classify.py:woe_iv): c_mktsegment vs positive-balance
+    outcome, 0.5-smoothed, rounded after exact-int inputs so both engines
+    agree bit-for-bit."""
+    from kgforge.datapipe.classify import woe_iv
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") > 0, F.lit("p")).otherwise(F.lit("n"))
+        .alias("lab"),
+    )
+    return woe_iv(cust, "seg", "lab", positive="p")
+
+
+def _woe_segments_oracle() -> str:
+    return """
+WITH per AS (
+  SELECT c_mktsegment AS value,
+         CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN c_acctbal > 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_neg
+  FROM customer GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+         CAST(sum(n_neg) AS BIGINT) AS n_tot
+  FROM per
+),
+w AS (
+  SELECT value, n_pos, n_neg,
+         round(ln(CAST((2 * n_pos + 1) * n_tot AS DOUBLE)
+                  / CAST((2 * n_neg + 1) * p_tot AS DOUBLE)), 6) AS woe,
+         p_tot, n_tot
+  FROM per, tot
+)
+SELECT value, n_pos, n_neg, woe,
+       round((CAST(n_pos * n_tot - n_neg * p_tot AS DOUBLE)
+              / CAST(p_tot * n_tot AS DOUBLE)) * woe, 9) AS iv_term
+FROM w
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12623,6 +12819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_profile": _fd_profile,
         "kg_pmi": _kg_pmi,
         "doc_containment": _doc_containment,
+        "copurchase_topk": _copurchase,
+        "gini_tree": _gini_tree,
+        "woe_segments": _woe_segments,
     }
 
 
@@ -15577,4 +15776,7 @@ def oracle_sql() -> dict[str, str]:
         # full build_kg DAG in DuckDB against the SAME file — zero
         # rows-only entries remain in the registry.
         "kg_triples_interleaved": _kg_triples_interleaved_oracle(),
+        "copurchase_topk": _copurchase_oracle(),
+        "gini_tree": _gini_tree_oracle(),
+        "woe_segments": _woe_segments_oracle(),
     }

@@ -458,3 +458,236 @@ def isotonic_calibrate(
         b.join(iso, [*group_cols, "_i"])
         .select(*group_cols, "bin", "n", "pos", "p_iso")
     )
+
+
+def gini_splits(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Candidate-split scoring for categorical CART induction (Breiman et
+    al. 1984), in EXACT integer arithmetic: every (feature, value)
+    equality split of ``df`` scored by the weighted Gini impurity of its
+    two sides,
+
+        score_micro = Σ_side 10⁶·(n_s² − Σ_c n_{s,c}²) div n_s
+
+    (n_s² − Σ n_{s,c}² over classes c is n_s²·gini_s; the per-side
+    integer division is the only rounding and matches DuckDB ``//`` on
+    non-negatives).  Output: (feat, value, n_left, score_micro).
+
+    Scale shape: one melt (map-only), one (feat, value, class) count and
+    one class-total count — both map-side combinable; the candidate table
+    is bounded by the categorical vocabulary, never by row count."""
+    from pyspark.sql import functions as F
+
+    legs = [
+        df.select(
+            F.lit(c).alias("feat"),
+            F.col(c).cast("string").alias("value"),
+            F.col(label_col).cast("string").alias("cls"),
+        )
+        for c in feature_cols
+    ]
+    melted = legs[0]
+    for m in legs[1:]:
+        melted = melted.unionByName(m)
+    left = melted.groupBy("feat", "value", "cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("lc"))
+    tot = (
+        df.groupBy(F.col(label_col).cast("string").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    node = tot.agg(
+        F.sum("tc").cast("bigint").alias("n_total"),
+        F.sum(F.col("tc") * F.col("tc")).cast("bigint").alias("sq_total"),
+    )
+    per_split = (
+        left.join(F.broadcast(tot), "cls")
+        .groupBy("feat", "value")
+        .agg(
+            F.sum("lc").cast("bigint").alias("n_left"),
+            F.sum(F.col("lc") * F.col("lc")).cast("bigint").alias("sq_left"),
+            F.sum(F.col("lc") * F.col("tc")).cast("bigint").alias("cross"),
+        )
+    )
+    return per_split.crossJoin(F.broadcast(node)).select(
+        "feat", "value", "n_left",
+        (
+            F.expr(
+                "CASE WHEN n_left > 0 THEN"
+                " (1000000 * (n_left * n_left - sq_left)) div n_left"
+                " ELSE 0 END"
+            )
+            + F.expr(
+                "CASE WHEN n_total - n_left > 0 THEN"
+                " (1000000 * ((n_total - n_left) * (n_total - n_left)"
+                "   - (sq_total - 2 * cross + sq_left)))"
+                " div (n_total - n_left) ELSE 0 END"
+            )
+        ).cast("bigint").alias("score_micro"),
+    )
+
+
+def gini_tree2(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Depth-2 CART over categorical features with exact integer Gini —
+    fills the tree-model gap next to naive_bayes/knn/logistic.
+
+    Rows out, one per tree node:
+      (node, feat, value, score_micro, n, majority_cls, n_majority)
+    ``node`` ∈ {root, L, R, LL, LR, RL, RR}: root/L/R carry the chosen
+    split (arg-min score, ties by feat ASC then value ASC — fully
+    deterministic); the four depth-2 leaves carry their class decision
+    (majority count, ties by class ASC).  Degenerate branches (empty or
+    pure) emit leaves with NULL split fields at L/R.
+
+    The chosen splits stay in DataFrames (1-row broadcasts) — no
+    ``collect``; at any scale this is two candidate-scoring passes plus
+    two bounded joins."""
+    from pyspark.sql import functions as F
+
+    def best_of(splits: DataFrame) -> DataFrame:
+        return splits.agg(
+            F.min(F.struct("score_micro", "feat", "value")).alias("b")
+        ).select(
+            F.col("b.feat").alias("bfeat"),
+            F.col("b.value").alias("bvalue"),
+            F.col("b.score_micro").alias("bscore"),
+        )
+
+    def node_row(name, best, n_df):
+        return (
+            best.crossJoin(F.broadcast(n_df))
+            .select(
+                F.lit(name).alias("node"),
+                F.col("bfeat").alias("feat"),
+                F.col("bvalue").alias("value"),
+                F.col("bscore").cast("bigint").alias("score_micro"),
+                F.col("n").cast("bigint").alias("n"),
+                F.lit(None).cast("string").alias("majority_cls"),
+                F.lit(None).cast("bigint").alias("n_majority"),
+            )
+        )
+
+    def leaf_row(name, branch_df):
+        counts = branch_df.groupBy(
+            F.col(label_col).cast("string").alias("cls")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # majority class: max count, ties by class ASC — encode as a
+        # max-struct on (c, negated-order) replaced by min over (-c, cls)
+        return counts.agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("cls"))).alias("b"),
+            F.sum("c").cast("bigint").alias("n"),
+        ).select(
+            F.lit(name).alias("node"),
+            F.lit(None).cast("string").alias("feat"),
+            F.lit(None).cast("string").alias("value"),
+            F.lit(None).cast("bigint").alias("score_micro"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.col("b.cls").alias("majority_cls"),
+            (-F.col("b.nc")).cast("bigint").alias("n_majority"),
+        )
+
+    best1 = best_of(gini_splits(df, feature_cols, label_col)).persist()
+    n_root = df.agg(F.count(F.lit(1)).alias("n"))
+    out = node_row("root", best1, n_root)
+
+    def match_cond():
+        # row matches the broadcast (bfeat, bvalue) split
+        return F.coalesce(
+            *[
+                F.when(
+                    F.col("bfeat") == F.lit(c),
+                    F.col(c).cast("string") == F.col("bvalue"),
+                )
+                for c in feature_cols
+            ],
+            F.lit(False),
+        )
+
+    tagged = df.crossJoin(F.broadcast(best1))
+    for side in ("L", "R"):
+        cond = match_cond()
+        branch = (
+            tagged.filter(cond if side == "L" else ~cond)
+            .drop("bfeat", "bvalue", "bscore")
+            .persist()
+        )
+        best2 = best_of(
+            gini_splits(branch, feature_cols, label_col)
+        ).persist()
+        n_b = branch.agg(F.count(F.lit(1)).alias("n"))
+        out = out.unionByName(node_row(side, best2, n_b))
+        t2 = branch.crossJoin(F.broadcast(best2))
+        cond2 = match_cond()
+        for sub, keep in (("L", True), ("R", False)):
+            leaf = t2.filter(cond2 if keep else ~cond2).drop(
+                "bfeat", "bvalue", "bscore"
+            )
+            out = out.unionByName(leaf_row(side + sub, leaf))
+    return out
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    positive: str,
+) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a categorical
+    feature against a binary outcome (Siddiqi 2006, credit-scorecard
+    convention; 0.5 Laplace smoothing):
+
+        WOE(v) = ln( ((n⁺_v + ½)/P) / ((n⁻_v + ½)/N) )
+               = ln( (2·n⁺_v + 1)·N / ((2·n⁻_v + 1)·P) )
+        IV(v)  = (n⁺_v/P − n⁻_v/N) · WOE(v)
+
+    Output: (value, n_pos, n_neg, woe, iv_term), woe rounded to 6 and
+    iv_term to 9 decimals — every input to the floats is an exact int64,
+    so both are engine-deterministic after rounding (the repo's proven
+    round-after-exact convention).
+
+    Scale shape: one combinable count aggregation over the feature
+    vocabulary plus a broadcast of the two scalar totals; nothing scales
+    with row count but the first scan."""
+    from pyspark.sql import functions as F
+
+    lab = F.col(label_col).cast("string")
+    per = df.groupBy(F.col(feature_col).cast("string").alias("value")).agg(
+        F.sum(F.when(lab == positive, 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(lab == positive, 0).otherwise(1)).cast("bigint")
+        .alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("bigint").alias("p_tot"),
+        F.sum("n_neg").cast("bigint").alias("n_tot"),
+    )
+    woe = F.round(
+        F.log(
+            ((2 * F.col("n_pos") + 1) * F.col("n_tot")).cast("double")
+            / (((2 * F.col("n_neg") + 1) * F.col("p_tot")).cast("double"))
+        ),
+        6,
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("woe", woe)
+        .withColumn(
+            "iv_term",
+            F.round(
+                (
+                    (F.col("n_pos") * F.col("n_tot")
+                     - F.col("n_neg") * F.col("p_tot")).cast("double")
+                    / (F.col("p_tot") * F.col("n_tot")).cast("double")
+                )
+                * F.col("woe"),
+                9,
+            ),
+        )
+        .select("value", "n_pos", "n_neg", "woe", "iv_term")
+    )

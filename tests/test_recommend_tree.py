@@ -1,0 +1,74 @@
+"""Hand-computed goldens for the round-4 additions: item-item co-purchase
+recommendation, depth-2 integer-Gini CART, and WOE/IV feature profiling."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kgforge.datapipe.classify import gini_splits, gini_tree2, woe_iv
+from kgforge.datapipe.recommend import copurchase_counts, copurchase_topk
+
+
+def test_copurchase_counts_and_scores(spark):
+    # baskets: (1: a,b,c) (2: a,b) (3: a,c) (4: b only, twice -> distinct)
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (4, "b")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    co = {(r["item_a"], r["item_b"]): r["co_n"]
+          for r in copurchase_counts(df, "bk", "it").collect()}
+    assert co == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+    # n(a)=3 n(b)=3 n(c)=2; min_co=2 keeps ab and ac
+    top = {(r["item"], r["rec"]): (r["co_n"], r["cos2_ppm"], r["rank"])
+           for r in copurchase_topk(df, "bk", "it", k=2, min_co=2).collect()}
+    # cos2(a,b) = 4*1e6 // 9 = 444444 ; cos2(a,c) = 4*1e6 // 6 = 666666
+    assert top[("a", "c")] == (2, 666666, 1)
+    assert top[("a", "b")] == (2, 444444, 2)
+    assert top[("c", "a")] == (2, 666666, 1)
+    assert top[("b", "a")] == (2, 444444, 1)
+
+
+def test_gini_splits_hand_case(spark):
+    # f=x splits perfectly: x rows all 'p' (2), non-x all 'n' (2)
+    rows = [("x", "p"), ("x", "p"), ("y", "n"), ("z", "n")]
+    df = spark.createDataFrame(rows, "f string, lab string")
+    got = {(r["feat"], r["value"]): (r["n_left"], r["score_micro"])
+           for r in gini_splits(df, ["f"], "lab").collect()}
+    # split on x: left (2p) pure -> 0 ; right (2n) pure -> 0
+    assert got[("f", "x")] == (2, 0)
+    # split on y: left (1n) pure 0 ; right (2p,1n): (9-5)*1e6//3 = 1333333
+    assert got[("f", "y")] == (1, 1333333)
+    assert got[("f", "z")] == (1, 1333333)
+
+
+def test_gini_tree2_shape_and_purity(spark):
+    # two features; f1 perfectly separates, f2 is noise
+    rows = [("x", "u", "p")] * 3 + [("y", "u", "n")] * 2 + [("y", "v", "n")] * 2
+    df = spark.createDataFrame(rows, "f1 string, f2 string, lab string")
+    out = {r["node"]: r for r in gini_tree2(df, ["f1", "f2"], "lab").collect()}
+    assert set(out) == {"root", "L", "R", "LL", "LR", "RL", "RR"}
+    assert (out["root"]["feat"], out["root"]["value"]) == ("f1", "x")
+    assert out["root"]["score_micro"] == 0
+    assert out["root"]["n"] == 7
+    assert out["L"]["n"] == 3 and out["R"]["n"] == 4
+    # leaves under L: all 'p'; under R: all 'n'
+    for leaf in ("LL", "LR"):
+        assert out[leaf]["majority_cls"] in ("p", None)
+    total_leaf_n = sum(out[k]["n"] for k in ("LL", "LR", "RL", "RR"))
+    assert total_leaf_n == 7
+    maj = {k: out[k]["majority_cls"] for k in ("LL", "LR", "RL", "RR")
+           if out[k]["n"] > 0}
+    assert all(v in ("p", "n") for v in maj.values())
+
+
+def test_woe_iv_hand_case(spark):
+    # seg A: 3 pos 1 neg ; seg B: 1 pos 3 neg ; P=4 N=4
+    rows = [("A", "p")] * 3 + [("A", "n")] + [("B", "p")] + [("B", "n")] * 3
+    df = spark.createDataFrame(rows, "seg string, lab string")
+    got = {r["value"]: r for r in woe_iv(df, "seg", "lab", "p").collect()}
+    woe_a = round(math.log((2 * 3 + 1) * 4 / ((2 * 1 + 1) * 4)), 6)
+    assert got["A"]["woe"] == woe_a
+    iv_a = round(((3 * 4 - 1 * 4) / 16) * woe_a, 9)
+    assert got["A"]["iv_term"] == iv_a
+    # symmetric case
+    assert got["B"]["woe"] == -woe_a
+    assert got["B"]["iv_term"] == iv_a  # (1*4-3*4)/16 * (-woe) = +
