@@ -6750,20 +6750,66 @@ def _interleaved_docs_path(sf_dir: str) -> str:
     return f"/tmp/kgforge_interleaved_docs_{base}"
 
 
+def _ensure_interleaved_docs(sf_dir: str) -> str:
+    """Materialize the interleaved span table once per scale factor with
+    plain pyarrow (same make_spans stream as the distributed
+    docs_from_testdata — content identical by construction).  Pure-python
+    so BOTH the Spark query and the DuckDB oracle can call it first,
+    whichever the driver happens to execute first; the file is input
+    preparation, not the measured operator (build_kg over the parquet is)."""
+    path = _interleaved_docs_path(sf_dir)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgforge.kg.synth import make_spans
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    spans_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    out = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"doc_{int(i):012d}" for i in doc_ids], pa.string()
+            ),
+            "spans": pa.array(
+                [
+                    make_spans(42, int(i), base_text=t)
+                    for i, t in zip(doc_ids, texts)
+                ],
+                spans_type,
+            ),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(out, os.path.join(path, "part-0.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
 def _kg_triples_interleaved(spark, sf_dir):
     """The python-synthesized interleaved text+media flagship, value-checked:
-    docs_from_testdata's span table is persisted to parquet (idempotent,
-    deterministic content) and build_kg runs over the re-read file; the
-    DuckDB oracle replays the full DAG — (?i) mention alternation over
-    original-case span text with per-span identity, lower()-normalized
-    catalog join and shingles, media triples per media span, and the
-    full-doc-spine spanCount — against the same parquet."""
-    from kgforge.kg.pipeline import build_kg, docs_from_testdata
+    the span table is persisted to parquet (idempotent, deterministic
+    content — same make_spans stream as docs_from_testdata) and build_kg
+    runs over the re-read file; the DuckDB oracle replays the full DAG —
+    (?i) mention alternation over original-case span text with per-span
+    identity, lower()-normalized catalog join and shingles, media triples
+    per media span, and the full-doc-spine spanCount — against the same
+    parquet."""
+    from kgforge.kg.pipeline import build_kg
 
-    path = _interleaved_docs_path(sf_dir)
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-        docs_from_testdata(spark, sf_dir).write.mode("overwrite").parquet(path)
-    docs = spark.read.parquet(path)
+    docs = spark.read.parquet(_ensure_interleaved_docs(sf_dir))
     triples, _ = build_kg(docs)
     return triples
 
@@ -6786,7 +6832,9 @@ def _kg_triples_interleaved_oracle() -> str:
     from kgforge.kg.vocab import ALL_SURFACES, ENTITIES
 
     sfd = os.environ.get("KGFORGE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    path = _interleaved_docs_path(sfd)
+    # ensure the parquet exists even if the driver runs the oracle before
+    # the Spark query — the writer is pure pyarrow, execution-order-proof
+    path = _ensure_interleaved_docs(sfd)
     spans_sql = _interleaved_spans_sql(path)
     catalog = [
         (v.lower(), e.eid, e.canonical, e.etype)

@@ -54,6 +54,7 @@ def pagerank(
     damping: float = 0.85,
     driver_threshold: int = 0,
     n_edges: int | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """edges (src, dst) → (node, rank) after ``iterations`` damped rounds.
 
@@ -68,8 +69,17 @@ def pagerank(
     power iteration — one job instead of O(iterations) shuffle rounds,
     which is the right trade below ~10^5 edges.  Above it, the distributed
     loop runs; both paths compute the same formula.
+
+    ``init_ranks`` (node, rank) warm-starts the loop instead of the
+    uniform 1/N vector — the checkpoint-resume hook for the iterative
+    layer: ``pagerank(e, iterations=5)`` equals
+    ``pagerank(e, iterations=2, init_ranks=pagerank(e, iterations=3))``
+    round-for-round (asserted in tests; only float summation order can
+    differ, within round-6).  The node universe stays edge-derived; an
+    init vector over a different node set contributes rank 0 for missing
+    nodes (left join below).
     """
-    if driver_threshold > 0 and (n_edges is None or n_edges <= driver_threshold):
+    if init_ranks is None and driver_threshold > 0 and (n_edges is None or n_edges <= driver_threshold):
         # single action: over-fetch by one — a full result means the graph
         # fits on the driver, an overflow falls through to the distributed
         # loop.  (A separate count() would evaluate the caller's plan twice.)
@@ -105,7 +115,17 @@ def pagerank(
     # edges annotated with the sender's out-degree
     e_deg = e.join(outdeg, "src").persist()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        ranks = (
+            nodes.join(
+                init_ranks.select("node", F.col("rank").alias("_r0")),
+                "node", "left",
+            )
+            .select("node", F.coalesce("_r0", F.lit(0.0)).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
     base = (1.0 - damping) / n
     for i in range(iterations):
         contrib = (

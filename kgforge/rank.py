@@ -30,22 +30,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # persisted range-partitioned frames not yet released by a caller-owned
-# cleanup list; see release_rank_caches()
-_live_caches: list[DataFrame] = []
+# cleanup list; see release_rank_caches().  The registry is THREAD-LOCAL:
+# operators that release caches mid-path (microaggregate, snm blocking,
+# quantile_normalize, the anonymize engine) run concurrently with other
+# queries when a caller drives Spark from a thread pool (the oracle sweep,
+# any multi-tenant service) — a global registry let thread B unpersist the
+# range-partitioned frame thread A was mid-query on, and a partial
+# recompute re-samples range bounds, mixing rows from two partitionings
+# (caught as a flaky generalize_orderdate count diff under the sweep).
+import threading as _threading
+
+_tls = _threading.local()
+
+
+def _cache_list() -> list:
+    lst = getattr(_tls, "caches", None)
+    if lst is None:
+        lst = _tls.caches = []
+    return lst
 
 
 def release_rank_caches() -> int:
-    """Unpersist every rank-helper cache still registered; returns the count.
+    """Unpersist every rank-helper cache registered BY THIS THREAD; returns
+    the count.
 
     Safe to call at any job boundary: a consumer that re-executes a result
     DataFrame afterwards recomputes the range partitioning from scratch,
     which is only a correctness hazard if the consumer mixes rows from two
     executions of the SAME result — a terminal action (collect/write/count)
-    never does.
+    never does, PROVIDED no other thread unpersists mid-action (hence the
+    thread-local registry).
     """
-    n = len(_live_caches)
-    while _live_caches:
-        _live_caches.pop().unpersist()
+    lst = _cache_list()
+    n = len(lst)
+    while lst:
+        lst.pop().unpersist()
     return n
 
 
@@ -53,7 +72,7 @@ def _register(d: DataFrame, cleanup: list | None) -> DataFrame:
     if cleanup is not None:
         cleanup.append(d)
     else:
-        _live_caches.append(d)
+        _cache_list().append(d)
     return d
 
 

@@ -17,6 +17,7 @@ def _trades(spark):
     )
 
 
+@pytest.mark.slow
 def test_backward_nearest_with_tie_dedup(spark):
     got = {
         r["tid"]: (r["asof_ts"], r["asof_p"])

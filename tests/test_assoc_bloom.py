@@ -75,6 +75,7 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fp < 0.05  # theory ~0.6% at n=300, m=4096, k=4
 
 
+@pytest.mark.slow
 def test_bloom_union_merge(spark):
     a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "v string")
     b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "v string")

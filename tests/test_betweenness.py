@@ -53,6 +53,7 @@ def _run(spark, edges, sources, **kw):
     }
 
 
+@pytest.mark.slow
 def test_path_graph(spark):
     # P4: inner nodes carry 2.0 each, endpoints 0
     got = _run(spark, [(0, 1), (1, 2), (2, 3)], [0, 1, 2, 3])

@@ -32,6 +32,7 @@ def _py_bfs(edges, sources, directed):
     return out
 
 
+@pytest.mark.slow
 def test_matches_bfs_mirror(spark):
     rnd = random.Random(17)
     edges = sorted({(rnd.randrange(25), rnd.randrange(25)) for _ in range(60)})

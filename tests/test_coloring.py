@@ -1,3 +1,4 @@
+import pytest
 import random
 
 from kgforge.kg.coloring import _py_coloring, greedy_coloring
@@ -46,6 +47,7 @@ def test_bipartite_two_colors(spark):
     assert got == _py_coloring(pairs)
 
 
+@pytest.mark.slow
 def test_partition_invariant(spark):
     rng = random.Random(23)
     pairs = sorted({tuple(sorted(rng.sample(range(50), 2))) for _ in range(200)})

@@ -507,6 +507,7 @@ def test_lm_cross_entropy_matches_python_mirror(spark):
     assert 3 not in got  # sub-trigram docs drop out, like the null-drop rule
 
 
+@pytest.mark.slow
 def test_duplicate_spans_hashed_equivalence(spark):
     """hashed=True (8-byte xxhash64 corpus shuffle + exact recount on the
     marked minority) must produce the byte-identical span set as the exact

@@ -75,6 +75,7 @@ def test_dbscan_roles_and_labels_crafted(spark):
 
 
 @pytest.mark.parametrize("seed", [2, 6])
+@pytest.mark.slow
 def test_dbscan_matches_bruteforce_random(spark, seed):
     rng = random.Random(seed)
     pts = [

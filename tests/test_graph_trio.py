@@ -3,6 +3,8 @@ decomposition — each against a brute-force python mirror."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 from pyspark.sql import Row
@@ -169,6 +171,7 @@ def test_bowtie_textbook_shape(spark):
     assert got["other"] == (2, "8")
 
 
+@pytest.mark.slow
 def test_bowtie_all_core(spark):
     pairs = [(0, 1), (1, 2), (2, 0)]
     got = {

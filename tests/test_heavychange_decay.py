@@ -3,6 +3,8 @@ time-decayed counts (datapipe/timeseries.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import date, datetime
 
 from kgforge.datapipe.sketch import cms_heavy_change
@@ -35,6 +37,7 @@ def _py_cms_est(values, probe, depth=4, width=512,
     )
 
 
+@pytest.mark.slow
 def test_cms_heavy_change_detects_planted_drift(spark):
     a_vals = [f"k{i % 20}" for i in range(400)]           # 20 each
     b_vals = [f"k{i % 20}" for i in range(400)] + ["k3"] * 60 + ["k7"] * 45

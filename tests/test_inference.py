@@ -148,6 +148,7 @@ def test_meta_subproperty_rejected(spark):
         rdfs_closure(triples_df(spark, facts))
 
 
+@pytest.mark.slow
 def test_random_graph_equivalence(spark):
     rnd = random.Random(20260818)
     classes = [f"C{i}" for i in range(8)]

@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # numpy-mirror scale sweeps; kanon oracles stay in the default lane
+
 from kgforge.anonymize.kpi import k_anonymity
 from kgforge.config import AttrConfig
 from kgforge.triples import RDF_TYPE

@@ -185,6 +185,7 @@ def test_kg_to_anonymization_end_to_end(spark, docs, tmp_path):
     assert KG + "Person" in report.k_anonymity
 
 
+@pytest.mark.slow
 def test_canonicalization_paths_agree(spark, docs):
     """Driver union-find (small-vocab fast path) and the distributed
     MinHash-LSH + connected-components path produce the same surface

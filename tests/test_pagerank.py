@@ -161,3 +161,27 @@ def test_ppr_absent_sources_renormalize_and_empty_raises(spark, graph):
         assert with_ghost[k] == pytest.approx(only_real[k], abs=1e-12)
     with pytest.raises(ValueError, match="source"):
         personalized_pagerank(df, [10**9], iterations=2).collect()
+
+
+def test_warm_start_resume_equals_cold(spark):
+    """Checkpoint-resume for the iterative layer: 3 cold rounds persisted,
+    then 2 warm rounds from that vector == 5 cold rounds (round-6: only
+    float summation order may differ across the checkpoint boundary)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.kg.pagerank import pagerank
+
+    edges = spark.range(300).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") * 7 + 3, F.lit(300)).alias("dst"),
+    )
+    cold = {
+        r["node"]: round(r["rank"], 6)
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    mid = pagerank(edges, iterations=3)
+    warm = {
+        r["node"]: round(r["rank"], 6)
+        for r in pagerank(edges, iterations=2, init_ranks=mid).collect()
+    }
+    assert warm == cold

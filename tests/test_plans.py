@@ -542,3 +542,26 @@ def test_session12_ops_plan_quality(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_copurchase_no_python_and_no_cartesian(spark):
+    # the recommender is pure JVM and its pair join is keyed by basket —
+    # an item-product would show up as a cartesian/BNLJ
+    plan = _plan(entry.queries()["copurchase_topk"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
+
+
+def test_gini_tree_broadcasts_splits(spark):
+    # the chosen splits are 1-row DataFrames crossed in via broadcast —
+    # never a shuffled join, never a driver collect
+    plan = _plan(entry.queries()["gini_tree"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_woe_stays_jvm(spark):
+    plan = _plan(entry.queries()["woe_segments"](spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan

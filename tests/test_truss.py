@@ -51,6 +51,7 @@ def test_cascade_peeling(spark):
     assert _run(spark, edges, 4) == {}
 
 
+@pytest.mark.slow
 def test_random_mirror(spark):
     rnd = random.Random(33)
     edges = sorted({tuple(sorted(rnd.sample(range(15), 2))) for _ in range(55)})
