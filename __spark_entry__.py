@@ -12441,23 +12441,26 @@ l{tag} AS (
 ),
 t{tag} AS (SELECT lab, CAST(count(*) AS BIGINT) AS tc FROM {src} GROUP BY 1),
 n{tag} AS (
-  SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) AS nt,
-         CAST(coalesce(sum(tc * tc), 0) AS BIGINT) AS sq
+  SELECT CAST(coalesce(sum(CAST(tc AS HUGEINT)), 0) AS HUGEINT) AS nt,
+         CAST(coalesce(sum(CAST(tc AS HUGEINT) * tc), 0) AS HUGEINT) AS sq
   FROM t{tag}
 ),
 s{tag} AS (
   SELECT feat, value,
-         CAST(sum(c) AS BIGINT) AS nl,
-         CAST(sum(c * c) AS BIGINT) AS sl,
-         CAST(sum(c * tc) AS BIGINT) AS cr
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS nl,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sl,
+         CAST(sum(CAST(c AS HUGEINT) * tc) AS HUGEINT) AS cr
   FROM l{tag} JOIN t{tag} USING (lab) GROUP BY 1, 2
 ),
 sc{tag} AS (
+  -- HUGEINT mirror of the decimal(38,0) widening in gini_splits: n²·10⁶
+  -- overflows int64 past ~3M rows
   SELECT feat, value, nl,
          (CASE WHEN nl > 0
-               THEN (1000000 * (nl * nl - sl)) // nl ELSE 0 END)
+               THEN (CAST(1000000 AS HUGEINT) * (nl * nl - sl)) // nl
+               ELSE 0 END)
          + (CASE WHEN nt - nl > 0
-                 THEN (1000000 * ((nt - nl) * (nt - nl)
+                 THEN (CAST(1000000 AS HUGEINT) * ((nt - nl) * (nt - nl)
                        - (sq - 2 * cr + sl))) // (nt - nl) ELSE 0 END)
            AS score
   FROM s{tag}, n{tag}

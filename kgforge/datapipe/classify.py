@@ -492,6 +492,12 @@ def gini_splits(
     melted = legs[0]
     for m in legs[1:]:
         melted = melted.unionByName(m)
+    # score arithmetic runs in DECIMAL(38,0): n² terms pass int64 at ~3M
+    # rows and the ×10⁶ scaling at ~3M even sooner (hit for real in a 10M-row
+    # spot-check) — decimal(38) holds 10³⁰-scale products, i.e. exact to
+    # 10¹²-row nodes; DuckDB mirrors with HUGEINT.  The final quotient
+    # (≤ 10⁶·n) is cast back to BIGINT.
+    dec = "decimal(38,0)"
     left = melted.groupBy("feat", "value", "cls").agg(
         F.count(F.lit(1)).cast("bigint").alias("lc"))
     tot = (
@@ -499,31 +505,34 @@ def gini_splits(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
     )
     node = tot.agg(
-        F.sum("tc").cast("bigint").alias("n_total"),
-        F.sum(F.col("tc") * F.col("tc")).cast("bigint").alias("sq_total"),
+        F.sum(F.col("tc").cast(dec)).cast(dec).alias("n_total"),
+        F.sum(F.col("tc").cast(dec) * F.col("tc")).cast(dec).alias("sq_total"),
     )
     per_split = (
         left.join(F.broadcast(tot), "cls")
         .groupBy("feat", "value")
         .agg(
-            F.sum("lc").cast("bigint").alias("n_left"),
-            F.sum(F.col("lc") * F.col("lc")).cast("bigint").alias("sq_left"),
-            F.sum(F.col("lc") * F.col("tc")).cast("bigint").alias("cross"),
+            F.sum(F.col("lc").cast(dec)).cast(dec).alias("n_left"),
+            F.sum(F.col("lc").cast(dec) * F.col("lc")).cast(dec)
+            .alias("sq_left"),
+            F.sum(F.col("lc").cast(dec) * F.col("tc")).cast(dec)
+            .alias("cross"),
         )
     )
     return per_split.crossJoin(F.broadcast(node)).select(
-        "feat", "value", "n_left",
+        "feat", "value",
+        F.col("n_left").cast("bigint").alias("n_left"),
         (
             F.expr(
                 "CASE WHEN n_left > 0 THEN"
-                " (1000000 * (n_left * n_left - sq_left)) div n_left"
-                " ELSE 0 END"
+                " (CAST(1000000 AS decimal(38,0)) * (n_left * n_left - sq_left))"
+                " div n_left ELSE CAST(0 AS decimal(38,0)) END"
             )
             + F.expr(
                 "CASE WHEN n_total - n_left > 0 THEN"
-                " (1000000 * ((n_total - n_left) * (n_total - n_left)"
+                " (CAST(1000000 AS decimal(38,0)) * ((n_total - n_left) * (n_total - n_left)"
                 "   - (sq_total - 2 * cross + sq_left)))"
-                " div (n_total - n_left) ELSE 0 END"
+                " div (n_total - n_left) ELSE CAST(0 AS decimal(38,0)) END"
             )
         ).cast("bigint").alias("score_micro"),
     )
