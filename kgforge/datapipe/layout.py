@@ -151,3 +151,91 @@ def compaction_plan(
         F.when(small, (fill / F.lit(int(target_bytes))).cast("long"))
         .otherwise(F.lit(-1)).alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout keys (round-4): better locality than Morton — the
+# Hilbert walk never jumps across the square, so every key range maps to a
+# few compact (x, y) rectangles; Morton's Z-jumps fragment a range's
+# bounding boxes far more (the reason table formats added HILBERT
+# clustering alongside ZORDER).  Bit-stepped reflect-rotate-swap walk,
+# Hilbert 1891 / the classic xy2d recurrence.
+# ---------------------------------------------------------------------------
+
+_PK_D = 1099511627776  # 2^40 — d slot in the packed fold state
+_PK_X = 1048576        # 2^20 — x slot (after each plane x, y < s < 2^20)
+
+
+def _hilbert_step(div: str) -> str:
+    """One fold step over a bit plane ``s``: unpack (d, x, y) from the
+    BIGINT accumulator, extract the plane bits, advance d by s²·((3rx)^ry)
+    (arithmetic form 3rx + ry − 2·rx·ry — no engine xor), reduce x, y to
+    their low bits, reflect when (ry=0, rx=1), swap when ry=0, repack.
+    ``div`` is the dialect's integer-division operator ('div' or '//');
+    all operands are non-negative so %-semantics agree across engines."""
+    d = f"(acc {div} {_PK_D})"
+    x = f"((acc {div} {_PK_X}) % {_PK_X})"
+    y = f"(acc % {_PK_X})"
+    rx = f"(({x} {div} s) % 2)"
+    ry = f"(({y} {div} s) % 2)"
+    xl = f"({x} % s)"
+    yl = f"({y} % s)"
+    return (
+        f"({d} + s * s * (3 * {rx} + {ry} - 2 * {rx} * {ry})) * {_PK_D}"
+        f" + (CASE WHEN {ry} = 0 THEN"
+        f"      (CASE WHEN {rx} = 1 THEN s - 1 - {yl} ELSE {yl} END)"
+        f"    ELSE {xl} END) * {_PK_X}"
+        f" + (CASE WHEN {ry} = 0 THEN"
+        f"      (CASE WHEN {rx} = 1 THEN s - 1 - {xl} ELSE {xl} END)"
+        f"    ELSE {yl} END)"
+    )
+
+
+def hilbert_key_expr(x: str, y: str, bits: int = 10,
+                     dialect: str = "spark") -> str:
+    """Dialect-matched SQL expression for the Hilbert d-index of integer
+    columns ``x``, ``y`` in [0, 2^bits) — Spark ``aggregate`` or DuckDB
+    ``list_reduce`` over the descending bit planes, state packed in one
+    BIGINT, bit-identical across engines (oracle-checked)."""
+    if not 1 <= bits <= 20:
+        raise ValueError("bits must be in [1, 20]")
+    planes = ", ".join(
+        f"CAST({1 << i} AS BIGINT)" for i in range(bits - 1, -1, -1)
+    )
+    init = f"CAST({x} AS BIGINT) * {_PK_X} + CAST({y} AS BIGINT)"
+    if dialect == "spark":
+        step = _hilbert_step("div")
+        return (
+            f"aggregate(array({planes}), {init},"
+            f" (acc, s) -> {step}, acc -> acc div {_PK_D})"
+        )
+    if dialect == "duckdb":
+        step = _hilbert_step("//")
+        return (
+            f"list_reduce(list_prepend({init}, [{planes}]),"
+            f" (acc, s) -> {step}) // {_PK_D}"
+        )
+    raise ValueError("dialect must be 'spark' or 'duckdb'")
+
+
+def hilbert_layout(df: DataFrame, x: str, y: str,
+                   x_bounds: tuple, y_bounds: tuple,
+                   bits: int = 10) -> DataFrame:
+    """(input columns…, hx, hy, hkey) — bucketize both dimensions to
+    [0, 2^bits) with fixed bounds (same mergeable-across-snapshots
+    contract as :func:`zorder_value`), then the Hilbert d-index.
+    Sorting / range-partitioning on ``hkey`` is the write-side
+    clustering; pair with zorder_skip_stats-style min/max pruning on the
+    read side."""
+    # reuse the shared 16-bit _scale, then shift down to the requested
+    # resolution — integer-exact (both are floor operations on powers of 2)
+    d = df.withColumn(
+        "hx", F.shiftright(_scale(F.col(x), *x_bounds), _BITS - bits)
+        .cast("long"),
+    ).withColumn(
+        "hy", F.shiftright(_scale(F.col(y), *y_bounds), _BITS - bits)
+        .cast("long"),
+    )
+    return d.withColumn(
+        "hkey", F.expr(hilbert_key_expr("hx", "hy", bits)).cast("long")
+    )

@@ -836,3 +836,37 @@ def zipf_fit(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
         .alias("y"),
     )
     return groupwise_ols(d, group_cols, "x", "y")
+
+
+def prefix_rollup(
+    df: DataFrame,
+    id_col: str,
+    path_col: str,
+    sep: str = " ",
+    max_depth: int = 5,
+) -> DataFrame:
+    """Hierarchical prefix support: (prefix, depth, n_rows) for every
+    leading ``sep``-joined token prefix of ``path_col`` up to
+    ``max_depth`` — the rollup behind URL-path / taxonomy / product-type
+    browsing counts (each row contributes one count at each of its
+    ancestor prefixes).
+
+    Scale shape: one map-only prefix explosion bounded by ``max_depth``
+    per row, one combinable count aggregation keyed by (prefix, depth) —
+    the hierarchy never materializes wider than depth × rows."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    toks = F.split(F.trim(F.col(path_col)), sep)
+    prefixes = F.expr(
+        f"transform(sequence(1, least(size(split(trim({path_col}), '{sep}')),"
+        f" {max_depth})), i -> struct("
+        f" array_join(slice(split(trim({path_col}), '{sep}'), 1, i), '{sep}')"
+        f" AS prefix, CAST(i AS BIGINT) AS depth))"
+    )
+    return (
+        df.filter(F.trim(F.col(path_col)) != "")
+        .select(F.col(id_col).alias("_id"), F.explode(prefixes).alias("p"))
+        .groupBy(F.col("p.prefix").alias("prefix"),
+                 F.col("p.depth").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

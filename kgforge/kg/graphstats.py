@@ -400,3 +400,31 @@ def partition_quality(
             f"THEN (max_part * {k} * 1000000) div n_nodes ELSE 0 END"
         ).cast("bigint").alias("balance_ppm"),
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Directed-graph reciprocity: one row (n_edges, n_reciprocal,
+    reciprocity_ppm) over the distinct non-loop edge set — the classic
+    dyad census ratio r = |{(u,v) : (v,u) ∈ E}| / |E| in exact integer
+    ppm.  One distinct, one self-semi-join on the reversed key, two
+    combinable counts; the reversed join shuffles on the edge key with no
+    fan-out."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    rec = e.join(rev, ["a", "b"], "left_semi")
+    out = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+        rec.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+    )
+    return out.select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr(
+            "CASE WHEN n_edges > 0 THEN (n_reciprocal * 1000000) div n_edges"
+            " ELSE 0 END"
+        ).cast("bigint").alias("reciprocity_ppm"),
+    )

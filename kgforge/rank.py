@@ -64,7 +64,13 @@ def release_rank_caches() -> int:
     lst = _cache_list()
     n = len(lst)
     while lst:
-        lst.pop().unpersist()
+        try:
+            lst.pop().unpersist()
+        except Exception:  # noqa: BLE001 - a frame whose SparkContext was
+            # stopped (callers that restart sessions between jobs, e.g. the
+            # bench's scaling legs) is already gone — releasing it is a
+            # no-op, not an error
+            pass
     return n
 
 
