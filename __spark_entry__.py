@@ -12662,6 +12662,41 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
 """
 
 
+def _freq_triples(spark, sf_dir):
+    """Frequent 3-itemsets (datapipe/assoc.py:frequent_triples) over the
+    order/part-family baskets — Apriori level 3 with global-support
+    pruning before the basket-keyed three-way join; hub baskets capped."""
+    from kgforge.datapipe.assoc import frequent_triples
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"),
+        (F.col("l_partkey") % 25).cast("bigint").alias("item"),
+    )
+    return frequent_triples(li, "bk", "item", min_count=3, max_basket=20)
+
+
+def _freq_triples_oracle() -> str:
+    return """
+WITH bi0 AS (
+  SELECT DISTINCT l_orderkey AS bk, CAST(l_partkey % 25 AS BIGINT) AS item
+  FROM lineitem
+),
+keep AS (
+  SELECT bk FROM bi0 GROUP BY bk HAVING count(*) <= 20
+),
+bi1 AS (SELECT bi0.* FROM bi0 JOIN keep USING (bk)),
+freq AS (
+  SELECT item FROM bi1 GROUP BY item HAVING count(*) >= 3
+),
+bi AS (SELECT bi1.* FROM bi1 JOIN freq USING (item))
+SELECT a.item AS a, b.item AS b, c.item AS c,
+       CAST(count(*) AS BIGINT) AS n_abc
+FROM bi a JOIN bi b ON a.bk = b.bk AND a.item < b.item
+     JOIN bi c ON b.bk = c.bk AND b.item < c.item
+GROUP BY 1, 2, 3 HAVING count(*) >= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is load-bearing: the correctness driver samples the
     # FIRST 50 entries, so the flagships lead — reference-parity
@@ -12975,6 +13010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_orders": _hilbert_orders,
         "prefix_rollup": _prefix_rollup_types,
         "kg_reciprocity": _reciprocity_custgraph,
+        "freq_triples": _freq_triples,
     }
 
 
@@ -15935,4 +15971,5 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_orders": _hilbert_orders_oracle(),
         "prefix_rollup": _prefix_rollup_oracle(),
         "kg_reciprocity": _reciprocity_oracle(),
+        "freq_triples": _freq_triples_oracle(),
     }

@@ -8,7 +8,7 @@ lost to a driver timeout because the old harness printed its JSON only at
 the very end and its witnesses had grown past any plausible wall budget.
 This version is budget-boxed and incremental:
 
-* a global wall budget (``SPARK_GRAFT_BENCH_BUDGET``, default 1200 s) is
+* a global wall budget (``SPARK_GRAFT_BENCH_BUDGET``, default 1500 s) is
   read up front; every section checks the remaining budget before it
   starts and is skipped (recorded in ``skipped_for_budget``) rather than
   blowing the deadline;
@@ -229,6 +229,19 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
     out: dict = {"cores": list(cores)}
     secs: dict[int, float] = {}
     n_units = None
+    # pre-pair probe gate: a throttle burst lasts minutes — a ~20 s probe
+    # that reads dirty means the next 5 minutes of legs would be garbage
+    # (run-4 shakedown: an un-gated pair in a burst read 0.34 with an 8c
+    # leg SLOWER than 4c).  Sleep-and-reprobe (bounded) is far cheaper
+    # than re-measuring legs.
+    for _ in range(2):
+        if not budget.fits(90):
+            break
+        probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
+        out.setdefault("probe_history", []).append(probe)
+        if 0.72 <= probe <= 1.15:
+            break
+        time.sleep(45)
     for c in cores:
         if not budget.fits(leg_estimates.get(c, 60.0) * 1.3):
             out["aborted_for_budget"] = True
@@ -488,7 +501,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200")))
+    budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500")))
 
     signal.signal(signal.SIGTERM, _on_kill)
     signal.signal(signal.SIGINT, _on_kill)

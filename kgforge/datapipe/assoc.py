@@ -78,3 +78,53 @@ def association_rules(
         return out.localCheckpoint(eager=True)
     finally:
         bi.unpersist()
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket: int = 20,
+) -> DataFrame:
+    """Frequent 3-itemsets: (a, b, c, n_abc) for every item triple
+    co-occurring in ≥ ``min_count`` baskets (a < b < c) — the next
+    Apriori level above :func:`association_rules`.
+
+    Scale shape: the hub-basket cap (baskets over ``max_basket`` distinct
+    items are dropped — same stop-word bound as the pair level) bounds the
+    per-basket fan-out at C(max_basket, 3); items below ``min_count``
+    global support cannot appear in a frequent triple (Apriori
+    monotonicity) and are pruned BEFORE the joins, so the three-way
+    basket self-join runs on the frequent-item projection only, keyed by
+    basket."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    bi = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = bi.groupBy("bk").agg(F.count(F.lit(1)).alias("_sz"))
+    bi = bi.join(sizes.filter(F.col("_sz") <= max_basket).select("bk"), "bk")
+    freq = (
+        bi.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("item")
+    )
+    bi = bi.join(freq, "item", "left_semi").persist()
+    try:
+        a = bi.select("bk", F.col("item").alias("a"))
+        b = bi.select("bk", F.col("item").alias("b"))
+        c = bi.select("bk", F.col("item").alias("c"))
+        out = (
+            a.join(b, "bk")
+            .filter(F.col("a") < F.col("b"))
+            .join(c, "bk")
+            .filter(F.col("b") < F.col("c"))
+            .groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_abc"))
+            .filter(F.col("n_abc") >= min_count)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        bi.unpersist()

@@ -72,3 +72,22 @@ def test_woe_iv_hand_case(spark):
     # symmetric case
     assert got["B"]["woe"] == -woe_a
     assert got["B"]["iv_term"] == iv_a  # (1*4-3*4)/16 * (-woe) = +
+
+
+def test_frequent_triples_hand_case(spark):
+    from kgforge.datapipe.assoc import frequent_triples
+
+    # baskets: {a,b,c} ×2, {a,b,d}, {a,b,c,d}
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "a"), (3, "b"), (3, "d"),
+            (4, "a"), (4, "b"), (4, "c"), (4, "d")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    got = {(r["a"], r["b"], r["c"]): r["n_abc"]
+           for r in frequent_triples(df, "bk", "it", min_count=3).collect()}
+    assert got == {("a", "b", "c"): 3}
+    # min_count prunes items globally first: 'd' (support 2) can never
+    # appear with min_count=3; with min_count=2 it can
+    got2 = {(r["a"], r["b"], r["c"]): r["n_abc"]
+            for r in frequent_triples(df, "bk", "it", min_count=2).collect()}
+    assert got2[("a", "b", "d")] == 2 and got2[("a", "b", "c")] == 3
