@@ -83,6 +83,10 @@ def _emit(final: bool = False) -> None:
 
 def _on_kill(signum, frame):  # pragma: no cover - exercised by the driver
     SNAPSHOT["killed_by_signal"] = signum
+    # the signal can land MID-print of a section snapshot (observed: two
+    # JSON objects sharing one line) — open a fresh line first so the
+    # handler's snapshot is always a clean, parseable last line
+    print(flush=True)
     _emit(final=False)
     os._exit(124)
 
