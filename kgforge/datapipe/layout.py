@@ -162,29 +162,25 @@ def compaction_plan(
 # Hilbert 1891 / the classic xy2d recurrence.
 # ---------------------------------------------------------------------------
 
-_PK_D = 1099511627776  # 2^40 — d slot in the packed fold state
-_PK_X = 1048576        # 2^20 — x slot (after each plane x, y < s < 2^20)
-
-
-def _hilbert_step(div: str) -> str:
+def _hilbert_step(div: str, pk_d: int, pk_x: int) -> str:
     """One fold step over a bit plane ``s``: unpack (d, x, y) from the
     BIGINT accumulator, extract the plane bits, advance d by s²·((3rx)^ry)
     (arithmetic form 3rx + ry − 2·rx·ry — no engine xor), reduce x, y to
     their low bits, reflect when (ry=0, rx=1), swap when ry=0, repack.
     ``div`` is the dialect's integer-division operator ('div' or '//');
     all operands are non-negative so %-semantics agree across engines."""
-    d = f"(acc {div} {_PK_D})"
-    x = f"((acc {div} {_PK_X}) % {_PK_X})"
-    y = f"(acc % {_PK_X})"
+    d = f"(acc {div} {pk_d})"
+    x = f"((acc {div} {pk_x}) % {pk_x})"
+    y = f"(acc % {pk_x})"
     rx = f"(({x} {div} s) % 2)"
     ry = f"(({y} {div} s) % 2)"
     xl = f"({x} % s)"
     yl = f"({y} % s)"
     return (
-        f"({d} + s * s * (3 * {rx} + {ry} - 2 * {rx} * {ry})) * {_PK_D}"
+        f"({d} + s * s * (3 * {rx} + {ry} - 2 * {rx} * {ry})) * {pk_d}"
         f" + (CASE WHEN {ry} = 0 THEN"
         f"      (CASE WHEN {rx} = 1 THEN s - 1 - {yl} ELSE {yl} END)"
-        f"    ELSE {xl} END) * {_PK_X}"
+        f"    ELSE {xl} END) * {pk_x}"
         f" + (CASE WHEN {ry} = 0 THEN"
         f"      (CASE WHEN {rx} = 1 THEN s - 1 - {xl} ELSE {xl} END)"
         f"    ELSE {yl} END)"
@@ -196,24 +192,31 @@ def hilbert_key_expr(x: str, y: str, bits: int = 10,
     """Dialect-matched SQL expression for the Hilbert d-index of integer
     columns ``x``, ``y`` in [0, 2^bits) — Spark ``aggregate`` or DuckDB
     ``list_reduce`` over the descending bit planes, state packed in one
-    BIGINT, bit-identical across engines (oracle-checked)."""
-    if not 1 <= bits <= 20:
-        raise ValueError("bits must be in [1, 20]")
+    BIGINT, bit-identical across engines (oracle-checked).
+
+    Slot sizes scale with ``bits`` (x slot 2^bits, d slot 4^bits, packed
+    state < 2^(4·bits)), so the fold is overflow-free up to bits = 15 —
+    a fixed 2^40 d-slot overflowed int64 at bits = 12, caught by a
+    50M-row spot-check under ANSI mode."""
+    if not 1 <= bits <= 15:
+        raise ValueError("bits must be in [1, 15]")
+    pk_x = 1 << bits
+    pk_d = 1 << (2 * bits)
     planes = ", ".join(
         f"CAST({1 << i} AS BIGINT)" for i in range(bits - 1, -1, -1)
     )
-    init = f"CAST({x} AS BIGINT) * {_PK_X} + CAST({y} AS BIGINT)"
+    init = f"CAST({x} AS BIGINT) * {pk_x} + CAST({y} AS BIGINT)"
     if dialect == "spark":
-        step = _hilbert_step("div")
+        step = _hilbert_step("div", pk_d, pk_x)
         return (
             f"aggregate(array({planes}), {init},"
-            f" (acc, s) -> {step}, acc -> acc div {_PK_D})"
+            f" (acc, s) -> {step}, acc -> acc div {pk_d})"
         )
     if dialect == "duckdb":
-        step = _hilbert_step("//")
+        step = _hilbert_step("//", pk_d, pk_x)
         return (
             f"list_reduce(list_prepend({init}, [{planes}]),"
-            f" (acc, s) -> {step}) // {_PK_D}"
+            f" (acc, s) -> {step}) // {pk_d}"
         )
     raise ValueError("dialect must be 'spark' or 'duckdb'")
 
