@@ -336,6 +336,12 @@ EXTRA_QUERIES = [
     "dup_spans_hashed",
     "c4_filter",
     "dsir_select",
+    # round-4: recsys, tree models, layout, itemsets, PNG decode
+    "copurchase_topk",
+    "gini_tree",
+    "hilbert_orders",
+    "freq_triples",
+    "png_stats",
 ]
 
 BENCH_QUERIES = [
