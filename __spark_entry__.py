@@ -12398,7 +12398,8 @@ sym AS (
 ),
 sc AS (
   SELECT s.item, s.rec, s.co_n,
-         CAST((s.co_n * s.co_n * 1000000) // (di.n * dr.n) AS BIGINT)
+         CAST((CAST(s.co_n AS HUGEINT) * s.co_n * 1000000)
+              // (CAST(di.n AS HUGEINT) * dr.n) AS BIGINT)
            AS cos2_ppm
   FROM sym s JOIN deg di ON di.it = s.item JOIN deg dr ON dr.it = s.rec
 )

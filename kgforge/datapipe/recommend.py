@@ -80,8 +80,15 @@ def copurchase_topk(
         sym.join(deg.withColumnRenamed("_it", "item").withColumnRenamed("n", "n_item"), "item")
         .join(deg.withColumnRenamed("_it", "rec").withColumnRenamed("n", "n_rec"), "rec")
         .withColumn(
+            # decimal(38,0) arithmetic: co_n²·10⁶ overflows int64 once a
+            # pair co-occurs in > ~3.03M baskets (the same hazard
+            # gini_splits hit for real at ~3M rows); the quotient is
+            # ≤ 10⁶ so the bigint result cast is always safe
             "cos2_ppm",
-            F.expr("(co_n * co_n * 1000000) div (n_item * n_rec)").cast("bigint"),
+            F.expr(
+                "(CAST(co_n AS decimal(38,0)) * co_n * 1000000)"
+                " div (CAST(n_item AS decimal(38,0)) * n_rec)"
+            ).cast("bigint"),
         )
     )
     w = Window.partitionBy("item").orderBy(

@@ -856,12 +856,22 @@ def prefix_rollup(
     the hierarchy never materializes wider than depth × rows."""
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
-    toks = F.split(F.trim(F.col(path_col)), sep)
+    if not sep or "'" in sep or "\\" in sep:
+        # sep is spliced into generated SQL and doubles as a regex for
+        # split(): quotes would break the SQL, backslashes the \Q...\E
+        # quoting below
+        raise ValueError(
+            "sep must be non-empty and contain no single quote or backslash"
+        )
+    # split() treats the separator as a Java regex while array_join()
+    # takes it literally — \Q...\E-quote the regex occurrences so
+    # regex-special separators ('.', '|', '/') keep literal semantics
+    sep_rx = f"\\\\Q{sep}\\\\E"
     prefixes = F.expr(
-        f"transform(sequence(1, least(size(split(trim({path_col}), '{sep}')),"
-        f" {max_depth})), i -> struct("
-        f" array_join(slice(split(trim({path_col}), '{sep}'), 1, i), '{sep}')"
-        f" AS prefix, CAST(i AS BIGINT) AS depth))"
+        f"transform(sequence(1, least(size(split(trim({path_col}),"
+        f" '{sep_rx}')), {max_depth})), i -> struct("
+        f" array_join(slice(split(trim({path_col}), '{sep_rx}'), 1, i),"
+        f" '{sep}') AS prefix, CAST(i AS BIGINT) AS depth))"
     )
     return (
         df.filter(F.trim(F.col(path_col)) != "")

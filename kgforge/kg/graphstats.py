@@ -415,16 +415,24 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
         .distinct()
         .persist()
     )
-    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    rec = e.join(rev, ["a", "b"], "left_semi")
-    out = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
-        rec.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
-    )
-    return out.select(
-        "n_edges",
-        "n_reciprocal",
-        F.expr(
-            "CASE WHEN n_edges > 0 THEN (n_reciprocal * 1000000) div n_edges"
-            " ELSE 0 END"
-        ).cast("bigint").alias("reciprocity_ppm"),
-    )
+    try:
+        rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        rec = e.join(rev, ["a", "b"], "left_semi")
+        out = e.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges")
+        ).crossJoin(
+            rec.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+        )
+        # checkpoint the 1-row result so the cache can be released now
+        # (the assoc.py lifecycle convention) — long-lived sessions
+        # calling this in a loop must not accumulate pinned partitions
+        return out.select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr(
+                "CASE WHEN n_edges > 0 THEN"
+                " (n_reciprocal * 1000000) div n_edges ELSE 0 END"
+            ).cast("bigint").alias("reciprocity_ppm"),
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -42,26 +42,27 @@ import threading as _threading
 
 _tls = _threading.local()
 
+# global view of every thread's cache list so a main-thread release can
+# drain lists whose owner thread has exited (e.g. ThreadPoolExecutor
+# workers in the oracle sweep that register caches but never release) —
+# without it those frames are unreachable and stay persisted for the
+# session lifetime.  Only DEAD threads' lists are drained cross-thread:
+# draining a live thread's list would reintroduce the mid-query
+# unpersist race the thread-local registry exists to prevent.
+_all_lists: list[tuple[_threading.Thread, list]] = []
+_all_lock = _threading.Lock()
+
 
 def _cache_list() -> list:
     lst = getattr(_tls, "caches", None)
     if lst is None:
         lst = _tls.caches = []
+        with _all_lock:
+            _all_lists.append((_threading.current_thread(), lst))
     return lst
 
 
-def release_rank_caches() -> int:
-    """Unpersist every rank-helper cache registered BY THIS THREAD; returns
-    the count.
-
-    Safe to call at any job boundary: a consumer that re-executes a result
-    DataFrame afterwards recomputes the range partitioning from scratch,
-    which is only a correctness hazard if the consumer mixes rows from two
-    executions of the SAME result — a terminal action (collect/write/count)
-    never does, PROVIDED no other thread unpersists mid-action (hence the
-    thread-local registry).
-    """
-    lst = _cache_list()
+def _drain(lst: list) -> int:
     n = len(lst)
     while lst:
         try:
@@ -71,6 +72,27 @@ def release_rank_caches() -> int:
             # bench's scaling legs) is already gone — releasing it is a
             # no-op, not an error
             pass
+    return n
+
+
+def release_rank_caches() -> int:
+    """Unpersist every rank-helper cache registered by this thread, plus
+    any registered by threads that have since exited; returns the count.
+
+    Safe to call at any job boundary: a consumer that re-executes a result
+    DataFrame afterwards recomputes the range partitioning from scratch,
+    which is only a correctness hazard if the consumer mixes rows from two
+    executions of the SAME result — a terminal action (collect/write/count)
+    never does, PROVIDED no live peer thread unpersists mid-action (hence:
+    own list always; other threads' lists only once their thread is dead).
+    """
+    n = _drain(_cache_list())
+    me = _threading.current_thread()
+    with _all_lock:
+        for th, lst in list(_all_lists):
+            if th is not me and not th.is_alive():
+                n += _drain(lst)
+                _all_lists.remove((th, lst))
     return n
 
 

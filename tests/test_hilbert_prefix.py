@@ -1,6 +1,7 @@
 """Round-4 batch 2: Hilbert layout keys, prefix rollup, reciprocity."""
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from kgforge.datapipe.layout import hilbert_key_expr, hilbert_layout
@@ -82,6 +83,33 @@ def test_prefix_rollup_hand_case(spark):
         ("a b", 2): 2,
         ("a x", 2): 1,
     }
+
+
+def test_prefix_rollup_regex_special_sep(spark):
+    # '.' and '/' are regex metachars — split() must treat them literally
+    df = spark.createDataFrame(
+        [(1, "com.acme.web"), (2, "com.acme"), (3, "org.x")],
+        "id int, p string",
+    )
+    got = {(r["prefix"], r["depth"]): r["n_rows"]
+           for r in prefix_rollup(df, "id", "p", sep=".", max_depth=2).collect()}
+    assert got == {
+        ("com", 1): 2,
+        ("org", 1): 1,
+        ("com.acme", 2): 2,
+        ("org.x", 2): 1,
+    }
+    df2 = spark.createDataFrame([(1, "a/b/c")], "id int, p string")
+    got2 = {(r["prefix"], r["depth"]): r["n_rows"]
+            for r in prefix_rollup(df2, "id", "p", sep="/", max_depth=3).collect()}
+    assert got2 == {("a", 1): 1, ("a/b", 2): 1, ("a/b/c", 3): 1}
+
+
+def test_prefix_rollup_rejects_unsafe_sep(spark):
+    df = spark.createDataFrame([(1, "a b")], "id int, p string")
+    for bad in ("", "'", "\\"):
+        with pytest.raises(ValueError):
+            prefix_rollup(df, "id", "p", sep=bad)
 
 
 def test_reciprocity_hand_case(spark):

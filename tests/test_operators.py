@@ -197,6 +197,38 @@ def test_release_rank_caches_drops_registered_frames(spark):
     assert rank.release_rank_caches() == 0
 
 
+def test_release_rank_caches_drains_dead_threads(spark):
+    """Caches registered by a worker thread that exits without releasing
+    (ThreadPoolExecutor sweeps) must be reachable from a later main-thread
+    release — but never while the worker is still alive (that would
+    reintroduce the cross-thread mid-query unpersist race)."""
+    import threading
+
+    from kgforge import rank
+
+    df = spark.createDataFrame([(i,) for i in range(10)], schema="id long")
+    rank.release_rank_caches()  # drain any leftovers from earlier tests
+    gate = threading.Event()
+
+    def worker():
+        rank.with_global_rank(df, [F.col("id")]).collect()
+        gate.wait(timeout=30)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    while not any(
+        th is t for th, _ in rank._all_lists
+    ) and t.is_alive():  # wait for the worker to register its list
+        pass
+    # worker alive: its caches are NOT drained by a main-thread release
+    assert rank.release_rank_caches() == 0
+    gate.set()
+    t.join()
+    # worker dead: the orphaned cache is drained exactly once
+    assert rank.release_rank_caches() >= 1
+    assert rank.release_rank_caches() == 0
+
+
 def test_flat_df_to_triples_matches_driver_ingest(spark):
     """Distributed flat ingest (COVERAGE.md S2 scale path) must emit the
     same triple multiset as the driver-side row ingest, counters being a
