@@ -211,6 +211,41 @@ def _fit_f_w(points: list[tuple[int, float]]) -> tuple[float, float]:
     return round(f, 3), round(w, 3)
 
 
+def _fit_report(secs: dict[int, float], lo: int, hi: int) -> dict:
+    """T(c)=F+W/c fit with honesty flags (round-4 verdict items 1 and 7).
+
+    Reports the raw least-squares F, then floors F at 0 (a negative fixed
+    cost is physically meaningless — it means a throttled leg, not
+    super-linear hardware) and refits W alone under F=0.  The fitted
+    efficiency is emitted UNCLAMPED; ``fit_ok`` is the gate a reader
+    should trust it through: raw F ≥ 0 AND every leg's relative residual
+    within 20% of the fit.  A clamp hid exactly this failure mode in the
+    round-4 record (anon legs 153.6/136.6/44.8 s → fitted 3.4 reported as
+    the clamp value 1.5)."""
+    pts = sorted(secs.items())
+    f_raw, w = _fit_f_w(pts)
+    rep: dict = {"fit_fixed_cost_raw_sec": f_raw}
+    f = f_raw
+    if f < 0:
+        f = 0.0
+        # refit W under F=0: min Σ(T−W/c)² → W = Σ(T/c) / Σ(1/c²)
+        w = round(
+            sum(t / c for c, t in pts) / sum(1.0 / (c * c) for c, _ in pts), 3
+        )
+    rep["fit_fixed_cost_sec"] = f
+    rep["fit_work_sec"] = w
+    resid = {
+        str(c): round(abs(t - (f + w / c)) / max(t, 1e-9), 4) for c, t in pts
+    }
+    rep["fit_rel_residuals"] = resid
+    rep["fit_ok"] = bool(f_raw >= 0 and max(resid.values()) <= 0.2)
+    ratio = hi / lo
+    num = max(secs[lo] - f, 1e-9)
+    den = max(secs[hi] - f, 1e-9)
+    rep["fitted_efficiency"] = round(num / (ratio * den), 4)
+    return rep
+
+
 def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
                 cores: tuple[int, ...] = (2, 4, 8)) -> dict:
     """One N→4N witness through the shared policy (verdict item 8).
@@ -223,13 +258,15 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
       measured, constants included;
     * fitted_efficiency = (T(2) − F) / (4 · (T(8) − F)) — the same ratio
       with the fitted fixed cost F removed from both legs, i.e. the
-      efficiency the 10^12-doc regime sees where per-run constants vanish
-      (F is printed so the correction is auditable);
+      efficiency the 10^12-doc regime sees where per-run constants vanish.
+      Emitted UNCLAMPED and gated by ``fit_ok`` (raw F ≥ 0, all leg
+      residuals ≤ 20%); F is floored at 0 with W refit when the raw
+      least-squares F is negative (see :func:`_fit_report`);
 
-    plus a single probe-gated retake of the outer legs if the raw number
-    lands outside [0.8, 1.15] while the budget still funds it (a throttled
-    host window fakes both sub-target and super-linear numbers — the
-    pure-CPU probe distinguishes a bad window from a bad plan)."""
+    plus probe-gated retakes: the outer legs if the raw number lands
+    outside [0.8, 1.5], and the interior legs once more if the fit flags
+    itself (a throttled middle leg poisons the fit while raw reads clean —
+    the round-4 anon witness), while the budget still funds it."""
     out: dict = {"cores": list(cores)}
     secs: dict[int, float] = {}
     n_units = None
@@ -288,12 +325,27 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
             eff = secs[lo] / (ratio * secs[hi])
         out["efficiency"] = round(eff, 4)
         if len(secs) >= 3:
-            f, w = _fit_f_w(sorted(secs.items()))
-            out["fit_fixed_cost_sec"] = f
-            out["fit_work_sec"] = w
-            num = max(secs[lo] - f, 1e-9)
-            den = max(secs[hi] - f, 1e-9)
-            out["fitted_efficiency"] = round(min(num / (ratio * den), 1.5), 4)
+            out.update(_fit_report(secs, lo, hi))
+            # middle-leg retake (round-4 verdict item 1b): the raw-band
+            # retake above only watches the OUTER legs, so a throttled
+            # middle leg silently poisons the fit while raw reads clean —
+            # exactly the r04 anon witness (4c leg only 11% faster than
+            # 2c → fitted 3.4).  One probe-gated retake of the interior
+            # legs when the fit flags itself, then refit.
+            mids = [c for c in cores[1:-1] if c in secs]
+            est_mid = sum(leg_estimates.get(c, 60.0) for c in mids) * 1.3
+            if not out["fit_ok"] and mids and budget.fits(est_mid + 60):
+                probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
+                out.setdefault("probe_history", []).append(probe)
+                if not 0.72 <= probe <= 1.15:
+                    time.sleep(45)
+                if budget.fits(est_mid):
+                    for c in mids:
+                        dt, _ = leg(c)
+                        secs[c] = round(min(secs[c], dt), 3)
+                    out["seconds"] = {str(c): secs[c] for c in secs}
+                    out["retaken_mid"] = True
+                    out.update(_fit_report(secs, lo, hi))
     out["name"] = name
     return out
 
