@@ -8334,9 +8334,14 @@ JOIN deg db ON db.w = cm.b
 
 def _kg_linkpred(spark, sf_dir):
     """Adamic-Adar / resource-allocation link prediction (kg/linkpred.py)
-    over the above-mean co-mention graph — ranked missing-edge candidates
+    over the above-MEDIAN co-mention graph — ranked missing-edge candidates
     for KG completion (non-adjacent entity pairs scored by the inverse-
-    degree weight of their shared neighbors)."""
+    degree weight of their shared neighbors).  Median, not mean: the
+    above-mean cut left a clique at driver scale (0 non-adjacent pairs —
+    a vacuously green row, round-4 verdict item 2); the interpolated
+    median (exact (a+b)/2 arithmetic, identical in Spark percentile()
+    and DuckDB quantile_cont()) keeps 6-7 candidate rows at both test
+    scales."""
     from kgforge.kg.linkpred import link_prediction
 
     links = _doc_links(spark, sf_dir).select("doc_id", "eid").distinct().persist()
@@ -8352,12 +8357,10 @@ def _kg_linkpred(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    mean = counts.agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_mean")
-    )
+    med = counts.agg(F.expr("percentile(n, 0.5)").alias("_med"))
     kept = (
-        counts.crossJoin(F.broadcast(mean))
-        .filter(F.col("n") > F.col("_mean"))
+        counts.crossJoin(F.broadcast(med))
+        .filter(F.col("n") > F.col("_med"))
         .select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
     )
     result = link_prediction(kept)  # checkpointed internally
@@ -8382,7 +8385,7 @@ ecounts AS MATERIALIZED (
 und AS MATERIALIZED (
   SELECT DISTINCT least(ea, eb) AS a, greatest(ea, eb) AS b
   FROM ecounts
-  WHERE n > (SELECT CAST(sum(n) AS DOUBLE) / count(*) FROM ecounts)
+  WHERE n > (SELECT quantile_cont(n, 0.5) FROM ecounts)
 ),
 adj AS MATERIALIZED (
   SELECT a AS w, b AS nb FROM und UNION ALL SELECT b, a FROM und

@@ -71,3 +71,14 @@ def test_link_prediction_max_degree_cap(spark):
     edges = [(0, i) for i in (1, 2, 3, 4)]
     assert _run(spark, edges) == _brute(edges)
     assert _run(spark, edges, max_degree=3) == {}
+
+
+def test_driver_linkpred_non_vacuous(spark):
+    """The driver row must carry value-level weight: the above-median
+    co-mention cut has to leave non-adjacent pairs with common neighbors
+    at BOTH test scales (the above-mean cut left a clique — 0 rows vs 0
+    rows, a green row that could not fail; round-4 verdict item 2)."""
+    import __spark_entry__ as entry
+
+    n = entry.queries()["kg_linkpred"](spark, "/root/testdata/sf0.001").count()
+    assert n > 0
