@@ -5,6 +5,21 @@ signatures) is real and tested; the actual codec work is stubbed — this
 container has no image/audio libraries — behind ``DecoderUnavailable`` with a
 deterministic fake featurizer so downstream operators (dedup on features,
 ANN) can be exercised end to end.
+
+Honest cost note (measured single-core, this container, 2026-08; repro in
+BENCH.md "media-decode throughput"): the stdlib decoders are per-item
+Python loops inside Arrow batches —
+
+* PNG  (``_parse_png``: zlib inflate + scanline unfilter)  ≈ 8.6 MB/s of
+  raster per core at 256×256 RGB with rotating filters 0-4 — the
+  unfilter loop for Sub/Average/Paeth has a left-neighbor data dependency
+  that resists vectorization; this is the ONE Python-heavy path at scale
+  (≈ 32 core-hours per decoded GB·100).  At 100 TB of images, bring a
+  JVM/native codec; this path is for parity and plumbing tests.
+* PPM  (``_parse_ppm``: header tokens + raster slice)      ≈ 20 GB/s per
+  core — effectively free (no transform, just a validated view).
+* WAV  (``decode_wav``: stdlib ``wave`` + numpy stats)     ≈ 270 MB/s of
+  PCM per core (16-bit mono) — numpy does the arithmetic; fine at scale.
 """
 
 from __future__ import annotations
