@@ -8,19 +8,39 @@ def _collect(df):
     return {r["node"]: (r["color"], r["round"]) for r in df.collect()}
 
 
-def test_matches_python_mirror(spark):
-    rng = random.Random(5)
-    pairs = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(150)})
-    df = spark.createDataFrame(pairs, "src int, dst int")
-    got = _collect(greedy_coloring(df))
-    assert got == _py_coloring(pairs)
+def _pairs(seed, n, m):
+    rng = random.Random(seed)
+    return sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)})
 
 
-def test_proper_coloring(spark):
-    rng = random.Random(17)
-    pairs = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(300)})
-    df = spark.createDataFrame(pairs, "src int, dst int")
-    got = _collect(greedy_coloring(df))
+K5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+C8 = [(i, (i + 1) % 8) for i in range(8)]
+
+
+@pytest.fixture(scope="module")
+def colorings(spark, pool_runner):
+    """Each Jones-Plassmann coloring once, concurrently (every run is an
+    iterated round loop); assertions stay per-test below."""
+    def run(pairs):
+        return lambda: _collect(greedy_coloring(
+            spark.createDataFrame(pairs, "src int, dst int")))
+
+    return pool_runner({
+        "rand5": run(_pairs(5, 40, 150)),
+        "rand17": run(_pairs(17, 60, 300)),
+        "k5": run(K5),
+        "c8": run(C8),
+    })
+
+
+def test_matches_python_mirror(colorings):
+    pairs = _pairs(5, 40, 150)
+    assert colorings["rand5"] == _py_coloring(pairs)
+
+
+def test_proper_coloring(colorings):
+    pairs = _pairs(17, 60, 300)
+    got = colorings["rand17"]
     for a, b in pairs:
         assert got[a][0] != got[b][0], f"edge ({a},{b}) is monochromatic"
     # every node colored
@@ -28,19 +48,16 @@ def test_proper_coloring(spark):
     assert set(got) == nodes
 
 
-def test_complete_graph_uses_n_colors(spark):
-    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
-    df = spark.createDataFrame(k5, "src int, dst int")
-    got = _collect(greedy_coloring(df))
+def test_complete_graph_uses_n_colors(colorings):
+    got = colorings["k5"]
     assert sorted(c for c, _ in got.values()) == [0, 1, 2, 3, 4]
 
 
-def test_bipartite_two_colors(spark):
+def test_bipartite_two_colors(colorings):
     # even cycle is 2-colorable; greedy JP may use more than chi but on a
     # C4 the hash order happens to be fixed — assert properness + <=3
-    pairs = [(i, (i + 1) % 8) for i in range(8)]
-    df = spark.createDataFrame(pairs, "src int, dst int")
-    got = _collect(greedy_coloring(df))
+    pairs = C8
+    got = colorings["c8"]
     for a, b in pairs:
         assert got[a][0] != got[b][0]
     assert max(c for c, _ in got.values()) <= 2

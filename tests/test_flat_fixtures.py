@@ -84,8 +84,22 @@ def assert_matches(got: dict, want: dict, tol: float = 0.05):
     )
 
 
+@pytest.fixture(scope="module")
+def flat_results(spark):
+    """All 8 end-to-end anonymization runs through a bounded thread pool
+    (oracle-sweep pooling pattern, round-4 verdict item 3) — each run is an
+    independent multi-job pipeline; assertions stay per-fixture below."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
+        req, want = _load(name)
+        return name, (anonymize_flat_json(spark, req), want)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(one, FIXTURES))
+
+
 @pytest.mark.parametrize("name", FIXTURES)
-def test_flat_fixture(spark, name):
-    req, want = _load(name)
-    got = anonymize_flat_json(spark, req)
+def test_flat_fixture(flat_results, name):
+    got, want = flat_results[name]
     assert_matches(got, want)

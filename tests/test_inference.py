@@ -83,13 +83,51 @@ ABOX = [
 ]
 
 
-def test_matches_python_fixpoint_on_demo_graph(spark):
-    out = rows(rdfs_closure(triples_df(spark, TBOX + ABOX)))
-    assert out == py_fixpoint(TBOX + ABOX)
+
+DOMRANGE_FACTS = [
+    iri("p", RDFS_SUBPROP, "q"),
+    iri("q", RDFS_DOMAIN, "D"),
+    iri("q", RDFS_RANGE, "R"),
+    iri("x", "p", "y"),
+]
+CYCLE_FACTS = [
+    iri("A", RDFS_SUBCLASS, "B"),
+    iri("B", RDFS_SUBCLASS, "A"),
+    iri("x", RDF_TYPE, "A"),
+]
 
 
-def test_each_rule_fires(spark):
-    out = rows(rdfs_closure(triples_df(spark, TBOX + ABOX)))
+@pytest.fixture(scope="module")
+def closures(spark):
+    """Every rdfs_closure the tests below assert on, computed ONCE through
+    a bounded thread pool (oracle-sweep pooling pattern, round-4 verdict
+    item 3)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "demo": lambda: rows(rdfs_closure(triples_df(spark, TBOX + ABOX))),
+        "demo_entailed_only": lambda: rows(
+            rdfs_closure(triples_df(spark, TBOX + ABOX), include_asserted=False)
+        ),
+        "domrange": lambda: rows(
+            rdfs_closure(triples_df(spark, DOMRANGE_FACTS))
+        ),
+        "cycle": lambda: rows(rdfs_closure(triples_df(spark, CYCLE_FACTS))),
+        "external": lambda: rows(
+            rdfs_closure(triples_df(spark, ABOX), schema=triples_df(spark, TBOX))
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {k: pool.submit(v) for k, v in jobs.items()}
+        return {k: f.result() for k, f in futs.items()}
+
+
+def test_matches_python_fixpoint_on_demo_graph(closures):
+    assert closures["demo"] == py_fixpoint(TBOX + ABOX)
+
+
+def test_each_rule_fires(closures):
+    out = closures["demo"]
     assert iri("c1", RDF_TYPE, "Person") in out          # rdfs9
     assert iri("c1", RDF_TYPE, "Agent") in out           # rdfs9 via rdfs11
     assert iri("Customer", RDFS_SUBCLASS, "Agent") in out  # rdfs11
@@ -100,41 +138,29 @@ def test_each_rule_fires(spark):
     assert not any(s == "Alice" for s, *_ in out)
 
 
-def test_entailed_only_excludes_asserted(spark):
-    t = triples_df(spark, TBOX + ABOX)
-    novel = rows(rdfs_closure(t, include_asserted=False))
+def test_entailed_only_excludes_asserted(closures):
+    novel = closures["demo_entailed_only"]
     assert novel == py_fixpoint(TBOX + ABOX) - set(TBOX + ABOX)
     assert iri("c1", RDF_TYPE, "Customer") not in novel
 
 
-def test_domain_range_apply_to_rdfs7_derived_facts(spark):
-    facts = [
-        iri("p", RDFS_SUBPROP, "q"),
-        iri("q", RDFS_DOMAIN, "D"),
-        iri("q", RDFS_RANGE, "R"),
-        iri("x", "p", "y"),
-    ]
-    out = rows(rdfs_closure(triples_df(spark, facts)))
+def test_domain_range_apply_to_rdfs7_derived_facts(closures):
+    facts = DOMRANGE_FACTS
+    out = closures["domrange"]
     assert iri("x", RDF_TYPE, "D") in out
     assert iri("y", RDF_TYPE, "R") in out
     assert out == py_fixpoint(facts)
 
 
-def test_subclass_cycle_terminates(spark):
-    facts = [
-        iri("A", RDFS_SUBCLASS, "B"),
-        iri("B", RDFS_SUBCLASS, "A"),
-        iri("x", RDF_TYPE, "A"),
-    ]
-    out = rows(rdfs_closure(triples_df(spark, facts)))
+def test_subclass_cycle_terminates(closures):
+    facts = CYCLE_FACTS
+    out = closures["cycle"]
     assert iri("x", RDF_TYPE, "B") in out
     assert out == py_fixpoint(facts)
 
 
-def test_external_schema_table(spark):
-    out = rows(
-        rdfs_closure(triples_df(spark, ABOX), schema=triples_df(spark, TBOX))
-    )
+def test_external_schema_table(closures):
+    out = closures["external"]
     # entails against the external TBox but does NOT union its triples in
     assert iri("c1", RDF_TYPE, "Agent") in out
     assert iri("Customer", RDFS_SUBCLASS, "Person") not in out

@@ -59,14 +59,27 @@ def _nodes_by_id(doc: dict) -> dict:
     return nodes
 
 
+@pytest.fixture(scope="module")
+def jsonld_results(spark):
+    """All JSON-LD end-to-end runs through a bounded thread pool (the
+    oracle-sweep pooling pattern, round-4 verdict item 3)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
+        with open(f"{REF}/01_input_json_ld/{name}.json") as f:
+            req = json.load(f)
+        return name, anonymize_jsonld_response(spark, req)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return dict(pool.map(one, FIXTURES))
+
+
 @pytest.mark.parametrize("name", FIXTURES)
-def test_jsonld_fixture_exact(spark, name):
-    with open(f"{REF}/01_input_json_ld/{name}.json") as f:
-        req = json.load(f)
+def test_jsonld_fixture_exact(jsonld_results, name):
     with open(f"{REF}/01_output_json_ld/{name}.json") as f:
         golden = json.load(f)
 
-    got = anonymize_jsonld_response(spark, req)
+    got = jsonld_results[name]
 
     assert got.get("@context") == golden.get("@context")
     assert ("@graph" in got) == ("@graph" in golden)

@@ -114,7 +114,8 @@ def test_oracle_sweep(spark):
         except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
             return f"{name}: {type(e).__name__}: {e}"
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    workers = int(os.environ.get("KGFORGE_ORACLE_POOL", "8"))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         failures = [f for f in pool.map(run, ORACLES) if f is not None]
     assert not failures, (
         f"{len(failures)}/{len(ORACLES)} oracles failed:\n" + "\n".join(failures)

@@ -124,106 +124,31 @@ ABOX = [
 ]
 
 
-def test_matches_python_fixpoint_on_demo_graph(spark):
-    out = rows(owl_closure(triples_df(spark, TBOX + ABOX)))
-    assert out == py_fixpoint(TBOX + ABOX)
+# second domain graphs (module constants so the pooled fixture and the
+# tests agree on the exact fact sets)
+EQPROP_TB = [iri("p", OWL_EQ_PROP, "q"), iri("q", RDF_TYPE, OWL_TRANSITIVE)]
+EQPROP_AB = [iri("x", "p", "y"), iri("y", "q", "z")]
+CYCLE_TB = [
+    iri("before", OWL_INVERSE, "after"),
+    iri("before", RDF_TYPE, OWL_TRANSITIVE),
+    iri("after", RDF_TYPE, OWL_TRANSITIVE),
+]
+CYCLE_AB = [
+    iri("t1", "before", "t2"),
+    iri("t3", "after", "t2"),  # i.e. t2 before t3
+    iri("t3", "before", "t4"),
+]
+SYMTRANS_TB = [
+    iri("near", RDF_TYPE, OWL_SYMMETRIC),
+    iri("near", RDF_TYPE, OWL_TRANSITIVE),
+]
+SYMTRANS_AB = [iri("p1", "near", "p2"), iri("p3", "near", "p2")]
+LITSYM_TB = [iri("alias", RDF_TYPE, OWL_SYMMETRIC)]
+LITSYM_AB = [lit("a", "alias", "Bob")]
+RAND_SEEDS = (7, 23, 91)
 
 
-def test_each_owl_rule_fires(spark):
-    out = rows(owl_closure(triples_df(spark, TBOX + ABOX)))
-    # inverseOf swap
-    assert iri("b", "childOf", "a") in out
-    # symmetric swap
-    assert iri("d", "knows", "a") in out
-    # rdfs7 up into the transitive property, then its closure
-    assert iri("a", "ancestorOf", "b") in out
-    assert iri("a", "ancestorOf", "c") in out
-    # equivalentClass → both subClassOf directions → rdfs9
-    assert iri("d", RDF_TYPE, "Boss") in out
-    assert iri("Manager", RDFS_SUBCLASS, "Boss") in out
-    assert iri("Boss", RDFS_SUBCLASS, "Manager") in out
-    # domain typing still applies (ρdf core intact)
-    assert iri("a", RDF_TYPE, "Person") in out
-
-
-def test_entailed_only_excludes_asserted(spark):
-    ent = rows(
-        owl_closure(triples_df(spark, TBOX + ABOX), include_asserted=False)
-    )
-    for t in TBOX + ABOX:
-        assert t not in ent
-    assert iri("a", "ancestorOf", "c") in ent
-
-
-def test_equivalent_property_bridges_facts(spark):
-    tb = [iri("p", OWL_EQ_PROP, "q"), iri("q", RDF_TYPE, OWL_TRANSITIVE)]
-    ab = [iri("x", "p", "y"), iri("y", "q", "z")]
-    out = rows(owl_closure(triples_df(spark, tb + ab)))
-    assert out == py_fixpoint(tb + ab)
-    # p-facts become q-facts, q's closure chains through them, and the
-    # derived q-facts flow back to p through the other equivalence leg.
-    assert iri("x", "q", "z") in out
-    assert iri("x", "p", "z") in out
-
-
-def test_transitive_inverse_feedback_cycle(spark):
-    # two transitive predicates declared inverses of each other: each
-    # closure feeds the other — the driver analysis must detect the cycle
-    # and iterate to the true fixpoint.
-    tb = [
-        iri("before", OWL_INVERSE, "after"),
-        iri("before", RDF_TYPE, OWL_TRANSITIVE),
-        iri("after", RDF_TYPE, OWL_TRANSITIVE),
-    ]
-    ab = [
-        iri("t1", "before", "t2"),
-        iri("t3", "after", "t2"),  # i.e. t2 before t3
-        iri("t3", "before", "t4"),
-    ]
-    out = rows(owl_closure(triples_df(spark, tb + ab)))
-    assert out == py_fixpoint(tb + ab)
-    assert iri("t1", "before", "t4") in out
-    assert iri("t4", "after", "t1") in out
-
-
-def test_symmetric_transitive_connected_cluster(spark):
-    tb = [
-        iri("near", RDF_TYPE, OWL_SYMMETRIC),
-        iri("near", RDF_TYPE, OWL_TRANSITIVE),
-    ]
-    ab = [iri("p1", "near", "p2"), iri("p3", "near", "p2")]
-    out = rows(owl_closure(triples_df(spark, tb + ab)))
-    assert out == py_fixpoint(tb + ab)
-    # symmetric+transitive ⇒ the component saturates (minus reflexive)
-    assert iri("p1", "near", "p3") in out
-    assert iri("p3", "near", "p1") in out
-
-
-def test_external_schema_leaves_tbox_out(spark):
-    sch = triples_df(spark, TBOX)
-    data = triples_df(spark, ABOX)
-    out = rows(owl_closure(data, schema=sch))
-    assert iri("b", "childOf", "a") in out
-    assert iri("Manager", RDFS_SUBCLASS, "Boss") not in out
-    assert iri("parentOf", OWL_INVERSE, "childOf") not in out
-
-
-def test_meta_subproperty_rejected(spark):
-    bad = [iri("p", RDFS_SUBPROP, OWL_INVERSE)]
-    with pytest.raises(ValueError, match="schema vocabulary"):
-        owl_closure(triples_df(spark, bad + ABOX)).collect()
-
-
-def test_literal_objects_never_swap(spark):
-    tb = [iri("alias", RDF_TYPE, OWL_SYMMETRIC)]
-    ab = [lit("a", "alias", "Bob")]
-    out = rows(owl_closure(triples_df(spark, tb + ab)))
-    assert out == py_fixpoint(tb + ab)
-    assert not any(s == "Bob" for s, *_ in out)
-
-
-@pytest.mark.parametrize("seed", [7, 23, 91])
-def test_random_graph_equivalence(spark, seed):
+def _rand_facts(seed):
     rnd = random.Random(seed)
     preds = [f"p{i}" for i in range(6)]
     classes = [f"C{i}" for i in range(5)]
@@ -250,5 +175,126 @@ def test_random_graph_equivalence(spark, seed):
         ab.append(iri(rnd.choice(nodes), RDF_TYPE, rnd.choice(classes)))
     for _ in range(3):
         ab.append(lit(rnd.choice(nodes), rnd.choice(preds), f"v{rnd.randint(0, 5)}"))
-    facts = sorted(set(tb + ab))
-    assert rows(owl_closure(triples_df(spark, facts))) == py_fixpoint(facts)
+    return sorted(set(tb + ab))
+
+
+@pytest.fixture(scope="module")
+def closures(spark):
+    """Every closure the tests below assert on, computed ONCE through a
+    bounded thread pool (oracle-sweep pooling pattern, round-4 verdict
+    item 3) — each owl_closure fixpoint is an independent multi-job Spark
+    computation that serially cost ~6-8 s apiece."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "demo": lambda: rows(owl_closure(triples_df(spark, TBOX + ABOX))),
+        "demo_entailed_only": lambda: rows(
+            owl_closure(triples_df(spark, TBOX + ABOX), include_asserted=False)
+        ),
+        "eqprop": lambda: rows(
+            owl_closure(triples_df(spark, EQPROP_TB + EQPROP_AB))
+        ),
+        "cycle": lambda: rows(
+            owl_closure(triples_df(spark, CYCLE_TB + CYCLE_AB))
+        ),
+        "symtrans": lambda: rows(
+            owl_closure(triples_df(spark, SYMTRANS_TB + SYMTRANS_AB))
+        ),
+        "external": lambda: rows(
+            owl_closure(triples_df(spark, ABOX), schema=triples_df(spark, TBOX))
+        ),
+        "litsym": lambda: rows(
+            owl_closure(triples_df(spark, LITSYM_TB + LITSYM_AB))
+        ),
+        **{
+            f"rand{seed}": (
+                lambda s=seed: rows(
+                    owl_closure(triples_df(spark, _rand_facts(s)))
+                )
+            )
+            for seed in RAND_SEEDS
+        },
+    }
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {k: pool.submit(v) for k, v in jobs.items()}
+        return {k: f.result() for k, f in futs.items()}
+
+
+def test_matches_python_fixpoint_on_demo_graph(closures):
+    assert closures["demo"] == py_fixpoint(TBOX + ABOX)
+
+
+def test_each_owl_rule_fires(closures):
+    out = closures["demo"]
+    # inverseOf swap
+    assert iri("b", "childOf", "a") in out
+    # symmetric swap
+    assert iri("d", "knows", "a") in out
+    # rdfs7 up into the transitive property, then its closure
+    assert iri("a", "ancestorOf", "b") in out
+    assert iri("a", "ancestorOf", "c") in out
+    # equivalentClass → both subClassOf directions → rdfs9
+    assert iri("d", RDF_TYPE, "Boss") in out
+    assert iri("Manager", RDFS_SUBCLASS, "Boss") in out
+    assert iri("Boss", RDFS_SUBCLASS, "Manager") in out
+    # domain typing still applies (ρdf core intact)
+    assert iri("a", RDF_TYPE, "Person") in out
+
+
+def test_entailed_only_excludes_asserted(closures):
+    ent = closures["demo_entailed_only"]
+    for t in TBOX + ABOX:
+        assert t not in ent
+    assert iri("a", "ancestorOf", "c") in ent
+
+
+def test_equivalent_property_bridges_facts(closures):
+    out = closures["eqprop"]
+    assert out == py_fixpoint(EQPROP_TB + EQPROP_AB)
+    # p-facts become q-facts, q's closure chains through them, and the
+    # derived q-facts flow back to p through the other equivalence leg.
+    assert iri("x", "q", "z") in out
+    assert iri("x", "p", "z") in out
+
+
+def test_transitive_inverse_feedback_cycle(closures):
+    # two transitive predicates declared inverses of each other: each
+    # closure feeds the other — the driver analysis must detect the cycle
+    # and iterate to the true fixpoint.
+    out = closures["cycle"]
+    assert out == py_fixpoint(CYCLE_TB + CYCLE_AB)
+    assert iri("t1", "before", "t4") in out
+    assert iri("t4", "after", "t1") in out
+
+
+def test_symmetric_transitive_connected_cluster(closures):
+    out = closures["symtrans"]
+    assert out == py_fixpoint(SYMTRANS_TB + SYMTRANS_AB)
+    # symmetric+transitive ⇒ the component saturates (minus reflexive)
+    assert iri("p1", "near", "p3") in out
+    assert iri("p3", "near", "p1") in out
+
+
+def test_external_schema_leaves_tbox_out(closures):
+    out = closures["external"]
+    assert iri("b", "childOf", "a") in out
+    assert iri("Manager", RDFS_SUBCLASS, "Boss") not in out
+    assert iri("parentOf", OWL_INVERSE, "childOf") not in out
+
+
+def test_meta_subproperty_rejected(spark):
+    bad = [iri("p", RDFS_SUBPROP, OWL_INVERSE)]
+    with pytest.raises(ValueError, match="schema vocabulary"):
+        owl_closure(triples_df(spark, bad + ABOX)).collect()
+
+
+def test_literal_objects_never_swap(closures):
+    out = closures["litsym"]
+    assert out == py_fixpoint(LITSYM_TB + LITSYM_AB)
+    assert not any(s == "Bob" for s, *_ in out)
+
+
+@pytest.mark.parametrize("seed", RAND_SEEDS)
+def test_random_graph_equivalence(closures, seed):
+    facts = _rand_facts(seed)
+    assert closures[f"rand{seed}"] == py_fixpoint(facts)

@@ -3,23 +3,60 @@ recommendation, depth-2 integer-Gini CART, and WOE/IV feature profiling."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgforge.datapipe.classify import gini_splits, gini_tree2, woe_iv
 from kgforge.datapipe.recommend import copurchase_counts, copurchase_topk
 
+BASKETS = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+           (3, "a"), (3, "c"), (4, "b"), (4, "b")]
+GINI_ROWS = [("x", "p"), ("x", "p"), ("y", "n"), ("z", "n")]
+TREE_ROWS = [("x", "u", "p")] * 3 + [("y", "u", "n")] * 2 + [("y", "v", "n")] * 2
+WOE_ROWS = [("A", "p")] * 3 + [("A", "n")] + [("B", "p")] + [("B", "n")] * 3
+FT_ROWS = [(1, "a"), (1, "b"), (1, "c"),
+           (2, "a"), (2, "b"), (2, "c"),
+           (3, "a"), (3, "b"), (3, "d"),
+           (4, "a"), (4, "b"), (4, "c"), (4, "d")]
 
-def test_copurchase_counts_and_scores(spark):
+
+@pytest.fixture(scope="module")
+def results(spark, pool_runner):
+    """Each hand-golden computation once, concurrently; assertions stay
+    per-test below (oracle-sweep pooling pattern, round-4 verdict item 3)."""
+    from kgforge.datapipe.assoc import frequent_triples
+
+    def bdf():
+        return spark.createDataFrame(BASKETS, "bk int, it string")
+
+    def fdf():
+        return spark.createDataFrame(FT_ROWS, "bk int, it string")
+
+    return pool_runner({
+        "co_counts": lambda: copurchase_counts(bdf(), "bk", "it").collect(),
+        "co_topk": lambda: copurchase_topk(
+            bdf(), "bk", "it", k=2, min_co=2).collect(),
+        "gini": lambda: gini_splits(
+            spark.createDataFrame(GINI_ROWS, "f string, lab string"),
+            ["f"], "lab").collect(),
+        "tree": lambda: gini_tree2(
+            spark.createDataFrame(TREE_ROWS, "f1 string, f2 string, lab string"),
+            ["f1", "f2"], "lab").collect(),
+        "woe": lambda: woe_iv(
+            spark.createDataFrame(WOE_ROWS, "seg string, lab string"),
+            "seg", "lab", "p").collect(),
+        "ft3": lambda: frequent_triples(fdf(), "bk", "it", min_count=3).collect(),
+        "ft2": lambda: frequent_triples(fdf(), "bk", "it", min_count=2).collect(),
+    })
+
+
+def test_copurchase_counts_and_scores(results):
     # baskets: (1: a,b,c) (2: a,b) (3: a,c) (4: b only, twice -> distinct)
-    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
-            (3, "a"), (3, "c"), (4, "b"), (4, "b")]
-    df = spark.createDataFrame(rows, "bk int, it string")
-    co = {(r["item_a"], r["item_b"]): r["co_n"]
-          for r in copurchase_counts(df, "bk", "it").collect()}
+    co = {(r["item_a"], r["item_b"]): r["co_n"] for r in results["co_counts"]}
     assert co == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
     # n(a)=3 n(b)=3 n(c)=2; min_co=2 keeps ab and ac
     top = {(r["item"], r["rec"]): (r["co_n"], r["cos2_ppm"], r["rank"])
-           for r in copurchase_topk(df, "bk", "it", k=2, min_co=2).collect()}
+           for r in results["co_topk"]}
     # cos2(a,b) = 4*1e6 // 9 = 444444 ; cos2(a,c) = 4*1e6 // 6 = 666666
     assert top[("a", "c")] == (2, 666666, 1)
     assert top[("a", "b")] == (2, 444444, 2)
@@ -27,12 +64,10 @@ def test_copurchase_counts_and_scores(spark):
     assert top[("b", "a")] == (2, 444444, 1)
 
 
-def test_gini_splits_hand_case(spark):
+def test_gini_splits_hand_case(results):
     # f=x splits perfectly: x rows all 'p' (2), non-x all 'n' (2)
-    rows = [("x", "p"), ("x", "p"), ("y", "n"), ("z", "n")]
-    df = spark.createDataFrame(rows, "f string, lab string")
     got = {(r["feat"], r["value"]): (r["n_left"], r["score_micro"])
-           for r in gini_splits(df, ["f"], "lab").collect()}
+           for r in results["gini"]}
     # split on x: left (2p) pure -> 0 ; right (2n) pure -> 0
     assert got[("f", "x")] == (2, 0)
     # split on y: left (1n) pure 0 ; right (2p,1n): (9-5)*1e6//3 = 1333333
@@ -40,11 +75,9 @@ def test_gini_splits_hand_case(spark):
     assert got[("f", "z")] == (1, 1333333)
 
 
-def test_gini_tree2_shape_and_purity(spark):
+def test_gini_tree2_shape_and_purity(results):
     # two features; f1 perfectly separates, f2 is noise
-    rows = [("x", "u", "p")] * 3 + [("y", "u", "n")] * 2 + [("y", "v", "n")] * 2
-    df = spark.createDataFrame(rows, "f1 string, f2 string, lab string")
-    out = {r["node"]: r for r in gini_tree2(df, ["f1", "f2"], "lab").collect()}
+    out = {r["node"]: r for r in results["tree"]}
     assert set(out) == {"root", "L", "R", "LL", "LR", "RL", "RR"}
     assert (out["root"]["feat"], out["root"]["value"]) == ("f1", "x")
     assert out["root"]["score_micro"] == 0
@@ -60,11 +93,9 @@ def test_gini_tree2_shape_and_purity(spark):
     assert all(v in ("p", "n") for v in maj.values())
 
 
-def test_woe_iv_hand_case(spark):
+def test_woe_iv_hand_case(results):
     # seg A: 3 pos 1 neg ; seg B: 1 pos 3 neg ; P=4 N=4
-    rows = [("A", "p")] * 3 + [("A", "n")] + [("B", "p")] + [("B", "n")] * 3
-    df = spark.createDataFrame(rows, "seg string, lab string")
-    got = {r["value"]: r for r in woe_iv(df, "seg", "lab", "p").collect()}
+    got = {r["value"]: r for r in results["woe"]}
     woe_a = round(math.log((2 * 3 + 1) * 4 / ((2 * 1 + 1) * 4)), 6)
     assert got["A"]["woe"] == woe_a
     iv_a = round(((3 * 4 - 1 * 4) / 16) * woe_a, 9)
@@ -74,20 +105,11 @@ def test_woe_iv_hand_case(spark):
     assert got["B"]["iv_term"] == iv_a  # (1*4-3*4)/16 * (-woe) = +
 
 
-def test_frequent_triples_hand_case(spark):
-    from kgforge.datapipe.assoc import frequent_triples
-
+def test_frequent_triples_hand_case(results):
     # baskets: {a,b,c} ×2, {a,b,d}, {a,b,c,d}
-    rows = [(1, "a"), (1, "b"), (1, "c"),
-            (2, "a"), (2, "b"), (2, "c"),
-            (3, "a"), (3, "b"), (3, "d"),
-            (4, "a"), (4, "b"), (4, "c"), (4, "d")]
-    df = spark.createDataFrame(rows, "bk int, it string")
-    got = {(r["a"], r["b"], r["c"]): r["n_abc"]
-           for r in frequent_triples(df, "bk", "it", min_count=3).collect()}
+    got = {(r["a"], r["b"], r["c"]): r["n_abc"] for r in results["ft3"]}
     assert got == {("a", "b", "c"): 3}
     # min_count prunes items globally first: 'd' (support 2) can never
     # appear with min_count=3; with min_count=2 it can
-    got2 = {(r["a"], r["b"], r["c"]): r["n_abc"]
-            for r in frequent_triples(df, "bk", "it", min_count=2).collect()}
+    got2 = {(r["a"], r["b"], r["c"]): r["n_abc"] for r in results["ft2"]}
     assert got2[("a", "b", "d")] == 2 and got2[("a", "b", "c")] == 3
