@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgforge.datapipe.hypotests import (
@@ -58,27 +59,64 @@ def _ks_mirror(rows):
     return na, nb, d, min(1.0, max(0.0, p))
 
 
-def test_ks_matches_python_mirror(spark):
+@pytest.fixture(scope="module")
+def results(spark, pool_runner):
+    """Each hypothesis-test computation once, concurrently (oracle-sweep
+    pooling pattern, round-4 verdict item 3); assertions per-test below."""
+    def one(rows, schema, fn, *args):
+        return lambda: fn(
+            spark.createDataFrame(rows, schema), *args).collect()[0]
+
+    sep = [(float(i), "a") for i in range(200)] + [
+        (float(i + 400), "b") for i in range(200)
+    ]
+    rng = random.Random(5)
+    chi_pairs = []
+    for _ in range(3000):
+        x = rng.choice("pqr")
+        y = rng.choice("uv" if x == "p" else "uvw")
+        chi_pairs.append((x, y))
+    rng9 = random.Random(9)
+    sp_rows = []
+    for _ in range(800):
+        a = float(rng9.randint(0, 30))
+        b = a * 2 + rng9.gauss(0, 10)
+        sp_rows.append((a, b))
+
+    two = "v double, grp string"
+    return pool_runner({
+        "ks": one(_two_sample_rows(), two, ks_two_sample, "v", "grp", "a", "b"),
+        "ks_same": one(_two_sample_rows(seed=3, shift=0.0, na=500, nb=500),
+                       two, ks_two_sample, "v", "grp", "a", "b"),
+        "ks_sep": one(sep, two, ks_two_sample, "v", "grp", "a", "b"),
+        "mwu": one(_two_sample_rows(seed=11, quantized=True), two,
+                   mann_whitney_u, "v", "grp", "a", "b"),
+        "mwu_tied": one([(1.0, "a")] * 5 + [(1.0, "b")] * 7, two,
+                        mann_whitney_u, "v", "grp", "a", "b"),
+        "chi2": one(chi_pairs, "x string, y string",
+                    chi_square_independence, "x", "y"),
+        "chi2_dof0": one([("a", "u"), ("a", "v")], "x string, y string",
+                         chi_square_independence, "x", "y"),
+        "spearman": one(sp_rows, "a double, b double", spearman_corr, "a", "b"),
+        "sp_mono": one([(float(i), float(i * i)) for i in range(50)],
+                       "a double, b double", spearman_corr, "a", "b"),
+        "sp_const": one([(1.0, float(i)) for i in range(10)],
+                        "a double, b double", spearman_corr, "a", "b"),
+    })
+
+
+def test_ks_matches_python_mirror(results):
     rows = _two_sample_rows()
-    df = spark.createDataFrame(rows, "v double, grp string")
-    got = ks_two_sample(df, "v", "grp", "a", "b").collect()[0]
+    got = results["ks"]
     na, nb, d, p = _ks_mirror(rows)
     assert (got["n_a"], got["n_b"]) == (na, nb)
     assert got["d_stat"] == round(d, 6)
     assert abs(got["p_value"] - p) < 5e-7
 
 
-def test_ks_identical_distributions_high_p(spark):
-    rows = _two_sample_rows(seed=3, shift=0.0, na=500, nb=500)
-    df = spark.createDataFrame(rows, "v double, grp string")
-    got = ks_two_sample(df, "v", "grp", "a", "b").collect()[0]
-    assert got["p_value"] > 0.2
-    sep = [(float(i), "a") for i in range(200)] + [
-        (float(i + 400), "b") for i in range(200)
-    ]
-    got2 = ks_two_sample(
-        spark.createDataFrame(sep, "v double, grp string"), "v", "grp", "a", "b"
-    ).collect()[0]
+def test_ks_identical_distributions_high_p(results):
+    assert results["ks_same"]["p_value"] > 0.2
+    got2 = results["ks_sep"]
     assert got2["d_stat"] == 1.0 and got2["p_value"] == 0.0
 
 
@@ -109,10 +147,9 @@ def _mwu_mirror(rows):
     return na, nb, ua, z, p
 
 
-def test_mwu_matches_python_mirror_with_ties(spark):
+def test_mwu_matches_python_mirror_with_ties(results):
     rows = _two_sample_rows(seed=11, quantized=True)  # heavy ties
-    df = spark.createDataFrame(rows, "v double, grp string")
-    got = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+    got = results["mwu"]
     na, nb, ua, z, p = _mwu_mirror(rows)
     assert (got["n_a"], got["n_b"]) == (na, nb)
     assert got["u_a"] == ua
@@ -120,10 +157,8 @@ def test_mwu_matches_python_mirror_with_ties(spark):
     assert abs(got["p_value"] - p) < 5e-7
 
 
-def test_mwu_all_tied_is_null_z(spark):
-    rows = [(1.0, "a")] * 5 + [(1.0, "b")] * 7
-    df = spark.createDataFrame(rows, "v double, grp string")
-    got = mann_whitney_u(df, "v", "grp", "a", "b").collect()[0]
+def test_mwu_all_tied_is_null_z(results):
+    got = results["mwu_tied"]
     assert got["z"] is None and got["p_value"] is None
     assert got["u_a"] == 5 * 7 / 2.0  # all midranks equal -> U at its mean
 
@@ -152,7 +187,7 @@ def _chi2_mirror(pairs):
     return n, r, c, dof, chi2, v, p
 
 
-def test_chi2_matches_python_mirror(spark):
+def test_chi2_matches_python_mirror(results):
     rng = random.Random(5)
     pairs = []
     for _ in range(3000):
@@ -160,8 +195,7 @@ def test_chi2_matches_python_mirror(spark):
         # y depends weakly on x -> nonzero chi2
         y = rng.choice("uv" if x == "p" else "uvw")
         pairs.append((x, y))
-    df = spark.createDataFrame(pairs, "x string, y string")
-    got = chi_square_independence(df, "x", "y").collect()[0]
+    got = results["chi2"]
     n, r, c, dof, chi2, v, p = _chi2_mirror(pairs)
     assert (got["n"], got["r_levels"], got["c_levels"], got["dof"]) == (n, r, c, dof)
     assert abs(got["chi2"] - chi2) < 1e-6
@@ -169,9 +203,8 @@ def test_chi2_matches_python_mirror(spark):
     assert abs(got["p_value"] - p) < 5e-7
 
 
-def test_chi2_single_level_dof_zero(spark):
-    df = spark.createDataFrame([("a", "u"), ("a", "v")], "x string, y string")
-    got = chi_square_independence(df, "x", "y").collect()[0]
+def test_chi2_single_level_dof_zero(results):
+    got = results["chi2_dof0"]
     assert got["dof"] == 0
     assert got["chi2"] is None and got["cramers_v"] is None and got["p_value"] is None
 
@@ -203,25 +236,21 @@ def _spearman_mirror(rows):
     return num / den
 
 
-def test_spearman_matches_python_mirror(spark):
+def test_spearman_matches_python_mirror(results):
     rng = random.Random(9)
     rows = []
     for _ in range(800):
         a = float(rng.randint(0, 30))  # ties on a
         b = a * 2 + rng.gauss(0, 10)
         rows.append((a, b))
-    df = spark.createDataFrame(rows, "a double, b double")
-    got = spearman_corr(df, "a", "b").collect()[0]
+    got = results["spearman"]
     assert got["n"] == 800
     assert abs(got["rho"] - _spearman_mirror(rows)) < 1e-6
 
 
-def test_spearman_perfect_monotone_and_constant(spark):
-    rows = [(float(i), float(i * i)) for i in range(50)]
-    df = spark.createDataFrame(rows, "a double, b double")
-    assert spearman_corr(df, "a", "b").collect()[0]["rho"] == 1.0
-    const = spark.createDataFrame([(1.0, float(i)) for i in range(10)], "a double, b double")
-    assert spearman_corr(const, "a", "b").collect()[0]["rho"] is None
+def test_spearman_perfect_monotone_and_constant(results):
+    assert results["sp_mono"]["rho"] == 1.0
+    assert results["sp_const"]["rho"] is None
 
 
 def test_hypotests_plans_are_jvm_only(spark):
