@@ -1383,10 +1383,12 @@ def _ann_topk(spark, sf_dir):
 
 
 _IVF_CENTROIDS = 16
-# 4 of 16 cells per query: the synthetic embeddings are near-isotropic (the
+# 6 of 16 cells per query: the synthetic embeddings are near-isotropic (the
 # hardest case for cell pruning — real corpora cluster), so 2 probes read
-# ~0.64 recall@5; 4 probes buy ~0.8+ while still pruning 4x of the corpus
-_IVF_PROBE = 4
+# ~0.64 recall@5, 4 probes ~0.84; 6 probes clear 0.9 while still pruning
+# ~2.7x of the corpus (round-4 verdict item 8 — the recall-vs-seconds
+# trade is recorded in the bench record's ann_ivf_recall_at_5 + extras)
+_IVF_PROBE = 6
 _IVF_SAMPLE_MOD = 4
 _IVF_KMEANS_ITERS = 8
 
