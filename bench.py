@@ -240,9 +240,17 @@ def _fit_report(secs: dict[int, float], lo: int, hi: int) -> dict:
     rep["fit_rel_residuals"] = resid
     rep["fit_ok"] = bool(f_raw >= 0 and max(resid.values()) <= 0.2)
     ratio = hi / lo
-    num = max(secs[lo] - f, 1e-9)
-    den = max(secs[hi] - f, 1e-9)
-    rep["fitted_efficiency"] = round(num / (ratio * den), 4)
+    num = secs[lo] - f
+    den = secs[hi] - f
+    if num <= 0 or den <= 0:
+        # F at or above a measured leg: the fit is degenerate (a poisoned
+        # interior leg drags F past T(8)) — a number here would be
+        # astronomical noise (an r05 shakedown emitted 1.6e10); None is
+        # the honest value and fit_ok is already False via residuals
+        rep["fitted_efficiency"] = None
+        rep["fit_ok"] = False
+    else:
+        rep["fitted_efficiency"] = round(num / (ratio * den), 4)
     return rep
 
 
@@ -309,8 +317,21 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
         # witness needs — a second shakedown run spent two retakes chasing
         # raw 1.16 into [., 1.15] and starved the anon witness entirely
         attempts = 0
-        est = (leg_estimates.get(lo, 60.0) + leg_estimates.get(hi, 30.0)) * 1.3
-        while (eff < 0.8 or eff > 1.5) and attempts < 2 and budget.fits(est + 60):
+        # retake cost estimated from the MEASURED legs, not the static
+        # leg_estimates: on a throttled host the static numbers overshoot
+        # by ~2x and silently veto the retake the witness needs (r05
+        # shakedown: anon raw 0.709 went un-retaken with 320 s of budget
+        # left because the static estimate read 365 s)
+        est = (secs[lo] + secs[hi]) * 1.2 + 30
+        # a sub-0.8 reading on an UNDERSIZED pair (2c leg < 200 s — the
+        # BENCH.md thrice-confirmed sizing rule) is structural fixed-cost
+        # capping, not a throttle artifact: retaking cannot raise it (the
+        # min() only shrinks legs), so skip the loop and let the caller's
+        # size escalation respond instead (r05 shakedown burned ~350 s of
+        # retakes against a structural 0.708)
+        undersized = secs[lo] < 200
+        while ((eff > 1.5) or (eff < 0.8 and not undersized)) \
+                and attempts < 2 and budget.fits(est + 60):
             attempts += 1
             probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
             out.setdefault("probe_history", []).append(probe)
@@ -333,7 +354,7 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
             # 2c → fitted 3.4).  One probe-gated retake of the interior
             # legs when the fit flags itself, then refit.
             mids = [c for c in cores[1:-1] if c in secs]
-            est_mid = sum(leg_estimates.get(c, 60.0) for c in mids) * 1.3
+            est_mid = sum(secs[c] for c in mids) * 1.2 + 30
             if not out["fit_ok"] and mids and budget.fits(est_mid + 60):
                 probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
                 out.setdefault("probe_history", []).append(probe)
@@ -348,6 +369,37 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
                     out.update(_fit_report(secs, lo, hi))
     out["name"] = name
     return out
+
+
+def _escalate_if_undersized(rec: dict, name: str, leg_builder, size: int,
+                            size_key: str, budget: Budget, snapshot: dict,
+                            small_key: str) -> dict:
+    """One adaptive 2x size escalation of a scaling witness (round-5).
+
+    A sub-0.8 raw reading whose 2-core leg ran under 200 s is structural:
+    the per-run fixed cost (session + checkpoint barriers + scalar
+    aggregates, F ≈ 25 s measured) caps raw efficiency regardless of code
+    quality — the BENCH.md sizing rule, confirmed three times
+    (PageRank 2M → 0.61, 8M → 0.71, 32M → 0.83).  A fast host window
+    SHRINKS the legs and trips this cap, so the witness re-runs once at
+    2x the input with the same harness; both records are kept (the small
+    pair under ``small_key``) so the escalation is auditable."""
+    secs = rec.get("seconds", {})
+    lo = str(rec.get("cores", [2])[0])
+    eff = rec.get("efficiency")
+    cost = sum(secs.values()) * 2.4 + 60  # 2x input ≈ 2x per leg + probe
+    if (eff is not None and eff < 0.8 and float(secs.get(lo, 999)) < 200
+            and budget.fits(cost)):
+        big = _scale_pair(
+            name, leg_builder(size * 2), budget,
+            leg_estimates={c: float(secs[str(c)]) * 2.2 for c in rec["cores"]
+                           if str(c) in secs},
+        )
+        big[size_key] = size * 2
+        big["escalated_from"] = size
+        snapshot[small_key] = rec
+        return big
+    return rec
 
 
 # ------------------------------------------------------------- query lists
@@ -676,13 +728,20 @@ def main() -> None:
         spark.stop()
         return
 
+    # ---- the three north-rule scaling witnesses run FIRST after the
+    # headline sections: they are the record's most budget-sensitive
+    # deliverable, and running them on the tail of a depleted budget is
+    # exactly how the r05 shakedown lost both retakes (anon raw 0.709,
+    # graph 0.4988, retake headroom already spent on extras).  Each leg
+    # builds its own local[c] session, so the main session is stopped
+    # first and rebuilt before the extras sweep.
+
     # ---- section: KG scaling witness (north-rule witness #1) -----------
-    # 400k docs: legs ≈ 80/40/25 s (BENCH.md session 9); fits ~3.5 min
-    # with session overhead.  The 1.2M-doc run stays a BENCH.md spot-check.
-    # Each leg builds its own local[c] session, which in local mode shares
-    # the one JVM — so the main session is stopped first and rebuilt after.
+    # 400k docs: legs ≈ 80/40/25 s (BENCH.md session 9); the 1.2M-doc run
+    # stays a BENCH.md spot-check.
+    spark.stop()
+    spark = None
     if corpus is not None and budget.fits(260):
-        spark.stop()
         SNAPSHOT["scaling"] = _scale_pair(
             "kg_construction", _kg_leg(corpus), budget,
             leg_estimates={2: 110, 4: 60, 8: 40},
@@ -691,11 +750,55 @@ def main() -> None:
         SNAPSHOT["scaling"]["machine_capacity"] = _cpu_capacity_probe()
         done.append("scaling_kg")
         _emit()
-        spark = _session(cpus)
-        spark.sparkContext.setLogLevel("ERROR")
-        _warmup(spark)
     else:
         skipped.append("scaling_kg")
+
+    # ---- section: anonymization scaling witness (#2) -------------------
+    # 8M rows: legs ≈ 160/80/45 s (scaled from the 16M measurement
+    # 309.9/86.4 s); the T(c)=F+W/c fit reports the ~9.5 s fixed cost the
+    # 32M ratchet used to buy off with wall-clock (verdict item 2).
+    anon_rows = int(os.environ.get("SPARK_GRAFT_ANON_SCALE_ROWS", "8000000"))
+    if budget.fits(340):
+        rec = _scale_pair(
+            "anonymization", _anon_leg(anon_rows), budget,
+            leg_estimates={2: 180, 4: 95, 8: 55},
+        )
+        rec["n_rows"] = anon_rows
+        rec = _escalate_if_undersized(
+            rec, "anonymization", _anon_leg, anon_rows, "n_rows", budget,
+            SNAPSHOT, "anon_scaling_small",
+        )
+        SNAPSHOT["anon_scaling"] = rec
+        done.append("scaling_anon")
+        _emit()
+    else:
+        skipped.append("scaling_anon")
+
+    # ---- section: graph-analytics scaling witness (#3) -----------------
+    # 8M edges: legs ≈ 61/35/22 s (BENCH.md session 13 table); raw eff at
+    # this size is fixed-cost-capped (~0.71 measured, fit-predicted 0.895
+    # asymptotic) — the record carries BOTH numbers; the 32M run stays a
+    # BENCH.md spot-check.
+    graph_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_SCALE_EDGES", "8000000"))
+    if budget.fits(180):
+        rec = _scale_pair(
+            "graph_pagerank", _graph_leg(graph_edges), budget,
+            leg_estimates={2: 75, 4: 45, 8: 30},
+        )
+        rec["n_edges"] = graph_edges
+        rec = _escalate_if_undersized(
+            rec, "graph_pagerank", _graph_leg, graph_edges, "n_edges",
+            budget, SNAPSHOT, "graph_scaling_small",
+        )
+        SNAPSHOT["graph_scaling"] = rec
+        done.append("scaling_graph")
+        _emit()
+    else:
+        skipped.append("scaling_graph")
+
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark)
 
     # ---- section: extras sweep (single pass) ---------------------------
     extras: dict[str, float] = {}
@@ -725,41 +828,6 @@ def main() -> None:
     else:
         skipped.append("ivf_anon1m")
     spark.stop()
-
-    # ---- section: anonymization scaling witness (#2) -------------------
-    # 8M rows: legs ≈ 160/80/45 s (scaled from the 16M measurement
-    # 309.9/86.4 s); the T(c)=F+W/c fit reports the ~9.5 s fixed cost the
-    # 32M ratchet used to buy off with wall-clock (verdict item 2).
-    anon_rows = int(os.environ.get("SPARK_GRAFT_ANON_SCALE_ROWS", "8000000"))
-    if budget.fits(340):
-        rec = _scale_pair(
-            "anonymization", _anon_leg(anon_rows), budget,
-            leg_estimates={2: 180, 4: 95, 8: 55},
-        )
-        rec["n_rows"] = anon_rows
-        SNAPSHOT["anon_scaling"] = rec
-        done.append("scaling_anon")
-        _emit()
-    else:
-        skipped.append("scaling_anon")
-
-    # ---- section: graph-analytics scaling witness (#3) -----------------
-    # 8M edges: legs ≈ 61/35/22 s (BENCH.md session 13 table); raw eff at
-    # this size is fixed-cost-capped (~0.71 measured, fit-predicted 0.895
-    # asymptotic) — the record carries BOTH numbers; the 32M run stays a
-    # BENCH.md spot-check.
-    graph_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_SCALE_EDGES", "8000000"))
-    if budget.fits(180):
-        rec = _scale_pair(
-            "graph_pagerank", _graph_leg(graph_edges), budget,
-            leg_estimates={2: 75, 4: 45, 8: 30},
-        )
-        rec["n_edges"] = graph_edges
-        SNAPSHOT["graph_scaling"] = rec
-        done.append("scaling_graph")
-        _emit()
-    else:
-        skipped.append("scaling_graph")
 
     SNAPSHOT["budget_spent_sec"] = budget.spent()
     _emit(final=True)

@@ -45,3 +45,12 @@ def test_negative_fixed_cost_floors_to_zero():
     assert rep["fit_ok"] is False
     # with F=0 the fitted ratio equals the raw ratio T(2)/(4*T(8))
     assert abs(rep["fitted_efficiency"] - 400.0 / (4 * 50.0)) < 1e-6
+
+
+def test_degenerate_fit_yields_none_not_astronomy():
+    # 4c slower than 2c (mid-leg throttle burst): F lands above T(8), the
+    # ratio denominator goes nonpositive — emit None, never 1.6e10
+    secs = {2: 108.0, 4: 120.0, 8: 38.0}
+    rep = _fit_report(secs, 2, 8)
+    assert rep["fitted_efficiency"] is None
+    assert rep["fit_ok"] is False
