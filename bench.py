@@ -355,7 +355,15 @@ def _scale_pair(name: str, leg, budget: Budget, leg_estimates: dict[int, float],
             # legs when the fit flags itself, then refit.
             mids = [c for c in cores[1:-1] if c in secs]
             est_mid = sum(secs[c] for c in mids) * 1.2 + 30
-            if not out["fit_ok"] and mids and budget.fits(est_mid + 60):
+            # only when the fit failure implicates the INTERIOR legs
+            # (residual-driven, raw F >= 0): a negative raw F means the
+            # outlier is an outer leg, which the raw-band retake above
+            # owns — retaking the middle cannot fix it and the ~90 s it
+            # burns starved the anon escalation in an r05 shakedown
+            mid_implicated = (
+                not out["fit_ok"] and out["fit_fixed_cost_raw_sec"] >= 0
+            )
+            if mid_implicated and mids and budget.fits(est_mid + 60):
                 probe = _cpu_capacity_probe()["efficiency_2w_to_8w"]
                 out.setdefault("probe_history", []).append(probe)
                 if not 0.72 <= probe <= 1.15:
@@ -387,7 +395,10 @@ def _escalate_if_undersized(rec: dict, name: str, leg_builder, size: int,
     secs = rec.get("seconds", {})
     lo = str(rec.get("cores", [2])[0])
     eff = rec.get("efficiency")
-    cost = sum(secs.values()) * 2.4 + 60  # 2x input ≈ 2x per leg + probe
+    # 2x input ≈ 2x work per leg, but the measured F (~25 s/leg) does NOT
+    # double — estimate 2.2x + probe, not a flat 2.4x that vetoed a real
+    # escalation by ~20 s of budget in an r05 shakedown
+    cost = sum(secs.values()) * 2.2 + 30
     if (eff is not None and eff < 0.8 and float(secs.get(lo, 999)) < 200
             and budget.fits(cost)):
         big = _scale_pair(
